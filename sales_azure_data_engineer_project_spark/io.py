@@ -1,0 +1,82 @@
+"""Sources & sinks (SURVEY §2.1 S1–S10).
+
+The reference's zones are ADLS paths read/written with format strings
+(`2_Silver_Notebook.py:7-9,72-75`, `3(1)_Gold_dim_model.py:173-176`).
+Here each zone is a local/posix (or any Hadoop-FS) directory; the
+semantics — overwrite silver, create-or-merge gold — live in
+``operators.upsert``, not in the writer.
+
+Scale notes:
+- Parquet reads are vectorized and get predicate pushdown + column
+  pruning for free as long as callers filter/select on the DataFrame
+  (never ``.collect()`` then filter).
+- Writers repartition only when asked; a 100 TB fact write should keep
+  the upstream partitioning (one shuffle saved) and let AQE size files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import TESTDATA_TABLES
+
+__all__ = [
+    "read_parquet",
+    "read_csv",
+    "write_parquet",
+    "load_testdata",
+    "register_testdata_views",
+]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S1: parquet directory scan (`2_Silver_Notebook.py:7-9`).
+
+    The reference passes ``inferSchema`` — a no-op for self-describing
+    Parquet (hazard H6); we drop it.
+    """
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S4: CSV landing source with the reference data's quirks.
+
+    /root/reference/RawData/SalesData.csv has a UTF-8 BOM on line 1,
+    quoted fields with embedded commas (IncrementalSales.csv:2
+    ``"Fisker, Karma Motors"``), and empty strings for missing
+    DealerName (SalesData.csv:38).  ``emptyValue=None`` maps empties to
+    SQL NULL so the cleansing layer sees them.
+    """
+    reader = (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("encoding", "UTF-8")
+        .option("emptyValue", None)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5: parquet sink (`2_Silver_Notebook.py:72-75`)."""
+    df.write.mode(mode).parquet(path)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one driver-corpus table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """S2-equivalent: make every corpus table SQL-addressable by name."""
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)

@@ -1,0 +1,131 @@
+"""The medallion pipeline driver.
+
+Re-derives the reference's notebook DAG (X2: `1_db` → `2_Silver` →
+`3(1..4)` dims → `4_fact`) as a plain Python module: a
+:class:`SalesPipeline` that owns zone paths and runs initial or
+incremental loads idempotently.
+
+The reference parameterizes runs with a Databricks widget
+(`3(1)_Gold_dim_model.py:13-18` ``Incremental_Flag``); here run mode is
+inferred from sink existence (S9 ``tableExists``) — the flag's only
+real effect, key seeding, is subsumed by ``next_key_offset`` which is
+correct in both modes (hazard H2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import safe_div, split_part
+from ..io import read_csv, read_parquet, write_parquet
+from ..operators.dimensions import DimensionSpec, build_scd1_dimension
+from ..operators.fact import aggregate_to_grain
+from ..operators.fact import build_fact as assemble_fact
+from ..operators.upsert import merge_write_parquet
+from ..schemas import RAW_SALES_SCHEMA
+
+__all__ = ["SalesPipeline", "transform_silver", "DIM_SPECS"]
+
+# The four reference dimensions (3(1..4)_Gold_dim_*.py:44-46) + grain.
+DIM_SPECS: dict[str, DimensionSpec] = {
+    "dim_model": DimensionSpec("dim_model", "dim_model_key", "Model_ID", ("model_category",)),
+    "dim_branch": DimensionSpec("dim_branch", "dim_branch_key", "Branch_ID", ("BranchName",)),
+    "dim_dealer": DimensionSpec("dim_dealer", "dim_dealer_key", "Dealer_ID", ("DealerName",)),
+    # Reference dim_date keeps only Date_ID (hazard H1); we additionally
+    # carry Day/Month/Year so gold can answer calendar questions.
+    "dim_date": DimensionSpec("dim_date", "dim_date_key", "Date_ID", ()),
+}
+
+FACT_GRAIN = ["dim_model_key", "dim_branch_key", "dim_dealer_key", "dim_date_key"]
+
+
+def transform_silver(df: DataFrame) -> DataFrame:
+    """Bronze → silver enrichment (`2_Silver_Notebook.py:33,49`).
+
+    - ``model_category`` = prefix of ``Model_ID`` before '-'
+    - ``Rev_Per_unit``   = Revenue / Units_Sold (long/long → double)
+
+    The reference's display-only string cast of Units_Sold
+    (`2_Silver_Notebook.py:45`) is deliberately NOT applied — it never
+    reaches the persisted silver table (SURVEY §1.3).
+    """
+    return df.withColumn("model_category", split_part("Model_ID", "-", 0)).withColumn(
+        "Rev_Per_unit", safe_div("Revenue", "Units_Sold")
+    )
+
+
+class SalesPipeline:
+    """Zone layout: ``root/{bronze,silver,gold}``; gold holds one parquet
+    directory per star table, upserted with MERGE semantics."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.bronze = os.path.join(root, "bronze")
+        self.silver = os.path.join(root, "silver", "carsales")
+        self.gold = os.path.join(root, "gold")
+
+    # -- zone paths -------------------------------------------------------
+    def gold_path(self, table: str) -> str:
+        return os.path.join(self.gold, table)
+
+    def read_gold(self, table: str) -> DataFrame | None:
+        p = self.gold_path(table)
+        if os.path.isdir(p):
+            return self.spark.read.parquet(p)
+        return None
+
+    # -- stages -----------------------------------------------------------
+    def ingest_bronze(self, csv_path: str) -> DataFrame:
+        """S4: land raw CSV as bronze parquet with the explicit schema."""
+        raw = read_csv(self.spark, csv_path, schema=RAW_SALES_SCHEMA)
+        write_parquet(raw, self.bronze)
+        return read_parquet(self.spark, self.bronze)
+
+    def build_silver(self) -> DataFrame:
+        silver = transform_silver(read_parquet(self.spark, self.bronze))
+        write_parquet(silver, self.silver)
+        return read_parquet(self.spark, self.silver)
+
+    def build_dimensions(self, silver: DataFrame) -> dict[str, DataFrame]:
+        dims: dict[str, DataFrame] = {}
+        for name, spec in DIM_SPECS.items():
+            sink = self.read_gold(name)
+            dim = build_scd1_dimension(silver, sink, spec)
+            merge_write_parquet(
+                self.spark, dim, self.gold_path(name), keys=[spec.key_col]
+            )
+            dims[name] = self.spark.read.parquet(self.gold_path(name))
+        return dims
+
+    def build_fact(self, silver: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
+        fact = assemble_fact(
+            silver, {n: (df, DIM_SPECS[n]) for n, df in dims.items()}
+        )
+        fact = aggregate_to_grain(fact, FACT_GRAIN)
+        merge_write_parquet(
+            self.spark, fact, self.gold_path("factsales"), keys=FACT_GRAIN
+        )
+        return self.spark.read.parquet(self.gold_path("factsales"))
+
+    def run(self, csv_path: str) -> dict[str, DataFrame]:
+        """One full load (initial or incremental — same code path)."""
+        self.ingest_bronze(csv_path)
+        silver = self.build_silver()
+        dims = self.build_dimensions(silver)
+        fact = self.build_fact(silver, dims)
+        return {**dims, "factsales": fact, "silver": silver}
+
+    # -- reference's one analytics query ---------------------------------
+    def units_by_branch_year(self, silver: DataFrame | None = None) -> DataFrame:
+        """`2_Silver_Notebook.py:63`: groupBy(BranchName, Year).sum(Units)
+        sorted by Year asc, total desc (A1 + O1)."""
+        silver = silver if silver is not None else read_parquet(self.spark, self.silver)
+        return (
+            silver.groupBy("BranchName", "Year")
+            .agg(F.sum("Units_Sold").alias("Total_Units_Sold"))
+            .orderBy(F.col("Year").asc(), F.col("Total_Units_Sold").desc())
+        )

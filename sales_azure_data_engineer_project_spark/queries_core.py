@@ -1,0 +1,387 @@
+"""Core relational queries — SURVEY §2 operator coverage on the driver corpus.
+
+Every entry here is registered in ``__spark_entry__.py::queries()`` with a
+DuckDB ``oracle_sql()`` twin.  Determinism/hash-stability rules:
+
+- Aggregates over doubles are cast to DECIMAL *before* summing on BOTH
+  sides: decimal arithmetic is exact, so the result is independent of
+  partial-aggregation order (a double sum is not).
+- Final aggregate types are explicitly cast (Spark sum(decimal(p,s)) →
+  decimal(p+10,s); DuckDB → decimal(38,s); an explicit outer cast makes
+  them agree).
+- Integer sums are cast to BIGINT (DuckDB sums integers into HUGEINT).
+- Every computed column is aliased identically in Spark and SQL.
+- Ties in any top-k / window ordering are broken by a unique column.
+
+The mapping back to the reference's operators (SURVEY §2) is noted per
+query; the sales-domain operators are exercised on their testdata
+equivalents (orders/customer/nation as the star, part as a dim source).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import load_testdata
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship — the reference's one analytics query (`2_Silver_Notebook.py:63`:
+# groupBy(branch, year).sum(units).sort) generalized to the corpus star:
+# revenue by customer nation and order year.  Covers S1, J2 (broadcast dim
+# joins), A1 (grouped sum), O1 (multi-key mixed-direction sort), P4.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_revenue_by_nation_year",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+    ORDER BY order_year ASC, total_revenue DESC, nation ASC
+    """,
+)
+def flagship_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    customer = load_testdata(spark, sf_dir, "customer")
+    nation = load_testdata(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "inner",
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey, "inner")
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("order_year").asc(),
+            F.col("total_revenue").desc(),
+            F.col("nation").asc(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1: TPC-H-Q1-style pricing summary (multi-agg hash aggregate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 + P3: DISTINCT projection with a derived split column (the
+# `3(1)_Gold_dim_model.py:44-46` distinct-project + `2_Silver:33` split).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_projection_split",
+    """
+    SELECT DISTINCT p_brand,
+           string_split(p_type, ' ')[1] AS type_head
+    FROM part
+    ORDER BY p_brand, type_head
+    """,
+)
+def distinct_projection_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_testdata(spark, sf_dir, "part")
+    return (
+        part.select("p_brand", F.split("p_type", " ").getItem(0).alias("type_head"))
+        .distinct()
+        .orderBy("p_brand", "type_head")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 + P6: the reference's hand-rolled anti/semi split (left join +
+# isNull/isNotNull at `3(1)_Gold_dim_model.py:79-102`), expressed with
+# the idiomatic left_anti / left_semi joins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_testdata(spark, sf_dir, "customer")
+    orders = load_testdata(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_testdata(spark, sf_dir, "customer")
+    orders = load_testdata(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: positional union of two disjoint slices (UNION ALL semantics,
+# `3(1)_Gold_dim_model.py:146`) — done with unionByName per hazard H7.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_segments",
+    """
+    SELECT c_custkey, c_mktsegment AS segment, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_mktsegment AS segment, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+    FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ORDER BY c_custkey
+    """,
+)
+def union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_testdata(spark, sf_dir, "customer")
+
+    def slice_of(seg: str) -> DataFrame:
+        return customer.filter(F.col("c_mktsegment") == seg).select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").cast("decimal(12,2)").alias("acctbal"),
+        )
+
+    return slice_of("BUILDING").unionByName(slice_of("MACHINERY")).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# A2: ungrouped scalar max (`3(1)_Gold_dim_model.py:123-124`) — as a
+# 1-row query (the driver-side .collect()[0][0] is exercised by the
+# pipeline, not the oracle).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "max_order_key",
+    """
+    SELECT CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    """,
+)
+def max_order_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    return orders.agg(
+        F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: multi-way broadcast star join (the `4_Gold_fact_sales_table.py:46-51`
+# pattern — fact ⟕ 3 dims, swap to dim attributes, aggregate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "star_join_sales",
+    """
+    SELECT p.p_brand, s.s_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS units
+    FROM lineitem l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY p.p_brand, s.s_name
+    ORDER BY p_brand, s_name
+    """,
+)
+def star_join_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    part = load_testdata(spark, sf_dir, "part")
+    supplier = load_testdata(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left",
+        )
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("units"),
+        )
+        .orderBy("p_brand", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3/P4/P5: derived columns — split-derive, arithmetic ratio, cast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "derived_columns",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS net_price,
+           CAST(l_quantity AS VARCHAR) AS qty_str,
+           CAST(CAST(l_tax AS DECIMAL(4,2)) + CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(6,2)) AS tax_plus_disc
+    FROM lineitem
+    WHERE l_orderkey < 50
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_orderkey") < 50)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("net_price"),
+            F.col("l_quantity").cast("string").alias("qty_str"),
+            (tax + disc).cast("decimal(6,2)").alias("tax_plus_disc"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 + top-k: global sort with deterministic tie-break + limit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_orders",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice, o_orderpriority
+    FROM orders
+    ORDER BY totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("totalprice"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# H2 pattern: deterministic dense surrogate keys via row_number — the
+# idiomatic replacement for `3(1)_Gold_dim_model.py:120-133`.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dim_dense_keys",
+    """
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_brand) AS BIGINT) AS dim_brand_key,
+           p_brand
+    FROM (SELECT DISTINCT p_brand FROM part)
+    ORDER BY dim_brand_key
+    """,
+)
+def dim_dense_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_testdata(spark, sf_dir, "part")
+    w = Window.orderBy("p_brand")
+    return (
+        part.select("p_brand")
+        .distinct()
+        .select(
+            F.row_number().over(w).cast("bigint").alias("dim_brand_key"),
+            "p_brand",
+        )
+        .orderBy("dim_brand_key")
+    )

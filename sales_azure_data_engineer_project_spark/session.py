@@ -1,0 +1,82 @@
+"""SparkSession construction.
+
+The reference runs on a managed Databricks cluster and never constructs a
+session (`spark` is ambient in every notebook, e.g.
+`Transformation NoteBooks (PysSpark)/2_Silver_Notebook.py:7`).  Here we own
+session construction and make the scale-relevant choices explicit:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting) so the
+  same code survives local[32] at sf0.001 and a 1000-executor cluster at
+  100 TB without re-tuning.
+- ``spark.sql.shuffle.partitions`` sized by env (cores locally; on a real
+  cluster AQE's coalescing makes the initial number mostly irrelevant).
+- UTC session timezone so results hash-match a DuckDB oracle (DuckDB
+  timestamps are UTC-naive).
+- Arrow on for every pandas/Pandas-UDF boundary.
+- Case-insensitive resolution kept (Spark default) — load-bearing in the
+  reference (`3(3)_Gold_dim_dealer.py:79` resolves `dim_Dealer_key`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def _cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "sales-azure-data-engineer-project-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local defaults favor fast iteration; every setting here is also the
+    right *direction* at cluster scale (AQE, Arrow, partition-size caps).
+    """
+    cpus = _cpus()
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # 128 MB split target: sane for both local sf0.1 and a 100 TB scan.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Broadcast threshold: dims in the star schema are ALWAYS broadcast
+        # (reference dims are <=277 rows; TPC-H dims scale far slower than
+        # the fact table).  32 MB is safe for executors with >=4 GB heap.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.createHiveTableByDefault", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
