@@ -18,12 +18,14 @@ def split_part(col: Column | str, delim: str, index: int) -> Column:
 
 
 def safe_div(num: Column | str, den: Column | str) -> Column:
-    """Division with divide-by-zero → NULL (Spark's native semantics),
-    generalizing `Rev_Per_unit` at `2_Silver_Notebook.py:49`.
-    long/long → double, matching the reference's persisted silver type."""
+    """Division with divide-by-zero → NULL, generalizing `Rev_Per_unit`
+    at `2_Silver_Notebook.py:49`.  The reference ran Spark 3 non-ANSI
+    (x/0 → NULL silently); Spark 4 defaults to ANSI where `/` throws, so
+    ``try_divide`` reproduces the reference semantics without turning
+    ANSI off globally.  long/long → double either way."""
     num = F.col(num) if isinstance(num, str) else num
     den = F.col(den) if isinstance(den, str) else den
-    return num / den
+    return F.try_divide(num, den)
 
 
 def next_key_offset(existing: DataFrame, key_col: str) -> int:

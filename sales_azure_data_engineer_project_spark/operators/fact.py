@@ -67,5 +67,5 @@ def aggregate_to_grain(
     aggs = [F.sum(m).alias(m) for m in sum_measures]
     out = fact.groupBy(*grain).agg(*aggs)
     return out.withColumn(
-        "Rev_Per_Unit", F.col("Revenue") / F.col("Units_Sold")
+        "Rev_Per_Unit", F.try_divide(F.col("Revenue"), F.col("Units_Sold"))
     ).select("Revenue", "Units_Sold", "Rev_Per_Unit", *grain)

@@ -1,0 +1,90 @@
+"""Operator-level unit tests (SURVEY §5 strategy item 1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_azure_data_engineer_project_spark.functions import (
+    dense_surrogate_key,
+    next_key_offset,
+    safe_div,
+    split_part,
+)
+from sales_azure_data_engineer_project_spark.operators.dimensions import (
+    DimensionSpec,
+    build_scd1_dimension,
+)
+from sales_azure_data_engineer_project_spark.operators.upsert import merge_upsert
+
+
+def test_split_part(spark):
+    df = spark.createDataFrame([("BMW-M1",), ("KIA-M9",), ("NODELIM",)], ["m"])
+    got = {r["m"]: r["cat"] for r in df.select("m", split_part("m", "-", 0).alias("cat")).collect()}
+    assert got == {"BMW-M1": "BMW", "KIA-M9": "KIA", "NODELIM": "NODELIM"}
+
+
+def test_safe_div_types_and_null(spark):
+    df = spark.createDataFrame([(10, 4), (3, 0)], ["a", "b"])
+    out = df.select(safe_div("a", "b").alias("q"))
+    assert dict(out.dtypes)["q"] == "double"
+    vals = [r["q"] for r in out.collect()]
+    assert vals[0] == 2.5 and vals[1] is None  # long/long → double; x/0 → NULL
+
+
+def test_dense_surrogate_key_deterministic(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], ["k"]).repartition(3)
+    out1 = {r["k"]: r["id"] for r in dense_surrogate_key(df, "id", ["k"], 10).collect()}
+    out2 = {r["k"]: r["id"] for r in dense_surrogate_key(df, "id", ["k"], 10).collect()}
+    assert out1 == out2 == {"a": 11, "b": 12, "c": 13}
+
+
+def test_next_key_offset_empty_and_nonempty(spark):
+    empty = spark.createDataFrame([], "k long")
+    assert next_key_offset(empty, "k") == 0
+    df = spark.createDataFrame([(5,), (9,)], "k long")
+    assert next_key_offset(df, "k") == 9
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame([(1, "old1"), (2, "old2")], ["k", "v"])
+    source = spark.createDataFrame([(2, "new2"), (3, "new3")], ["k", "v"])
+    got = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"]).collect()}
+    # matched updated, unmatched-source inserted, unmatched-target kept
+    assert got == {1: "old1", 2: "new2", 3: "new3"}
+
+
+def test_merge_upsert_duplicate_source_raises(spark):
+    target = spark.createDataFrame([(1, "x")], ["k", "v"])
+    source = spark.createDataFrame([(1, "a"), (1, "b")], ["k", "v"])
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_upsert(target, source, ["k"])
+
+
+def test_scd1_dimension_initial_and_incremental(spark):
+    spec = DimensionSpec("dim_x", "dim_x_key", "nk", ("attr",))
+    s1 = spark.createDataFrame([("b", "B"), ("a", "A")], ["nk", "attr"])
+    d1 = build_scd1_dimension(s1, None, spec)
+    got1 = {r["nk"]: (r["dim_x_key"], r["attr"]) for r in d1.collect()}
+    assert got1 == {"a": (1, "A"), "b": (2, "B")}
+
+    # incremental: update a's attr, add c; b vanishes from batch but is kept
+    s2 = spark.createDataFrame([("a", "A2"), ("c", "C")], ["nk", "attr"])
+    d2 = build_scd1_dimension(s2, d1, spec)
+    got2 = {r["nk"]: (r["dim_x_key"], r["attr"]) for r in d2.collect()}
+    assert got2 == {"a": (1, "A2"), "b": (2, "B"), "c": (3, "C")}
+
+
+def test_scd1_dimension_keys_dense_unique(spark):
+    spec = DimensionSpec("d", "key", "nk", ())
+    src = spark.createDataFrame([(f"k{i:03d}",) for i in range(57)], ["nk"]).repartition(8)
+    dim = build_scd1_dimension(src, None, spec)
+    keys = sorted(r["key"] for r in dim.collect())
+    assert keys == list(range(1, 58))
+
+
+def test_union_by_name_order_insensitive(spark):
+    a = spark.createDataFrame([(1, "x")], ["k", "v"])
+    b = spark.createDataFrame([("y", 2)], ["v", "k"])
+    out = a.unionByName(b).collect()
+    assert {(r["k"], r["v"]) for r in out} == {(1, "x"), (2, "y")}
