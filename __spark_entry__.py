@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sales_azure_data_engineer_project_spark import queries_analytics  # noqa: F401  (registers)
 from sales_azure_data_engineer_project_spark import queries_core
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"

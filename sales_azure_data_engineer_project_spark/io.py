@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .schemas import TESTDATA_TABLES
 
@@ -70,8 +71,20 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Load one driver-corpus table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    """Load one driver-corpus table (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer — illegal for
+    Spark's reader, so the session reads nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and we rebuild a proper
+    timestamp here at microsecond precision (truncation, matching what
+    DuckDB's CAST(ts_ns AS TIMESTAMP) does).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division — double division would lose precision on
+        # 1.7e18-scale nanosecond epochs (doubles carry 53 bits)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
@@ -79,4 +92,4 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            spark.read.parquet(p).createOrReplaceTempView(t)
+            load_testdata(spark, sf_dir, t).createOrReplaceTempView(t)

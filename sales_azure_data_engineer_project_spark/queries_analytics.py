@@ -1,0 +1,377 @@
+"""Analytic / windowed / event-time queries.
+
+The reference has zero window functions (SURVEY §2.8) — its surrogate-key
+generation is the textbook ``row_number`` use-case done the fragile way
+(hazard H2) — and its only "stream" is rerunnable batch (§2.9).  This
+module supplies the idiomatic Spark coverage for both gaps plus the
+event-table operators a training-data pipeline needs (sessionization,
+latest-per-key dedup, JSON extraction, time-bucket rollups).
+
+Hash-stability rules are the same as ``queries_core`` (decimals for
+sums, BIGINT for integer aggregates, epoch-microsecond BIGINTs instead
+of printed timestamps, unique tie-breakers in every window ORDER BY).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import load_testdata
+from .queries_core import register
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "running_total_by_supplier",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+                PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS running_qty
+    FROM lineitem
+    WHERE l_suppkey <= 5
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+)
+def running_total_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .over(w)
+            .cast("decimal(18,2)")
+            .alias("running_qty"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "topk_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS retailprice, rk
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rk
+        FROM part
+    )
+    WHERE rk <= 3
+    ORDER BY p_brand, rk
+    """,
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_testdata(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.col("p_retailprice").cast("decimal(12,2)").alias("retailprice"),
+            "rk",
+        )
+        .orderBy("p_brand", "rk")
+    )
+
+
+@register(
+    "price_delta_vs_prev_order",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) -
+                LAG(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS DECIMAL(13,2)) AS delta_prev
+    FROM orders
+    WHERE o_custkey <= 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def price_delta_vs_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            price.alias("totalprice"),
+            (price - F.lag(price).over(w)).cast("decimal(13,2)").alias("delta_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery (multiply-compare keeps arithmetic exact in decimal —
+# dividing decimals has engine-specific result scales)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_above_avg_price",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+          > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def orders_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_testdata(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice
+        FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+              > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping-set aggregates (pivot / rollup) — absent from the reference,
+# standard OLAP surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_returnflag_status",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(qty))
+    )
+    return (
+        piv.select(
+            "l_returnflag",
+            F.col("O").cast("decimal(18,2)").alias("qty_o"),
+            F.col("F").cast("decimal(18,2)").alias("qty_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-table operators (events: event_id, ts, user_id, event_type, value,
+# props JSON-string).  Timestamps are compared as epoch microseconds —
+# engine-neutral, no format-string parity games.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_us, event_type
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .orderBy("hour_us", "event_type")
+    )
+
+
+@register(
+    "events_sessionization",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM gaps
+    ), sessions AS (
+        SELECT user_id, event_id, ts_us,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+           CAST(MAX(ts_us) AS BIGINT) AS session_end_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session gap = 30 min.  The batch twin of a streaming
+    ``session_window``; see ``streaming/`` for the stateful variant."""
+    ev = load_testdata(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "event_id", ts_us.alias("ts_us"),
+        F.lag(ts_us).over(w_order).alias("prev_us"),
+    )
+    flagged = gaps.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return (
+        sessions.groupBy(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("session_id").cast("bigint").alias("session_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").cast("bigint").alias("session_start_us"),
+            F.max("ts_us").cast("bigint").alias("session_end_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).cast("bigint").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_latest_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+    FROM (
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+    )
+    WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-per-key dedup — the keep-newest pattern every
+    training-data ingestion pipeline needs (CDC compaction)."""
+    ev = load_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -67,6 +67,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # The corpus events table stores TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long and normalize in io.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
     )
     for k, v in (extra_conf or {}).items():
