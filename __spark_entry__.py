@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sales_azure_data_engineer_project_spark import queries_analytics  # noqa: F401  (registers)
 from sales_azure_data_engineer_project_spark import queries_core
+from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401  (registers)
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

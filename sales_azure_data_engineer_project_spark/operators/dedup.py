@@ -1,0 +1,205 @@
+"""Deduplication operator family for training-data pipelines.
+
+Four tiers, all shuffle-aware and expressed with built-in functions:
+
+- **exact**        hash-groupBy on content digest — one shuffle on the
+                   digest; at 100 TB this is the cheapest possible dedup
+                   (shuffle of 16-byte keys, map-side combine).
+- **n-gram Jaccard**  shingle → explode → self-join on shingle →
+                   integer-exact Jaccard per candidate pair.  The
+                   explode/join is the scalable formulation (never a
+                   cross join): cost is Σ bucket² over shingle buckets.
+- **MinHash + LSH**  md5-based minhash signatures, banded; candidate
+                   pairs only where a band bucket collides.  This is the
+                   100 TB path: signature size is constant per doc and
+                   the band join shuffles only (doc, band-sig) pairs.
+- **SimHash**      16-bit vote fingerprint from md5 nibbles (the
+                   SQL-exact variant; a 64/128-bit production variant
+                   would swap the nibble trick for a Pandas UDF).
+
+All hashes are md5-hex so a DuckDB oracle can reproduce results
+byte-for-byte; minhash "min" is lexicographic over hex strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_RE, fingerprint_md5
+
+__all__ = [
+    "word_shingles",
+    "exact_dedup_groups",
+    "shingle_explode",
+    "jaccard_pairs",
+    "minhash_bands",
+    "lsh_candidate_pairs",
+    "simhash16",
+]
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; empty array when < n tokens.
+
+    (The <n guard matters: Spark's ``sequence(0, -1)`` counts *down*,
+    unlike DuckDB's ``generate_series`` which returns empty.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, TOKEN_RE)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct content, keeper = min id.
+
+    Output: (text_md5, keeper_id, n_copies)."""
+    return (
+        df.select(fingerprint_md5(text_col).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).cast("bigint").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_explode(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct shingles per document."""
+    return df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("sh"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_permille: int = 300,
+) -> DataFrame:
+    """Candidate near-dup pairs with integer-exact Jaccard (×1000).
+
+    jac‰ = 1000·|A∩B| div (|A|+|B|−|A∩B|); pairs below ``min_permille``
+    are dropped.  Output: (id_a, id_b, common, jac_permille).
+    """
+    sh = shingle_explode(df, id_col, text_col, n).alias("l")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    r = sh.select(F.col(id_col).alias("rid"), F.col("sh"))
+    common = (
+        sh.join(r, on="sh")
+        .filter(F.col(id_col) < F.col("rid"))
+        .groupBy(F.col(id_col).alias("id_a"), F.col("rid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jac_permille",
+            F.expr("div(1000 * common, sz_a + sz_b - common)").cast("bigint"),
+        )
+        .filter(F.col("jac_permille") >= min_permille)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.col("common").cast("bigint"),
+            "jac_permille",
+        )
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded MinHash signatures: one row per (id, band_idx, band_sig).
+
+    hash_i(doc) = min over shingles of md5(i || ':' || shingle) —
+    deterministic, engine-portable (lexicographic min over hex).
+    """
+    sh = shingle_explode(df, id_col, text_col, shingle_n)
+    seeded = sh.select(
+        F.col(id_col), F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"), "sh"
+    )
+    hashed = seeded.select(
+        id_col,
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")).cast("binary")).alias("h"),
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [f"h{b * band_size + j}" for j in range(band_size)]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols).cast("binary")).alias("band_sig"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Self-join banded signatures → candidate pairs + shared-band count."""
+    r = bands.select(
+        F.col(id_col).alias("rid"), F.col("band_idx"), F.col("band_sig")
+    )
+    return (
+        bands.join(r, on=["band_idx", "band_sig"])
+        .filter(F.col(id_col) < F.col("rid"))
+        .groupBy(F.col(id_col).alias("id_a"), F.col("rid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.col("shared_bands").cast("bigint"),
+        )
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash: bit i = sign of Σ_tokens vote(md5(token)[i]).
+
+    vote = +1 when hex nibble i of the token digest has its top bit set
+    ('8'..'f'), else −1; token multiplicity weights the vote.  Fully
+    SQL-exact in both engines.  Output: (id, simhash16 string of '0'/'1').
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), TOKEN_RE)).alias("tok")
+    )
+    hashed = toks.select(id_col, F.md5(F.col("tok").cast("binary")).alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", i + 1, 1).isin(*"89abcdef"), F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{i}")
+            for i in range(16)
+        ]
+    )
+    fp = F.concat(
+        *[F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(16)]
+    )
+    return votes.select(F.col(id_col).cast("bigint"), fp.alias("simhash16"))

@@ -1,0 +1,434 @@
+r"""Training-data extension queries: dedup, similarity, text analysis,
+multimodal — each registered with a DuckDB oracle where SQL-expressible.
+
+The dedup queries run over a *planted-duplicate corpus* built in-query
+(documents ∪ near-dups with the last 3 tokens dropped ∪ exact copies)
+so the operators demonstrably find duplicates; both sides build the
+identical corpus.
+
+Engine-parity contracts used throughout:
+- tokenization: regex split on ``\s+`` (Spark split == DuckDB
+  string_split_regex)
+- hashes: md5 hex; minhash min is lexicographic over hex strings
+- ratios: integer ``div`` (never float division)
+- cosine: strict index-order double folds — bit-identical to DuckDB's
+  list_dot_product (verified), so raw-double threshold compares are safe
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_testdata
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as X
+from .queries_core import register
+
+# ---------------------------------------------------------------------------
+# Shared corpora
+# ---------------------------------------------------------------------------
+
+
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted near-dups (doc_id+100000, last 3 tokens cut,
+    every 10th doc) ∪ planted exact dups (doc_id+200000, every 17th)."""
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), X.TOKEN_RE)
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1)))
+        ).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+_CORPUS_SQL = r"""
+    base AS (SELECT doc_id, text FROM documents),
+    tk0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM base),
+    near AS (SELECT doc_id + 100000 AS doc_id,
+                    array_to_string(toks[1:greatest(len(toks)-3, 1)], ' ') AS text
+             FROM tk0 WHERE doc_id % 10 = 0),
+    ex AS (SELECT doc_id + 200000 AS doc_id, text FROM base WHERE doc_id % 17 = 0),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM near
+               UNION ALL SELECT * FROM ex)
+"""
+
+_SHINGLE_SQL = r"""
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks)-2),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                 ELSE []::VARCHAR[] END)) AS sh
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus)
+    )
+"""
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_stats",
+    r"""
+    WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           CAST((1000 * list_sum(list_transform(toks, t -> length(t)))) // len(toks) AS BIGINT) AS avg_tok_len_milli,
+           CAST((1000 * len(list_distinct(toks))) // len(toks) AS BIGINT) AS ttr_permille
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select("doc_id", *X.quality_columns("text")).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents
+    ), agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN tok IN ('the','a','an','of','and','to','is','in','it','for')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, stop_hits,
+           CASE WHEN stop_hits * 20 >= n_tokens THEN 'en-like' ELSE 'other' END AS predicted
+    FROM agg
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-ratio language heuristic (≥5% stopword tokens →
+    'en-like').  A real lang-id model would be a Pandas UDF; the
+    heuristic keeps the operator oracle-checkable."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    agg = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tok").isin(*X.EN_STOPWORDS), 1).otherwise(0))
+        .cast("bigint")
+        .alias("stop_hits"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "stop_hits",
+        F.when(F.col("stop_hits") * 20 >= F.col("n_tokens"), "en-like")
+        .otherwise("other")
+        .alias("predicted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprints",
+    r"""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\s+'))), ' ')) AS bag_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.fingerprint_md5("text").alias("content_md5"),
+        X.fingerprint_sorted_tokens("text").alias("bag_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (over the planted-duplicate corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH {_CORPUS_SQL}
+    SELECT md5(text) AS text_md5,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    ORDER BY text_md5
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dedup_corpus(spark, sf_dir)
+    return D.exact_dedup_groups(corpus, "doc_id", "text").orderBy("text_md5")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(c AS BIGINT) AS common,
+           CAST((1000 * c) // (sa.sz + sb.sz - c) AS BIGINT) AS jac_permille
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE (1000 * c) // (sa.sz + sb.sz - c) >= 300
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dedup_corpus(spark, sf_dir)
+    return D.jaccard_pairs(corpus, "doc_id", "text", min_permille=300).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(concat_ws('|', h4, h5, h6, h7)) AS band_sig FROM sig
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dedup_corpus(spark, sf_dir)
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    return D.lsh_candidate_pairs(bands, "doc_id").orderBy("id_a", "id_b")
+
+
+_SIMHASH_NIBS = "('8','9','a','b','c','d','e','f')"
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_CORPUS_SQL},
+    tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM corpus),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    v AS (
+        SELECT doc_id,
+               {', '.join(f"SUM(CASE WHEN substr(h, {i + 1}, 1) IN {_SIMHASH_NIBS} THEN 1 ELSE -1 END) AS s{i}" for i in range(16))}
+        FROM h GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {" || ".join(f"(CASE WHEN s{i} > 0 THEN '1' ELSE '0' END)" for i in range(16))} AS simhash16
+    FROM v
+    ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dedup_corpus(spark, sf_dir)
+    return D.simhash16(corpus, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+           CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS DECIMAL(10,6)) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45, exact doubles).
+
+    Brute-force tier: the non-equi self-join is O(N²) — correct baseline
+    for correctness checks; the LSH-bucketed tier below is the scale
+    path."""
+    emb = S.with_norm(load_testdata(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("va"), F.col("_norm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb"))
+    cos = S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.45)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.round("cos_raw", 6).cast("decimal(10,6)").alias("cos_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_cosine_topk",
+    """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(ROUND(cos_raw, 6) AS DECIMAL(10,6)) AS cos_sim, rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("neighbor_id").cast("bigint"),
+        F.round("cos_sim", 6).cast("decimal(10,6)").alias("cos_sim"),
+        "rk",
+    ).orderBy("query_id", "rk")
+
+
+@register(
+    "similarity_ann_sign_lsh",
+    """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+               (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bkt
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        FROM n q JOIN n c ON q.bkt = c.bkt AND c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(ROUND(cos_raw, 6) AS DECIMAL(10,6)) AS cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def similarity_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: compare only within 4-bit sign-LSH buckets — the
+    scale path (bucket equi-join instead of an N² nested loop)."""
+    emb = S.with_norm(load_testdata(spark, sf_dir, "embeddings")).withColumn(
+        "bkt", S.sign_bucket("embedding", bits=4)
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"), F.col("bkt").alias("qbkt"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"), "bkt",
+    )
+    scored = (
+        c.join(F.broadcast(q), (F.col("qbkt") == F.col("bkt")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cos_raw", S.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("neighbor_id").cast("bigint"),
+            F.round("cos_raw", 6).cast("decimal(10,6)").alias("cos_sim"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (Pandas-UDF path; decode stubbed deterministically)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 640 AS INTEGER) AS width,
+           CAST((7 * strlen(text)) % 480 AS INTEGER) AS height
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → mapInPandas feature extraction (decode stubbed
+    deterministically; see operators/multimodal.py)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    packed = M.attach_binary_payload(docs)
+    return M.extract_features(packed, fake_decode=True).orderBy("doc_id")

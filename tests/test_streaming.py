@@ -1,0 +1,92 @@
+"""Structured Streaming tests — foreachBatch incremental merge and
+event-time windows driven to completion with availableNow/memory sinks."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sales_azure_data_engineer_project_spark.streaming import (
+    sessionized_stream,
+    stream_incremental_merge,
+    windowed_event_counts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def test_stream_incremental_merge_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_incremental_merge(spark, src, tgt, ["k"], SCHEMA, ckpt)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # second drop: update k=2, insert k=3; old file must NOT be reprocessed
+    spark.createDataFrame([(2, "b2"), (3, "c")], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_incremental_merge(spark, src, tgt, ["k"], SCHEMA, ckpt)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+
+    # re-run with no new files: no-op (checkpoint exactly-once)
+    stream_incremental_merge(spark, src, tgt, ["k"], SCHEMA, ckpt)
+    assert {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()} == got
+
+
+def _event_rows(spark):
+    return spark.createDataFrame(
+        [
+            ("2024-01-01 00:05:00", 1, "click", 1.0),
+            ("2024-01-01 00:20:00", 1, "click", 2.0),
+            ("2024-01-01 01:10:00", 1, "view", 3.0),
+            ("2024-01-01 03:00:00", 2, "click", 4.0),
+        ],
+        "ts_s string, user_id long, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value")
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    _event_rows(spark).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        windowed_event_counts(stream, window="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("winagg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+    assert rows[("2024-01-01 00:00:00", "click")] == 2
+    assert rows[("2024-01-01 01:00:00", "view")] == 1
+    assert rows[("2024-01-01 03:00:00", "click")] == 1
+
+
+def test_sessionized_stream_batch_equivalence(spark):
+    """session_window on a batch frame: 2 sessions for user 1 (65-min gap
+    splits), 1 for user 2."""
+    out = sessionized_stream(_event_rows(spark), gap="30 minutes")
+    got = sorted((r["user_id"], r["n_events"]) for r in out.collect())
+    assert got == [(1, 1), (1, 2), (2, 1)]
