@@ -39,19 +39,31 @@ __all__ = [
 ]
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles; empty array when < n tokens.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *bound tokens column*;
+    empty array when < n tokens.
+
+    Callers must materialize the token array as a real column first:
+    referencing ``split(text)`` inline would re-run the regex split for
+    every ``element_at`` inside the lambda (Spark does no CSE through
+    higher-order functions — measured 4× slowdown).
 
     (The <n guard matters: Spark's ``sequence(0, -1)`` counts *down*,
     unlike DuckDB's ``generate_series`` which returns empty.)
     """
-    c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(c, TOKEN_RE)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
     )
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (convenience
+    wrapper; for hot paths prefer binding tokens first — see
+    ``shingles_from_tokens``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return shingles_from_tokens(F.split(c, TOKEN_RE), n)
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -73,6 +85,22 @@ def shingle_explode(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     return df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("sh"))
 
 
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Per-doc distinct shingle arrays, persisted.
+
+    Every dedup pipeline below reuses the shingle set 2–3× (sizes,
+    left/right side of the self-join); without persisting, Spark
+    re-runs the regex tokenization + n-gram build per use — the
+    dominant cost at any scale.  MEMORY_AND_DISK so big corpora spill
+    instead of OOMing."""
+    from pyspark import StorageLevel
+
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), TOKEN_RE).alias("toks"))
+    return toks.select(
+        F.col(id_col), shingles_from_tokens(F.col("toks"), n).alias("shingles")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -86,8 +114,11 @@ def jaccard_pairs(
     jac‰ = 1000·|A∩B| div (|A|+|B|−|A∩B|); pairs below ``min_permille``
     are dropped.  Output: (id_a, id_b, common, jac_permille).
     """
-    sh = shingle_explode(df, id_col, text_col, n).alias("l")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    shingled = _shingled(df, id_col, text_col, n)
+    sh = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("sz")).filter(
+        F.col("sz") > 0
+    )
     r = sh.select(F.col(id_col).alias("rid"), F.col("sh"))
     common = (
         sh.join(r, on="sh")
@@ -128,7 +159,8 @@ def minhash_bands(
     hash_i(doc) = min over shingles of md5(i || ':' || shingle) —
     deterministic, engine-portable (lexicographic min over hex).
     """
-    sh = shingle_explode(df, id_col, text_col, shingle_n)
+    shingled = _shingled(df, id_col, text_col, shingle_n)
+    sh = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
     seeded = sh.select(
         F.col(id_col), F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"), "sh"
     )
@@ -137,12 +169,17 @@ def minhash_bands(
         "seed",
         F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")).cast("binary")).alias("h"),
     )
+    from pyspark import StorageLevel
+
+    # persisted: each band projection + both sides of the candidate
+    # self-join re-read the signatures — without this the whole
+    # shingle→md5→min pipeline would re-run per consumer
     sig = hashed.groupBy(id_col).agg(
         *[
             F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
             for i in range(n_hashes)
         ]
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):

@@ -32,10 +32,23 @@ from .queries_core import register
 # ---------------------------------------------------------------------------
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a small-file input across all cores before compute-heavy
+    per-row work (shingling, hashing, vector folds).
+
+    A sub-128MB parquet arrives as ONE partition, which serializes the
+    downstream O(N²)/O(N·H) compute on a single thread; at production
+    scale the inputs are multi-GB and partition naturally, so this
+    repartition reproduces the real parallelism locally.  Cost: a tiny
+    shuffle of the small table."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ planted near-dups (doc_id+100000, last 3 tokens cut,
     every 10th doc) ∪ planted exact dups (doc_id+200000, every 17th)."""
-    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fan_out(load_testdata(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split(F.col("text"), X.TOKEN_RE)
     near = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -285,7 +298,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brute-force tier: the non-equi self-join is O(N²) — correct baseline
     for correctness checks; the LSH-bucketed tier below is the scale
     path."""
-    emb = S.with_norm(load_testdata(spark, sf_dir, "embeddings"))
+    emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("va"), F.col("_norm").alias("na"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb"))
     cos = S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
@@ -335,7 +348,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_testdata(spark, sf_dir, "embeddings")
+    emb = _fan_out(load_testdata(spark, sf_dir, "embeddings"))
     out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
     return out.select(
         F.col("query_id").cast("bigint"),
@@ -379,7 +392,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: compare only within 4-bit sign-LSH buckets — the
     scale path (bucket equi-join instead of an N² nested loop)."""
-    emb = S.with_norm(load_testdata(spark, sf_dir, "embeddings")).withColumn(
+    emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings"))).withColumn(
         "bkt", S.sign_bucket("embedding", bits=4)
     )
     q = emb.filter(F.col("vec_id") < 10).select(
