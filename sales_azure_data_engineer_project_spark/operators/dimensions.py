@@ -40,16 +40,27 @@ __all__ = ["DimensionSpec", "build_scd1_dimension"]
 
 @dataclass(frozen=True)
 class DimensionSpec:
-    """One gold dimension (e.g. dim_model: key over Model_ID+model_category)."""
+    """One gold dimension (e.g. dim_model: key over Model_ID+model_category).
+
+    ``natural_key`` may be a single column or a composite (tuple) — the
+    reference only has single-column keys, but the real calendar
+    dimension (hazard H1: Date_ID does not determine Day/Month/Year)
+    needs the (Year, Month, Day) composite.
+    """
 
     name: str                       # e.g. "dim_model"
     key_col: str                    # e.g. "dim_model_key"
-    natural_key: str                # e.g. "Model_ID"
+    natural_key: str | tuple[str, ...]  # e.g. "Model_ID" or ("Year","Month","Day")
     attrs: tuple[str, ...] = field(default_factory=tuple)  # e.g. ("model_category",)
 
     @property
+    def nk_cols(self) -> list[str]:
+        nk = self.natural_key
+        return list(nk) if isinstance(nk, tuple) else [nk]
+
+    @property
     def natural_cols(self) -> list[str]:
-        return [self.natural_key, *self.attrs]
+        return [*self.nk_cols, *self.attrs]
 
 
 def build_scd1_dimension(
@@ -63,30 +74,31 @@ def build_scd1_dimension(
     reference behavior per hazard H3); new natural keys get dense keys
     starting at max(existing)+1.
     """
+    nk = spec.nk_cols
     src = silver.select(*spec.natural_cols).distinct()  # P1
 
     if sink is None or not sink.take(1):  # S9 tableExists branch
-        keyed = dense_surrogate_key(src, spec.key_col, [spec.natural_key], offset=0)
+        keyed = dense_surrogate_key(src, spec.key_col, nk, offset=0)
         return keyed.select(spec.key_col, *spec.natural_cols)
 
-    sink_keys = sink.select(spec.key_col, spec.natural_key)
+    sink_keys = sink.select(spec.key_col, *nk)
 
     # Existing natural keys: surrogate from sink, attributes from src
     # (== reference's isNotNull branch :92 + whenMatchedUpdateAll :167).
-    existing = src.join(sink_keys, on=spec.natural_key, how="inner").select(
+    existing = src.join(sink_keys, on=nk, how="inner").select(
         spec.key_col, *spec.natural_cols
     )
 
     # New natural keys (== isNull branch :102): dense keys from max+1.
-    new = src.join(sink_keys, on=spec.natural_key, how="left_anti")
+    new = src.join(sink_keys, on=nk, how="left_anti")
     offset = next_key_offset(sink, spec.key_col)
-    new_keyed = dense_surrogate_key(new, spec.key_col, [spec.natural_key], offset).select(
+    new_keyed = dense_surrogate_key(new, spec.key_col, nk, offset).select(
         spec.key_col, *spec.natural_cols
     )
 
     # Keep sink rows whose natural key vanished from this batch's source:
     # MERGE never deletes (no whenNotMatchedBySource in the reference).
-    vanished = sink.join(src.select(spec.natural_key), on=spec.natural_key, how="left_anti")
+    vanished = sink.join(src.select(*nk), on=nk, how="left_anti")
     vanished = vanished.select(spec.key_col, *spec.natural_cols)
 
     return existing.unionByName(new_keyed).unionByName(vanished)  # U1, H7

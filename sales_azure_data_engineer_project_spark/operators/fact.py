@@ -44,8 +44,8 @@ def build_fact(
     out = silver
     key_cols: list[str] = []
     for _, (dim_df, spec) in dims.items():
-        lookup = dim_df.select(spec.natural_key, spec.key_col)
-        out = out.join(F.broadcast(lookup), on=spec.natural_key, how="left")
+        lookup = dim_df.select(*spec.nk_cols, spec.key_col)
+        out = out.join(F.broadcast(lookup), on=spec.nk_cols, how="left")
         key_cols.append(spec.key_col)
     # Case-insensitive measure resolution (hazard H5: the reference selects
     # Rev_Per_Unit against silver's Rev_Per_unit at 4_fact:50).

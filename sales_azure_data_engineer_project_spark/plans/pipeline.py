@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import PathCatalog
 from ..functions.scalar import safe_div, split_part
 from ..io import read_csv, read_parquet, write_parquet
 from ..operators.dimensions import DimensionSpec, build_scd1_dimension
@@ -34,12 +35,24 @@ DIM_SPECS: dict[str, DimensionSpec] = {
     "dim_model": DimensionSpec("dim_model", "dim_model_key", "Model_ID", ("model_category",)),
     "dim_branch": DimensionSpec("dim_branch", "dim_branch_key", "Branch_ID", ("BranchName",)),
     "dim_dealer": DimensionSpec("dim_dealer", "dim_dealer_key", "Dealer_ID", ("DealerName",)),
-    # Reference dim_date keeps only Date_ID (hazard H1); we additionally
-    # carry Day/Month/Year so gold can answer calendar questions.
+    # Reference parity: dim_date keeps only Date_ID (`3(4)_Gold_dim_date.py:44-46`).
     "dim_date": DimensionSpec("dim_date", "dim_date_key", "Date_ID", ()),
+    # Hazard H1 fix: Date_ID does NOT determine (Day,Month,Year) in the
+    # reference data, so gold cannot answer calendar questions through
+    # dim_date.  A real calendar dimension keyed on the (Year,Month,Day)
+    # composite closes that gap (SURVEY §7 Phase 3).
+    "dim_calendar": DimensionSpec(
+        "dim_calendar", "dim_calendar_key", ("Year", "Month", "Day"), ("date_iso",)
+    ),
 }
 
-FACT_GRAIN = ["dim_model_key", "dim_branch_key", "dim_dealer_key", "dim_date_key"]
+FACT_GRAIN = [
+    "dim_model_key",
+    "dim_branch_key",
+    "dim_dealer_key",
+    "dim_date_key",
+    "dim_calendar_key",
+]
 
 
 def transform_silver(df: DataFrame) -> DataFrame:
@@ -52,8 +65,18 @@ def transform_silver(df: DataFrame) -> DataFrame:
     (`2_Silver_Notebook.py:45`) is deliberately NOT applied — it never
     reaches the persisted silver table (SURVEY §1.3).
     """
-    return df.withColumn("model_category", split_part("Model_ID", "-", 0)).withColumn(
-        "Rev_Per_unit", safe_div("Revenue", "Units_Sold")
+    return (
+        df.withColumn("model_category", split_part("Model_ID", "-", 0))
+        .withColumn("Rev_Per_unit", safe_div("Revenue", "Units_Sold"))
+        # engine enrichment (not in the reference): a true calendar date
+        # assembled from the pre-split Day/Month/Year ints, feeding
+        # dim_calendar (hazard H1); try_to_date → NULL on invalid dates
+        .withColumn(
+            "date_iso",
+            F.expr(
+                "try_to_date(concat_ws('-', Year, Month, Day), 'y-M-d')"
+            ).cast("string"),
+        )
     )
 
 
@@ -67,6 +90,8 @@ class SalesPipeline:
         self.bronze = os.path.join(root, "bronze")
         self.silver = os.path.join(root, "silver", "carsales")
         self.gold = os.path.join(root, "gold")
+        self.catalog = PathCatalog(spark, root)
+        self.catalog.create_schema("gold")  # S8 (`1_db_Notebook.py:24,29`)
 
     # -- zone paths -------------------------------------------------------
     def gold_path(self, table: str) -> str:
@@ -117,6 +142,8 @@ class SalesPipeline:
         silver = self.build_silver()
         dims = self.build_dimensions(silver)
         fact = self.build_fact(silver, dims)
+        for t in [*dims, "factsales"]:  # S3: SQL-addressable gold
+            self.catalog.register("gold", t)
         return {**dims, "factsales": fact, "silver": silver}
 
     # -- reference's one analytics query ---------------------------------
