@@ -27,6 +27,7 @@ __all__ = [
     "read_parquet",
     "read_csv",
     "write_parquet",
+    "write_bucketed_table",
     "load_testdata",
     "register_testdata_views",
 ]
@@ -68,6 +69,33 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5: parquet sink (`2_Silver_Notebook.py:72-75`)."""
     df.write.mode(mode).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame, name: str, keys: list[str], buckets: int = 32
+) -> None:
+    """Bucketed managed table: co-locates future joins/aggregations on
+    ``keys`` without a shuffle (SortMergeJoin with both sides bucketed
+    reads straight from disk layout).
+
+    The 100 TB pattern for repeatedly-joined facts: pay one layout
+    shuffle at write, skip the exchange on every read."""
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # the in-memory catalog forgets tables across sessions but their
+    # warehouse directories persist; clear any orphaned location
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if warehouse:
+        shutil.rmtree(os.path.join(warehouse, name.lower()), ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .format("parquet")
+        .saveAsTable(name)
+    )
 
 
 def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

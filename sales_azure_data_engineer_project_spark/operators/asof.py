@@ -1,0 +1,89 @@
+"""As-of (temporal) join — an operator Spark lacks natively.
+
+``asof_join(left, right)`` attaches, to every left row, the most recent
+right row with the same key and ``right.ts <= left.ts`` (backward
+as-of; strict inequality optional).
+
+Implementation is the scalable union-window composition, not a range
+self-join and not a per-group pandas merge_asof:
+
+    tag both sides → union → per-key window ordered by (ts, side) →
+    last non-null right-payload ``last_value IGNORE NULLS`` → keep left rows
+
+Cost: ONE shuffle on the key (the window partition), state = one row
+(the running payload struct).  A range join would be O(n·m) per key;
+``applyInPandas``+``merge_asof`` would serialize each key group through
+Python.  This stays in whole-stage codegen end-to-end, works at any key
+cardinality, and spills via the window sort — the 100 TB formulation.
+
+Tie rule: a right row at exactly left.ts matches (``<=``); among equal
+right timestamps the one latest in ``right_order`` wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    strict: bool = False,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join; payload columns arrive NULL when no right row
+    precedes the left row.
+
+    ``strict=True`` uses ``right.ts < left.ts`` (excludes simultaneous
+    rows) — implemented by ordering left rows *before* right rows at
+    equal timestamps.  ``right_tiebreak`` (a right-side column) makes
+    the winner among equal-ts right rows deterministic — pass it
+    whenever right timestamps can collide within a key.
+    """
+    lcols = left.columns
+    # side ordering at equal ts encodes the tie rule: right first (0) for
+    # <= semantics, left first for strict <
+    right_side = F.lit(0 if not strict else 1)
+    left_side = F.lit(1 if not strict else 0)
+
+    tie = (
+        F.col(right_tiebreak)
+        if right_tiebreak is not None
+        else F.lit(0)
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        right_side.alias("__side"),
+        tie.cast("long").alias("__tie"),
+        F.struct(*payload).alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l = left.select(  # noqa: E741
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        left_side.alias("__side"),
+        F.lit(0).cast("long").alias("__tie"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *lcols,
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("__side") == left_side).select(
+        *lcols, *[F.col(f"__match.{p}").alias(p) for p in payload]
+    )
+    return out

@@ -375,3 +375,161 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — custom temporal operator (see operators/asof.py for the
+# union-window formulation and its scale rationale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_last_purchase",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(value AS DECIMAL(12,2)) AS value
+        FROM events
+    ),
+    tagged AS (
+        SELECT user_id AS k, ts_us AS wts, 0 AS side, event_id AS tie,
+               ts_us AS p_ts, value AS p_value,
+               NULL::BIGINT AS event_id, NULL::BIGINT AS l_ts
+        FROM ev WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id AS k, ts_us AS wts, 1 AS side, 0 AS tie,
+               NULL::BIGINT AS p_ts, NULL::DECIMAL(12,2) AS p_value,
+               event_id, ts_us AS l_ts
+        FROM ev WHERE event_type = 'click'
+    ),
+    matched AS (
+        SELECT *,
+               last_value(p_ts IGNORE NULLS) OVER w AS last_purchase_ts_us,
+               last_value(p_value IGNORE NULLS) OVER w AS last_purchase_value
+        FROM tagged
+        WINDOW w AS (PARTITION BY k ORDER BY wts, side, tie
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, CAST(k AS BIGINT) AS user_id, l_ts AS ts_us,
+           last_purchase_ts_us, last_purchase_value
+    FROM matched WHERE side = 1
+    ORDER BY event_id
+    """,
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's most recent purchase at-or-before it
+    (backward as-of join, composed scalably — one shuffle, no range join)."""
+    from .operators.asof import asof_join
+
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases.select(
+            "user_id",
+            F.col("p_ts").alias("ts_us"),
+            "event_id",
+            F.col("p_ts").alias("last_purchase_ts_us"),
+            F.col("p_value").alias("last_purchase_value"),
+        ),
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload=["last_purchase_ts_us", "last_purchase_value"],
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts_us",
+        "last_purchase_ts_us",
+        "last_purchase_value",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Range-frame rolling aggregate (time-interval window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_1h_value",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(value AS DECIMAL(12,2)) AS value
+        FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           CAST(SUM(value) OVER (
+                PARTITION BY user_id ORDER BY ts_us
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS rolling_1h_value
+    FROM ev
+    ORDER BY event_id
+    """,
+)
+def events_rolling_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.sum("value").over(w).cast("decimal(18,2)").alias("rolling_1h_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (distinct semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segments_intersect_except",
+    """
+    WITH b AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         m AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    SELECT c_nationkey, 'both' AS tag FROM (SELECT * FROM b INTERSECT SELECT * FROM m)
+    UNION ALL
+    SELECT c_nationkey, 'building_only' AS tag FROM (SELECT * FROM b EXCEPT SELECT * FROM m)
+    ORDER BY tag, c_nationkey
+    """,
+)
+def segments_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_testdata(spark, sf_dir, "customer")
+
+    def seg(s: str) -> DataFrame:
+        return customer.filter(F.col("c_mktsegment") == s).select("c_nationkey").distinct()
+
+    b, m = seg("BUILDING"), seg("MACHINERY")
+    both = b.intersect(m).withColumn("tag", F.lit("both"))
+    only = b.exceptAll(m).withColumn("tag", F.lit("building_only"))
+    return both.unionByName(only).orderBy("tag", "c_nationkey")

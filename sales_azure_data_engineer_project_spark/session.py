@@ -72,6 +72,11 @@ def get_spark(
         # vectorized reader rejects; read as long and normalize in io.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
+        # bucketed-table warehouse outside the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
