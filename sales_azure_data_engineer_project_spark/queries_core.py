@@ -385,3 +385,125 @@ def dim_dense_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_brand_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery shapes + HAVING + exact percentiles (none appear in the
+# reference — §2 notes their absence — but a complete engine needs them)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "having_filter",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    HAVING COUNT(*) > 200
+    ORDER BY c_mktsegment
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_testdata(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_bal"),
+        )
+        .filter(F.col("n_customers") > 200)
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "richest_customer_per_nation",
+    """
+    SELECT c_nationkey, c_custkey, c_name,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+    FROM customer c
+    WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def richest_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape).  Equality compares a
+    stored double against MAX of stored doubles — no arithmetic, so the
+    engines agree exactly."""
+    load_testdata(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey, c_custkey, c_name,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+        FROM customer c
+        WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_nationkey, c_custkey
+        """
+    )
+
+
+@register(
+    "orders_of_overdrawn_customers",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def orders_of_overdrawn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    customer = load_testdata(spark, sf_dir, "customer")
+    overdrawn = customer.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        orders.join(
+            overdrawn, orders.o_custkey == overdrawn.c_custkey, "left_semi"
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "price_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolating) percentiles — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the (n−1)p linear-interpolation
+    definition; verified bitwise-identical on this corpus."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
