@@ -77,8 +77,15 @@ def build_scd1_dimension(
     nk = spec.nk_cols
     src = silver.select(*spec.natural_cols).distinct()  # P1
 
+    # Key-assignment order includes the attributes, not just the natural
+    # key: when source data violates the nk→attrs FD (the reference data
+    # does — e.g. empty vs. filled DealerName for one Dealer_ID), two
+    # distinct rows share the natural key and ordering by nk alone would
+    # assign their surrogates nondeterministically.
+    order_cols = spec.natural_cols
+
     if sink is None or not sink.take(1):  # S9 tableExists branch
-        keyed = dense_surrogate_key(src, spec.key_col, nk, offset=0)
+        keyed = dense_surrogate_key(src, spec.key_col, order_cols, offset=0)
         return keyed.select(spec.key_col, *spec.natural_cols)
 
     sink_keys = sink.select(spec.key_col, *nk)
@@ -92,7 +99,7 @@ def build_scd1_dimension(
     # New natural keys (== isNull branch :102): dense keys from max+1.
     new = src.join(sink_keys, on=nk, how="left_anti")
     offset = next_key_offset(sink, spec.key_col)
-    new_keyed = dense_surrogate_key(new, spec.key_col, nk, offset).select(
+    new_keyed = dense_surrogate_key(new, spec.key_col, order_cols, offset).select(
         spec.key_col, *spec.natural_cols
     )
 
