@@ -507,3 +507,153 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function breadth: string / date / conditional / sorted array_agg
+# (the reference's scalar surface is tiny — §2.7 — these cover the rest
+# of a standard engine's expression library, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           lower(p_type) AS type_low,
+           substr(p_name, 1, 8) AS name8,
+           replace(p_type, ' ', '_') AS type_snake,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           trim(concat('  ', p_brand, '  ')) AS brand_trim,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS first_word
+    FROM part
+    WHERE p_partkey < 60
+    ORDER BY p_partkey
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_testdata(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") < 60)
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_up"),
+            F.lower("p_type").alias("type_low"),
+            F.substring("p_name", 1, 8).alias("name8"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+            F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("brand_trim"),
+            F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS iso,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+    FROM orders
+    WHERE o_orderkey < 40
+    ORDER BY o_orderkey
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_testdata(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        orders.filter(F.col("o_orderkey") < 40)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek:
+            # 0=Sunday..6 — shift to agree
+            (F.dayofweek("o_orderdate")).alias("dow_spark"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso"),
+            F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since_95"),
+        )
+        .withColumn("dow", (F.col("dow_spark") - 1).cast("int"))
+        .drop("dow_spark")
+        .select("o_orderkey", "y", "m", "d", "dow", "iso", "plus30", "days_since_95")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "conditional_functions",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULTED') AS seg_or_default,
+           CAST(greatest(CAST(c_acctbal AS DECIMAL(12,2)), 0.00) AS DECIMAL(12,2)) AS bal_floor,
+           CASE WHEN c_nationkey % 2 = 0 THEN TRUE ELSE FALSE END AS even_nation
+    FROM customer
+    WHERE c_custkey < 200
+    ORDER BY c_custkey
+    """,
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_testdata(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return (
+        customer.filter(F.col("c_custkey") < 200)
+        .select(
+            "c_custkey",
+            F.when(bal < 0, "overdrawn")
+            .when(bal < 5000, "standard")
+            .otherwise("premium")
+            .alias("tier"),
+            F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("DEFAULTED")).alias(
+                "seg_or_default"
+            ),
+            F.greatest(bal.cast("decimal(12,2)"), F.lit(0).cast("decimal(12,2)"))
+            .cast("decimal(12,2)")
+            .alias("bal_floor"),
+            (F.col("c_nationkey") % 2 == 0).alias("even_nation"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "orders_per_customer_array",
+    """
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           list_sort(list(c_mktsegment)) AS segments
+    FROM customer
+    WHERE c_custkey < 40
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def orders_per_customer_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_list is unordered in a
+    distributed engine, so sort_array makes it comparable (DuckDB
+    list() preserves arrival order — also made deterministic by the
+    sort)."""
+    customer = load_testdata(spark, sf_dir, "customer")
+    return (
+        customer.filter(F.col("c_custkey") < 40)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sort_array(F.collect_list("c_mktsegment")).alias("segments"),
+        )
+        .orderBy("c_nationkey")
+    )

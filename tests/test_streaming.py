@@ -90,3 +90,44 @@ def test_sessionized_stream_batch_equivalence(spark):
     out = sessionized_stream(_event_rows(spark), gap="30 minutes")
     got = sorted((r["user_id"], r["n_events"]) for r in out.collect())
     assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: ids seen in batch 1 are dropped when they
+    reappear in batch 2; state survives via the checkpoint."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sales_azure_data_engineer_project_spark.streaming.stateful import stateful_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "event_id long, user_id long, v string"
+
+    def run_drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (2, 10, "b-dup-in-batch"), (3, 20, "c")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_drain()
+    got1 = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2, 3}
+
+    spark.createDataFrame(
+        [(2, 10, "b-replay"), (4, 10, "d"), (3, 20, "c-replay"), (5, 20, "e")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_drain()
+    rows = spark.read.parquet(out).collect()
+    assert {r["event_id"] for r in rows} == {1, 2, 3, 4, 5}
+    assert len(rows) == 5  # replays dropped, nothing duplicated
