@@ -657,3 +657,49 @@ def orders_per_customer_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# S2: SQL-over-path scan — querying parquet by URI with no registered
+# table, the reference's dominant access pattern
+# (``select * from parquet.`abfss://…``` at `2_Silver:87`, `3_model:30`).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_over_path_scan",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def sql_over_path_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        f"SELECT n_nationkey, n_name, n_regionkey "
+        f"FROM parquet.`{sf_dir}/nation.parquet` ORDER BY n_nationkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7: constant-false predicate — the reference's schema-only select for
+# an empty, correctly-typed sink frame on initial load
+# (``select 1 as dim_model_key, … where 1=0`` at `3_model:64-68`);
+# Catalyst folds it to LocalRelation <empty>.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "empty_schema_select",
+    """
+    SELECT CAST(1 AS BIGINT) AS dim_key, n_name AS natural_key
+    FROM nation
+    WHERE 1 = 0
+    """,
+)
+def empty_schema_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_testdata(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS dim_key, n_name AS natural_key "
+        "FROM nation WHERE 1 = 0"
+    )

@@ -442,6 +442,6 @@ def similarity_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → mapInPandas feature extraction (decode stubbed
     deterministically; see operators/multimodal.py)."""
-    docs = load_testdata(spark, sf_dir, "documents")
+    docs = _fan_out(load_testdata(spark, sf_dir, "documents"))
     packed = M.attach_binary_payload(docs)
     return M.extract_features(packed, fake_decode=True).orderBy("doc_id")
