@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) — SURVEY §5 strategy item 4.
+
+Few examples, deadline off: each example spins Spark jobs, so we trade
+example count for structural diversity of the generated relations.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sales_azure_data_engineer_project_spark.functions import dense_surrogate_key
+from sales_azure_data_engineer_project_spark.operators.dimensions import (
+    DimensionSpec,
+    build_scd1_dimension,
+)
+from sales_azure_data_engineer_project_spark.operators.upsert import merge_upsert
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=12, unique=True
+)
+
+
+@SLOW
+@given(nks=keys)
+def test_dense_keys_always_dense_and_unique(spark, nks):
+    df = spark.createDataFrame([(k,) for k in nks], ["nk"]).repartition(4)
+    out = dense_surrogate_key(df, "key", ["nk"], offset=3)
+    got = sorted(r["key"] for r in out.collect())
+    assert got == list(range(4, 4 + len(nks)))
+
+
+@SLOW
+@given(
+    target=st.dictionaries(st.integers(0, 20), st.text(max_size=3), max_size=10),
+    source=st.dictionaries(st.integers(0, 20), st.text(max_size=3), max_size=10),
+)
+def test_merge_upsert_is_dict_update(spark, target, source):
+    """merge_upsert ≡ Python dict.update on the key→value map."""
+    tdf = spark.createDataFrame(list(target.items()) or [(None, None)], "k int, v string")
+    sdf = spark.createDataFrame(list(source.items()) or [(None, None)], "k int, v string")
+    tdf = tdf.filter("k IS NOT NULL")
+    sdf = sdf.filter("k IS NOT NULL")
+    out = {r["k"]: r["v"] for r in merge_upsert(tdf, sdf, ["k"]).collect()}
+    expected = {**target, **source}
+    assert out == expected
+
+
+@SLOW
+@given(
+    batch1=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8, unique=True),
+    batch2=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8, unique=True),
+)
+def test_scd1_two_batches_keys_stable_and_dense(spark, batch1, batch2):
+    """After any two batches: keys dense 1..n over the union of natural
+    keys, and batch-1 keys never change."""
+    spec = DimensionSpec("d", "key", "nk", ())
+    s1 = spark.createDataFrame([(k,) for k in batch1], ["nk"])
+    d1 = build_scd1_dimension(s1, None, spec)
+    k1 = {r["nk"]: r["key"] for r in d1.collect()}
+    s2 = spark.createDataFrame([(k,) for k in batch2], ["nk"])
+    d2 = build_scd1_dimension(s2, d1, spec)
+    k2 = {r["nk"]: r["key"] for r in d2.collect()}
+
+    assert set(k2) == set(batch1) | set(batch2)
+    assert sorted(k2.values()) == list(range(1, len(k2) + 1))
+    for nk, key in k1.items():
+        assert k2[nk] == key
