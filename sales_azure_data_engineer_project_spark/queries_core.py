@@ -703,3 +703,93 @@ def empty_schema_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT CAST(1 AS BIGINT) AS dim_key, n_name AS natural_key "
         "FROM nation WHERE 1 = 0"
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes (Q3 shipping-priority, Q5 local-supplier volume)
+# on the corpus subset of columns — familiar benchmarks for plan review
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+           strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-01'
+      AND l.l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY l.l_orderkey, strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d'), o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_testdata(spark, sf_dir, "customer")
+    orders = load_testdata(spark, sf_dir, "orders")
+    li = load_testdata(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") > "1997-06-01")
+        .join(
+            orders.filter(F.col("o_orderdate") < "1997-06-01"),
+            li.l_orderkey == orders.o_orderkey,
+            "inner",
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "inner",
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q5_supplier_volume_by_region",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region, revenue DESC, nation
+    """,
+)
+def q5_supplier_volume_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir, "lineitem")
+    supplier = load_testdata(spark, sf_dir, "supplier")
+    nation = load_testdata(spark, sf_dir, "nation")
+    region = load_testdata(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    dim = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("s_suppkey", F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey, "inner")
+        .groupBy("region", "nation")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"))
+        .orderBy("region", F.col("revenue").desc(), "nation")
+    )

@@ -445,3 +445,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _fan_out(load_testdata(spark, sf_dir, "documents"))
     packed = M.attach_binary_payload(docs)
     return M.extract_features(packed, fake_decode=True).orderBy("doc_id")
+
+
+@register(
+    "dedup_embedding_lsh",
+    """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+               (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bkt
+        FROM embeddings
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+           CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS DECIMAL(10,6)) AS cos_sim
+    FROM n a JOIN n b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding near-dup: candidate pairs restricted to the
+    same sign-LSH bucket (equi-join on the bucket key instead of the
+    brute N² nested loop; recall < 1 by design — similar vectors agree
+    on leading-coordinate signs with high probability)."""
+    emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings"))).withColumn(
+        "bkt", S.sign_bucket("embedding", bits=4)
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_norm").alias("na"), F.col("bkt").alias("ba"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_norm").alias("nb"), F.col("bkt").alias("bb"),
+    )
+    cos = S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.round("cos_raw", 6).cast("decimal(10,6)").alias("cos_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )

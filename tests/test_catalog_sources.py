@@ -70,3 +70,24 @@ def test_binary_file_source(spark, tmp_path):
     out = sources.read_text_as_binary(spark, str(p)).first()
     assert bytes(out["content"]) == b"\x00\x01payload"
     assert out["length"] == 9
+
+
+def test_csv_permissive_with_malformed_rows(spark, tmp_path):
+    """PERMISSIVE mode: malformed rows land as NULL-padded rows instead of
+    failing the load (the reference implicitly relied on ADF cleaning;
+    our ingest must survive dirt on its own)."""
+    from sales_azure_data_engineer_project_spark.io import read_csv
+    from sales_azure_data_engineer_project_spark.schemas import RAW_SALES_SCHEMA
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "Branch_ID,Dealer_ID,Model_ID,Revenue,Units_Sold,Date_ID,Day,Month,Year,"
+        "BranchName,DealerName,Product_Name\n"
+        "BR1,DLR1,BMW-M1,100,1,DT1,1,1,2017,B,D,P\n"
+        "BR2,DLR2,KIA-M2,notanumber,2,DT2,2,2,2018,B2,D2,P2\n"  # bad Revenue
+    )
+    df = read_csv(spark, str(p), schema=RAW_SALES_SCHEMA)
+    rows = {r["Branch_ID"]: r for r in df.collect()}
+    assert rows["BR1"]["Revenue"] == 100
+    assert rows["BR2"]["Revenue"] is None  # malformed cell → NULL, row kept
+    assert rows["BR2"]["Units_Sold"] == 2
