@@ -444,7 +444,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically; see operators/multimodal.py)."""
     docs = _fan_out(load_testdata(spark, sf_dir, "documents"))
     packed = M.attach_binary_payload(docs)
-    return M.extract_features(packed, fake_decode=True).orderBy("doc_id")
+    # no final orderBy: a global sort above mapInPandas re-executes the
+    # Python stage for range-partition sampling (~9× this query's cost),
+    # and result comparison is order-insensitive
+    return M.extract_features(packed, fake_decode=True)
 
 
 @register(
