@@ -29,6 +29,11 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query times measure the
     # queries, not session startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # ...and the Python-worker/Arrow pool (first mapInPandas in a session
+    # pays ~5s of worker bootstrap that isn't a property of any query)
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
