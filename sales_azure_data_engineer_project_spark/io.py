@@ -107,12 +107,32 @@ def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     timestamp here at microsecond precision (truncation, matching what
     DuckDB's CAST(ts_ns AS TIMESTAMP) does).
     """
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — double division would lose precision on
         # 1.7e18-scale nanosecond epochs (doubles carry 53 bits)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make corpus queries correct on ANY caller-provided session.
+
+    The driver contract hands our queries an externally-built
+    SparkSession, so the two session settings correctness depends on are
+    (re)applied at runtime — both are dynamic SQL confs:
+
+    - UTC session timezone: year()/date_trunc() etc. render instants in
+      the session zone; the DuckDB oracle is zone-naive (UTC).
+    - nanosAsLong: the events table stores TIMESTAMP(NANOS), which the
+      reader otherwise rejects outright.
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — a locked-down conf is non-fatal
+        pass
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
