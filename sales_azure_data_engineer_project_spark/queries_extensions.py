@@ -497,3 +497,124 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline staples: chunking, deterministic sampling,
+# vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chunking",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               array_to_string(toks[(i*24 + 1):least((i*24 + 32), len(toks))], ' ') AS chunk_text
+        FROM t, unnest(generate_series(0, CAST(greatest(ceil((len(toks) - 8) / 24.0), 1) AS BIGINT) - 1)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx, chunk_text,
+           CAST(len(string_split_regex(chunk_text, '\s+')) AS BIGINT) AS chunk_tokens
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (window 32, stride 24 →
+    8-token overlap) — the standard pre-tokenization step for LLM
+    training corpora.  Pure narrow ops: split → sequence → transform →
+    explode; no shuffle until the presentation sort."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), X.TOKEN_RE).alias("toks"))
+    n_chunks = F.greatest(
+        F.ceil((F.size("toks") - F.lit(8)) / F.lit(24.0)), F.lit(1)
+    ).cast("long")
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("toks"),
+                F.col("i") * 24 + 1,
+                F.least(
+                    F.lit(32),
+                    F.size("toks") - F.col("i") * 24,
+                ),
+            ),
+        ).alias("chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        F.size(F.split(F.col("chunk_text"), X.TOKEN_RE)).cast("bigint").alias("chunk_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "sample_stratified_deterministic",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via content-hash thresholding
+    (md5 prefix < '1a' ≈ 26/256) — reproducible across engines and
+    runs, unlike rand()-based sampling; the pattern training pipelines
+    use for held-out splits."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2) < "1a"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    r"""
+    WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+    counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok)
+    SELECT tok, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INTEGER) AS rk
+    FROM counts
+    ORDER BY rk
+    LIMIT 30
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k — explode → count (map-side combined) →
+    tiny top-k; the frequency table driving BPE-style tokenizer builds."""
+    from pyspark.sql import Window
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 30)
+        .orderBy("rk")
+    )
