@@ -793,3 +793,168 @@ def q5_supplier_volume_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"))
         .orderBy("region", F.col("revenue").desc(), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-type completeness: FULL OUTER and CROSS (absent from the
+# reference — §2.3 — but part of any complete engine surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_nation_presence",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+               FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_testdata(spark, sf_dir, "customer")
+    supplier = load_testdata(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        c.join(s, c.nk == s.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk", "nk_s").alias("nationkey"),
+            "n_cust",
+            "n_supp",
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "cross_join_region_priority",
+    """
+    SELECT r.r_name, p.prio,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders) p
+    LEFT JOIN (
+        SELECT o.o_orderkey, o.o_orderpriority, n.n_regionkey
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) o ON o.n_regionkey = r.r_regionkey AND o.o_orderpriority = p.prio
+    GROUP BY r.r_name, p.prio
+    ORDER BY r_name, prio
+    """,
+)
+def cross_join_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (region × priority) grid via CROSS JOIN, zero-filled with a
+    left join — the dense-dimension-grid reporting pattern."""
+    region = load_testdata(spark, sf_dir, "region")
+    orders = load_testdata(spark, sf_dir, "orders")
+    customer = load_testdata(spark, sf_dir, "customer")
+    nation = load_testdata(spark, sf_dir, "nation")
+    prios = orders.select(F.col("o_orderpriority").alias("prio")).distinct()
+    grid = region.crossJoin(prios)
+    facts = (
+        orders.join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_orderkey", "o_orderpriority", "n_regionkey")
+    )
+    return (
+        grid.join(
+            facts,
+            (facts.n_regionkey == grid.r_regionkey)
+            & (facts.o_orderpriority == grid.prio),
+            "left",
+        )
+        .groupBy("r_name", "prio")
+        .agg(F.count("o_orderkey").alias("n"))
+        .orderBy("r_name", "prio")
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_testdata(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@register(
+    "posexplode_tokens",
+    r"""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          FROM documents WHERE doc_id < 5) t,
+         unnest(generate_series(1, len(toks))) AS u(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral view) — token positions survive the
+    flatten, which chunkers and aligners need."""
+    docs = load_testdata(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "tok"),
+        )
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "map_functions",
+    """
+    SELECT event_type,
+           CAST(map_extract(map {'click': 1, 'view': 2, 'purchase': 3, 'signup': 4, 'error': 5},
+                event_type)[1] AS INTEGER) AS type_code,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed literal lookup (MapType surface; the corpus has no map
+    columns, so the map is constructed)."""
+    ev = load_testdata(spark, sf_dir, "events")
+    code_map = F.create_map(
+        F.lit("click"), F.lit(1), F.lit("view"), F.lit(2), F.lit("purchase"),
+        F.lit(3), F.lit("signup"), F.lit(4), F.lit("error"), F.lit(5),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.element_at(code_map, F.col("event_type")).cast("int").alias("type_code"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
