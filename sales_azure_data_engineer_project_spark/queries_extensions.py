@@ -618,3 +618,52 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 30)
         .orderBy("rk")
     )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE (1000 * c) // (sa.sz + sb.sz - c) >= 300
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(least(c.doc_id, coalesce(MIN(r.v), c.doc_id)) AS BIGINT) AS component
+    FROM corpus c LEFT JOIN reach r ON r.u = c.doc_id
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: Jaccard pairs (≥0.3) → connected components →
+    every corpus doc labeled with its duplicate-group id (min member).
+    The keep-one-per-cluster step of a production dedup pipeline; see
+    operators/graph.py for the iterative formulation.  Oracle: DuckDB
+    recursive CTE computing the same transitive closure."""
+    from .operators.graph import connected_components
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = D.jaccard_pairs(corpus, "doc_id", "text", min_permille=300)
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    labels = connected_components(
+        nodes, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return labels.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    ).orderBy("doc_id")

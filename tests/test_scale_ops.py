@@ -88,3 +88,17 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() == 1_000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_connected_components(spark):
+    from sales_azure_data_engineer_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    # components: {1,2,3,4} (chain), {5,6}, {7} isolated
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], ["src", "dst"]
+    )
+    got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
