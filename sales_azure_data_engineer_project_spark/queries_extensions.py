@@ -667,3 +667,113 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("component"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF tier (Arrow-batched Python): grouped-map, grouped-agg.
+# Integer arithmetic inside pandas keeps them oracle-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouped_map_normalize",
+    """
+    SELECT user_id, event_id,
+           CAST(CAST(floor(value * 100) AS BIGINT) -
+                MIN(CAST(floor(value * 100) AS BIGINT)) OVER (PARTITION BY user_id)
+                AS BIGINT) AS value_rel_cents
+    FROM events
+    WHERE user_id < 20
+    ORDER BY user_id, event_id
+    """,
+)
+def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-user min-normalization done in
+    pandas (integer cents, so Python arithmetic is oracle-exact).  The
+    grouped-map escape hatch for per-group logic Spark SQL can't
+    express — here deliberately something it CAN, so DuckDB verifies
+    the plumbing end-to-end."""
+    import pandas as pd
+
+    ev = (
+        load_testdata(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["user_id", "event_id"]].copy()
+        out["value_rel_cents"] = pdf["cents"] - pdf["cents"].min()
+        return out
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(normalize, "user_id long, event_id long, value_rel_cents long")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "pandas_udaf_weighted",
+    """
+    WITH ev AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+        FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(cents * w) AS BIGINT) AS weighted_cents,
+           CAST(SUM(w) AS BIGINT) AS total_w
+    FROM ev
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (vectorized UDAF): weighted sums in
+    integer space — numpy int64 accumulation is order-independent and
+    exact, so the DuckDB oracle matches bit-for-bit."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringizes
+    # them, which pandas_udf's signature inference rejects — declare
+    # GROUPED_AGG explicitly instead
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def wsum(cents, w):
+        return int((cents * w).sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def swsum(w):
+        return int(w.sum())
+
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value") * 100).cast("bigint").alias("cents"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("w"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            wsum("cents", "w").alias("weighted_cents"),
+            swsum("w").alias("total_w"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("approx_distinct_stats", None)  # approximate by design → rows-only check
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch surface: HyperLogLog distinct + approximate quantiles.
+    Deliberately NOT oracle-checked (approximation error is
+    implementation-specific); the exact twins are `max_order_key`
+    (countDistinct) and `price_percentiles`."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
