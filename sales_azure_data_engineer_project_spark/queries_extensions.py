@@ -777,3 +777,87 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "similarity_ann_ivf",
+    """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 61 = 0),
+    assigned AS (
+        SELECT n.vec_id, n.v, n.nrm, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v, c.cv) DESC, c.cid) AS crk
+        FROM n CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, v, nrm, cid FROM assigned WHERE crk = 1),
+    q AS (SELECT * FROM cells WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        FROM q JOIN cells c ON q.cid = c.cid AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(ROUND(cos_raw, 6) AS DECIMAL(10,6)) AS cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer assigns every vector to its
+    nearest centroid cell (centroids = every 61st vector — a k-means
+    stand-in that keeps the oracle deterministic); queries probe only
+    their own cell.  The inverted-file structure is the cell equi-join:
+    at scale, candidates shrink by ~|cells|× versus brute force, and the
+    centroid set stays broadcast-sized.  nprobe>1 = also joining the
+    next-ranked cells (crk <= nprobe)."""
+    from pyspark.sql import Window
+
+    emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
+    n = emb.select("vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"))
+    cents = n.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    crk_w = Window.partitionBy("vec_id").orderBy(
+        S.dot(F.col("v"), F.col("cv")).desc(), F.col("cid")
+    )
+    cells = (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("crk", F.row_number().over(crk_w))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    q = cells.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("cid").alias("qcid"),
+    )
+    scored = (
+        cells.join(
+            F.broadcast(q),
+            (F.col("qcid") == F.col("cid")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .withColumn("cos_raw", S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("vec_id").cast("bigint").alias("neighbor_id"),
+            F.round("cos_raw", 6).cast("decimal(10,6)").alias("cos_sim"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )
