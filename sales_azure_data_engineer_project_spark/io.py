@@ -66,9 +66,21 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.csv(path)
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """S5: parquet sink (`2_Silver_Notebook.py:72-75`)."""
-    df.write.mode(mode).parquet(path)
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S5: parquet sink (`2_Silver_Notebook.py:72-75`).
+
+    ``partition_by`` hive-partitions the layout; filters on those
+    columns then prune whole directories at scan time (PartitionFilters
+    in the plan) — the first-order scan optimization at 100 TB."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
 
 
 def write_bucketed_table(

@@ -1,0 +1,94 @@
+"""Versioned table commits — the Delta-transaction-log idea over plain
+parquet (no Delta jars in this environment).
+
+Layout:
+
+    table_root/
+      v=1/  v=2/  ...      immutable version directories (parquet)
+      _VERSION              text file holding the current version number
+
+Writers stage a full new version directory, then flip ``_VERSION`` with
+an atomic rename — readers either see the old or the new version, never
+a partial write, and historical versions stay readable (time travel).
+This replaces the delete-and-swap in ``merge_write_parquet`` with a
+protocol that (a) never has a window where the table is missing,
+(b) keeps history, (c) maps 1:1 onto what Delta's ``_delta_log`` does
+with JSON commits.
+
+Scale note: each MERGE rewrites one new version — same worst case as
+Delta compaction; combine with hive-partitioned version dirs to bound
+the rewrite to touched partitions.  Vacuuming old versions is the
+retention knob.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .upsert import merge_upsert
+
+__all__ = ["VersionedTable"]
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_VERSION")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.root, f"v={version}")
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Current snapshot, or time-travel to ``version``."""
+        v = self.current_version() if version is None else version
+        if v <= 0 or not os.path.isdir(self._vdir(v)):
+            return None
+        return self.spark.read.parquet(self._vdir(v))
+
+    def _commit(self, df: DataFrame) -> int:
+        new_v = self.current_version() + 1
+        df.write.mode("overwrite").parquet(self._vdir(new_v))
+        # atomic pointer flip: write-temp + rename within the table root
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._VERSION_")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, self._pointer)
+        return new_v
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit(df)
+
+    def merge(self, source: DataFrame, keys: list[str], *, assert_unique: bool = True) -> int:
+        """SCD-1 MERGE as a new committed version."""
+        target = self.read()
+        merged = merge_upsert(target, source, keys, assert_unique=assert_unique)
+        return self._commit(merged)
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop version dirs older than the last ``keep_last``."""
+        import shutil
+
+        cur = self.current_version()
+        dropped = []
+        for name in os.listdir(self.root):
+            if name.startswith("v="):
+                v = int(name.split("=", 1)[1])
+                if v <= cur - keep_last:
+                    shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+                    dropped.append(v)
+        return sorted(dropped)

@@ -91,3 +91,17 @@ def test_csv_permissive_with_malformed_rows(spark, tmp_path):
     assert rows["BR1"]["Revenue"] == 100
     assert rows["BR2"]["Revenue"] is None  # malformed cell → NULL, row kept
     assert rows["BR2"]["Units_Sold"] == 2
+
+
+def test_load_testdata_self_defends_session_confs(spark, sf_smoke):
+    """Regression guard: queries must repair TZ/nanos confs on any
+    caller-provided session (the driver builds its own)."""
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        load_testdata(spark, sf_smoke, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
