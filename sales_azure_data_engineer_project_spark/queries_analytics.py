@@ -533,3 +533,97 @@ def segments_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = b.intersect(m).withColumn("tag", F.lit("both"))
     only = b.exceptAll(m).withColumn("tag", F.lit("building_only"))
     return both.unionByName(only).orderBy("tag", "c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — ordered multi-step conversion (signup → click →
+# purchase), the canonical product-analytics operator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events
+    ),
+    s1 AS (SELECT user_id, MIN(ts_us) AS t FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+           FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+           FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY e.user_id)
+    SELECT 'step1_signup' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 'step2_click' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s2
+    UNION ALL
+    SELECT 'step3_purchase' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s3
+    ORDER BY step
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def first_after(event_type: str, prev: DataFrame | None) -> DataFrame:
+        step = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            step = step.join(
+                F.broadcast(prev.select("user_id", F.col("t").alias("prev_t"))),
+                "user_id",
+            ).filter(F.col("ts_us") > F.col("prev_t"))
+        return step.groupBy("user_id").agg(F.min("ts_us").alias("t"))
+
+    s1 = first_after("signup", None)
+    s2 = first_after("click", s1)
+    s3 = first_after("purchase", s2)
+
+    def count_step(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("step"), "n_users"
+        )
+
+    return (
+        count_step(s1, "step1_signup")
+        .unionByName(count_step(s2, "step2_click"))
+        .unionByName(count_step(s3, "step3_purchase"))
+        .orderBy("step")
+    )
+
+
+@register(
+    "q10_returned_item_losses",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer."""
+    customer = load_testdata(spark, sf_dir, "customer")
+    orders = load_testdata(spark, sf_dir, "orders")
+    li = load_testdata(spark, sf_dir, "lineitem")
+    nation = load_testdata(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

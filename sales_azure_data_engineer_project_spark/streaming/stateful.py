@@ -57,3 +57,68 @@ def stateful_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_dedup_bloom(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bounded-memory variant of :func:`stateful_dedup`: per-group state
+    is a Bloom filter (``m_bits`` bits, ``k_hashes`` md5-derived
+    probes) instead of an exact id set.
+
+    Trade-off: state is O(m_bits) per key REGARDLESS of stream length —
+    the unbounded-id-space design point — at the cost of a tunable
+    false-positive rate (a colliding NEW id is wrongly dropped; never
+    the reverse).  With m=65536, k=4 and ~2k ids/key, fp ≈ 3e-6.
+    """
+    import hashlib
+
+    out_schema = stream.schema
+    state_schema = T.StructType([T.StructField("bloom", T.BinaryType(), True)])
+    n_bytes = m_bits // 8
+
+    def probes(value: int) -> list[int]:
+        digest = hashlib.md5(str(value).encode()).digest()
+        return [
+            int.from_bytes(digest[i * 4 : i * 4 + 4], "big") % m_bits
+            for i in range(k_hashes)
+        ]
+
+    def dedup_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        bloom = bytearray(state.get[0]) if state.exists else bytearray(n_bytes)
+
+        def seen(v: int) -> bool:
+            return all(bloom[p // 8] & (1 << (p % 8)) for p in probes(v))
+
+        def add(v: int) -> None:
+            for p in probes(v):
+                bloom[p // 8] |= 1 << (p % 8)
+
+        for pdf in pdfs:
+            mask = []
+            for v in pdf[id_col]:
+                v = int(v)
+                if seen(v):
+                    mask.append(False)
+                else:
+                    add(v)
+                    mask.append(True)
+            fresh = pdf[pd.Series(mask, index=pdf.index)]
+            if len(fresh):
+                yield fresh
+        state.update((bytes(bloom),))
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        dedup_group,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -131,3 +131,42 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r["event_id"] for r in rows} == {1, 2, 3, 4, 5}
     assert len(rows) == 5  # replays dropped, nothing duplicated
+
+
+def test_stateful_dedup_bloom(spark, tmp_path):
+    from sales_azure_data_engineer_project_spark.streaming.stateful import (
+        stateful_dedup_bloom,
+    )
+
+    src = str(tmp_path / "bsrc")
+    out = str(tmp_path / "bout")
+    ckpt = str(tmp_path / "bckpt")
+    os.makedirs(src)
+    schema = "event_id long, user_id long, v string"
+
+    def run_drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful_dedup_bloom(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(i, i % 3, f"v{i}") for i in range(50)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_drain()
+    assert spark.read.parquet(out).count() == 50
+
+    # replay all 50 + 10 new: only the new survive the bloom state
+    spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(60)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_drain()
+    rows = spark.read.parquet(out).collect()
+    assert {r["event_id"] for r in rows} == set(range(60))
+    assert len(rows) == 60
