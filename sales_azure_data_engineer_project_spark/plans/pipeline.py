@@ -26,6 +26,7 @@ from ..operators.dimensions import DimensionSpec, build_scd1_dimension
 from ..operators.fact import aggregate_to_grain
 from ..operators.fact import build_fact as assemble_fact
 from ..operators.upsert import merge_write_parquet
+from ..operators.versioned import VersionedTable
 from ..schemas import RAW_SALES_SCHEMA
 
 __all__ = ["SalesPipeline", "transform_silver", "DIM_SPECS"]
@@ -81,12 +82,20 @@ def transform_silver(df: DataFrame) -> DataFrame:
 
 
 class SalesPipeline:
-    """Zone layout: ``root/{bronze,silver,gold}``; gold holds one parquet
-    directory per star table, upserted with MERGE semantics."""
+    """Zone layout: ``root/{bronze,silver,gold}``.
 
-    def __init__(self, spark: SparkSession, root: str):
+    - silver is hive-partitioned on ``Year`` so calendar-filtered scans
+      prune whole directories (the first-order optimization at scale).
+    - gold tables are :class:`VersionedTable`s by default: every MERGE
+      is an atomic versioned commit (Delta-``_delta_log`` semantics —
+      readers see old or new, never partial; history queryable).
+      ``versioned=False`` falls back to the directory-swap writer.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, *, versioned: bool = True):
         self.spark = spark
         self.root = root
+        self.versioned = versioned
         self.bronze = os.path.join(root, "bronze")
         self.silver = os.path.join(root, "silver", "carsales")
         self.gold = os.path.join(root, "gold")
@@ -97,11 +106,22 @@ class SalesPipeline:
     def gold_path(self, table: str) -> str:
         return os.path.join(self.gold, table)
 
-    def read_gold(self, table: str) -> DataFrame | None:
+    def gold_table(self, table: str) -> VersionedTable:
+        return VersionedTable(self.spark, self.gold_path(table))
+
+    def read_gold(self, table: str, version: int | None = None) -> DataFrame | None:
+        if self.versioned:
+            return self.gold_table(table).read(version)
         p = self.gold_path(table)
         if os.path.isdir(p):
             return self.spark.read.parquet(p)
         return None
+
+    def _write_gold(self, df: DataFrame, table: str, keys: list[str]) -> None:
+        if self.versioned:
+            self.gold_table(table).merge(df, keys)
+        else:
+            merge_write_parquet(self.spark, df, self.gold_path(table), keys=keys)
 
     # -- stages -----------------------------------------------------------
     def ingest_bronze(self, csv_path: str) -> DataFrame:
@@ -112,7 +132,7 @@ class SalesPipeline:
 
     def build_silver(self) -> DataFrame:
         silver = transform_silver(read_parquet(self.spark, self.bronze))
-        write_parquet(silver, self.silver)
+        write_parquet(silver, self.silver, partition_by=["Year"])
         return read_parquet(self.spark, self.silver)
 
     def build_dimensions(self, silver: DataFrame) -> dict[str, DataFrame]:
@@ -120,10 +140,8 @@ class SalesPipeline:
         for name, spec in DIM_SPECS.items():
             sink = self.read_gold(name)
             dim = build_scd1_dimension(silver, sink, spec)
-            merge_write_parquet(
-                self.spark, dim, self.gold_path(name), keys=[spec.key_col]
-            )
-            dims[name] = self.spark.read.parquet(self.gold_path(name))
+            self._write_gold(dim, name, keys=[spec.key_col])
+            dims[name] = self.read_gold(name)
         return dims
 
     def build_fact(self, silver: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
@@ -131,10 +149,8 @@ class SalesPipeline:
             silver, {n: (df, DIM_SPECS[n]) for n, df in dims.items()}
         )
         fact = aggregate_to_grain(fact, FACT_GRAIN)
-        merge_write_parquet(
-            self.spark, fact, self.gold_path("factsales"), keys=FACT_GRAIN
-        )
-        return self.spark.read.parquet(self.gold_path("factsales"))
+        self._write_gold(fact, "factsales", keys=FACT_GRAIN)
+        return self.read_gold("factsales")
 
     def run(self, csv_path: str) -> dict[str, DataFrame]:
         """One full load (initial or incremental — same code path)."""
@@ -143,7 +159,9 @@ class SalesPipeline:
         dims = self.build_dimensions(silver)
         fact = self.build_fact(silver, dims)
         for t in [*dims, "factsales"]:  # S3: SQL-addressable gold
-            self.catalog.register("gold", t)
+            self.read_gold(t).createOrReplaceTempView(
+                self.catalog.view_name("gold", t)
+            )
         return {**dims, "factsales": fact, "silver": silver}
 
     # -- reference's one analytics query ---------------------------------

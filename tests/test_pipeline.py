@@ -11,7 +11,7 @@ from sales_azure_data_engineer_project_spark.plans import SalesPipeline, transfo
 
 def _snap(spark, pipe, tables):
     return {
-        t: sorted(map(str, spark.read.parquet(pipe.gold_path(t)).collect()))
+        t: sorted(map(str, pipe.read_gold(t).collect()))
         for t in tables
     }
 
@@ -97,3 +97,31 @@ def test_display_only_cast_not_persisted(spark, tmp_path):
     pipe = SalesPipeline(spark, str(tmp_path / "zones"))
     out = pipe.run(csv)
     assert dict(out["silver"].dtypes)["Units_Sold"] == "bigint"
+
+
+def test_gold_time_travel_across_runs(spark, tmp_path):
+    """Versioned gold: the pre-increment dimension state stays queryable
+    after the incremental MERGE (Delta-log semantics over parquet)."""
+    init = write_sales_csv(str(tmp_path / "init.csv"), INITIAL_ROWS)
+    incr = write_sales_csv(str(tmp_path / "incr.csv"), INCREMENTAL_ROWS)
+    pipe = SalesPipeline(spark, str(tmp_path / "zones"))
+    pipe.run(init)
+    v_before = pipe.gold_table("dim_branch").current_version()
+    pipe.run(incr)
+    # current state: renamed branch + new key 4
+    cur = {r["Branch_ID"]: r["BranchName"] for r in pipe.read_gold("dim_branch").collect()}
+    assert cur["BR0001"] == "Chandler BMW RENAMED" and "XYZ9726" in cur
+    # time travel: initial-load snapshot unchanged
+    old = {r["Branch_ID"]: r["BranchName"] for r in
+           pipe.read_gold("dim_branch", version=v_before).collect()}
+    assert old["BR0001"] == "Chandler BMW" and "XYZ9726" not in old
+
+
+def test_silver_partition_pruning(spark, tmp_path):
+    csv = write_sales_csv(str(tmp_path / "init.csv"), INITIAL_ROWS)
+    pipe = SalesPipeline(spark, str(tmp_path / "zones"))
+    pipe.run(csv)
+    scan = spark.read.parquet(pipe.silver).filter("Year = 2017")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "Year" in plan.split("PartitionFilters")[1][:80]
+    assert scan.count() == 3
