@@ -49,6 +49,12 @@ def asof_join(
     whenever right timestamps can collide within a key.
     """
     lcols = left.columns
+    clash = set(lcols) & set(payload)
+    if clash:
+        raise ValueError(
+            f"payload columns {sorted(clash)} collide with left-side columns; "
+            "alias them on the right side first"
+        )
     # side ordering at equal ts encodes the tie rule: right first (0) for
     # <= semantics, left first for strict <
     right_side = F.lit(0 if not strict else 1)
