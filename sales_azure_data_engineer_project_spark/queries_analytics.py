@@ -627,3 +627,107 @@ def q10_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q12_shipmode_priority",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix of lines shipped within 90 days."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    orders = load_testdata(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "unpivot_measures",
+    """
+    SELECT o_orderkey, measure, CAST(val AS DECIMAL(14,2)) AS val
+    FROM (
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(14,2)) AS totalprice,
+               CAST(o_custkey AS DECIMAL(14,2)) AS custkey
+        FROM orders WHERE o_orderkey < 30
+    ) UNPIVOT (val FOR measure IN (totalprice, custkey))
+    ORDER BY o_orderkey, measure
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (stack) — the melt operation feature stores
+    need; Spark spells it ``stack``/``unpivot``."""
+    orders = load_testdata(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 30)
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(14,2)").alias("totalprice"),
+        F.col("o_custkey").cast("decimal(14,2)").alias("custkey"),
+    )
+    return wide.unpivot(
+        "o_orderkey", ["totalprice", "custkey"], "measure", "val"
+    ).orderBy("o_orderkey", "measure")
+
+
+@register(
+    "events_value_anomalies",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS ss
+        FROM ev GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.cents,
+           CAST(st.n * e.cents - st.s AS BIGINT) AS dev_scaled
+    FROM ev e JOIN stats st ON e.user_id = st.user_id
+    WHERE st.n >= 2
+      AND (st.n * e.cents - st.s) * (st.n * e.cents - st.s)
+          > 4 * (st.n * st.ss - st.s * st.s)
+    ORDER BY e.event_id
+    """,
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier detection with EXACT integer arithmetic:
+    |x - mean| > 2·stddev rewritten shuffle-free of floats as
+    (n·x − Σ)² > 4·(n·Σx² − Σ²) — both sides integers, so the oracle
+    matches exactly (float stddev formulas would not)."""
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .filter((F.col("n") >= 2) & (dev * dev > 4 * var_n2))
+        .select("event_id", "user_id", "cents", dev.cast("bigint").alias("dev_scaled"))
+        .orderBy("event_id")
+    )
