@@ -20,7 +20,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_binary_payload", "decode_image", "extract_features"]
+__all__ = [
+    "attach_binary_payload",
+    "decode_image",
+    "resize_image",
+    "sample_frames",
+    "sample_video_frames",
+    "extract_features",
+]
 
 FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, width int, height int"
 
@@ -44,6 +51,56 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
         )
     n = len(payload)
     return n % 640, (7 * n) % 480
+
+
+def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
+    """STUB — real resize needs PIL.  ``fake=True`` returns a
+    deterministic payload of size width·height//64 derived from the
+    input (keeps batch-shape plumbing testable)."""
+    if not fake:
+        raise NotImplementedError("image resize requires PIL; pass fake=True for the stub")
+    n = max(1, (width * height) // 64)
+    seed = (len(payload) * 2654435761) & 0xFF
+    return bytes((seed + i) & 0xFF for i in range(n))
+
+
+def sample_frames(payload: bytes, *, every_n: int = 10, fake: bool = False) -> list[bytes]:
+    """STUB frame sampler — real decode needs libav.  ``fake=True``
+    treats every 64-byte block as a 'frame' and keeps every n-th."""
+    if not fake:
+        raise NotImplementedError("video decode requires libav; pass fake=True for the stub")
+    frames = [payload[i : i + 64] for i in range(0, len(payload), 64)]
+    return frames[::every_n]
+
+
+def sample_video_frames(
+    df: DataFrame, *, every_n: int = 10, fake_decode: bool = True
+) -> DataFrame:
+    """Arrow-batched frame sampling: one input row per video payload →
+    one output row per kept frame (doc_id, frame_idx, frame binary).
+
+    The row-explosion happens inside the Arrow batch iterator, so
+    memory is bounded by batch size × frames-per-payload — the shape a
+    real video pipeline needs (never collect frames to the driver).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_frames = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                for i, frame in enumerate(
+                    sample_frames(bytes(content), every_n=every_n, fake=fake_decode)
+                ):
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_frames.append(frame)
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    return df.select("doc_id", "content").mapInPandas(
+        batches, "doc_id bigint, frame_idx int, frame binary"
+    )
 
 
 def extract_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:

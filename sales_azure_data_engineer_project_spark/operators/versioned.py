@@ -79,6 +79,16 @@ class VersionedTable:
         merged = merge_upsert(target, source, keys, assert_unique=assert_unique)
         return self._commit(merged)
 
+    def compact(self, target_partitions: int = 1) -> int:
+        """Small-file compaction: rewrite the current snapshot into
+        ``target_partitions`` files as a new commit.  The lakehouse
+        maintenance op that keeps scan task counts sane after many
+        incremental merges (pair with ``vacuum`` for space)."""
+        cur = self.read()
+        if cur is None:
+            return 0
+        return self._commit(cur.coalesce(target_partitions))
+
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop version dirs older than the last ``keep_last``."""
         import shutil

@@ -47,3 +47,79 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     # pruning proof: only the matching partition's rows are read
     assert scan.count() == 50
     assert "2018" in plan
+
+
+def test_incremental_summary_equals_full_recompute(spark, tmp_path):
+    from sales_azure_data_engineer_project_spark.operators.matview import (
+        IncrementalSummary,
+    )
+    from sales_azure_data_engineer_project_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    mv = IncrementalSummary(
+        VersionedTable(spark, str(tmp_path / "mv")), keys=["k"], measures=["v"]
+    )
+    batches = [
+        [("a", 1), ("b", 2), ("a", 3)],
+        [("b", 4), ("c", 5)],
+        [("a", 6), ("c", 7), ("c", 8)],
+    ]
+    all_rows = []
+    for b in batches:
+        mv.refresh(spark.createDataFrame(b, ["k", "v"]))
+        all_rows.extend(b)
+
+    got = {r["k"]: (r["sum_v"], r["n_rows"]) for r in mv.read().collect()}
+    full = (
+        spark.createDataFrame(all_rows, ["k", "v"])
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    want = {r["k"]: (r["s"], r["n"]) for r in full.collect()}
+    assert got == want
+    # history: summary after batch 1 is still time-travelable
+    v1 = {r["k"]: r["sum_v"] for r in mv.table.read(version=1).collect()}
+    assert v1 == {"a": 4, "b": 2}
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from sales_azure_data_engineer_project_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "c"))
+    vt.overwrite(spark.range(0, 1000).repartition(16))
+    v1_files = len(glob.glob(f"{vt._vdir(1)}/*.parquet"))
+    assert v1_files >= 8
+    v2 = vt.compact(target_partitions=1)
+    assert v2 == 2
+    assert len(glob.glob(f"{vt._vdir(2)}/*.parquet")) == 1
+    assert vt.read().count() == 1000
+
+
+def test_multimodal_frame_sampling(spark):
+    from sales_azure_data_engineer_project_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_image,
+        sample_video_frames,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "x" * 640), (2, "y" * 100)], ["doc_id", "text"]
+    )
+    frames = sample_video_frames(attach_binary_payload(df), every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # doc 1: 640 bytes → 10 blocks → every 2nd → 5 frames
+    assert by_doc[1] == [0, 1, 2, 3, 4]
+    # doc 2: 100 bytes → 2 blocks → 1 frame
+    assert by_doc[2] == [0]
+
+    with _pytest.raises(NotImplementedError):
+        resize_image(b"zz", 4, 4)
+    assert len(resize_image(b"zz", 8, 8, fake=True)) == 1
