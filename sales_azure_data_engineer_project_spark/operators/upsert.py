@@ -46,11 +46,17 @@ def merge_upsert(
     keys: list[str],
     *,
     assert_unique: bool = True,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Relational SCD-1 merge: source wins on key match, others kept.
 
     ``target=None`` means initial load (`tableExists` false branch,
     `3(1)_Gold_dim_model.py:171-176`): result is just the source.
+
+    ``evolve_schema=True`` = Delta's ``mergeSchema``/autoMerge: columns
+    new in the source are added to the table (NULL for untouched target
+    rows); columns missing from the source stay, NULL on inserted rows.
+    Off by default — silent schema drift should be an explicit opt-in.
     """
     if assert_unique:
         dup = (
@@ -68,9 +74,22 @@ def merge_upsert(
             )
     if target is None:
         return source
-    source = source.select(*target.columns)  # align column order (H7)
+    if evolve_schema:
+        source = _align_evolved(source, target)
+        target = _align_evolved(target, source)
+    else:
+        source = source.select(*target.columns)  # align column order (H7)
     kept = target.join(source.select(*keys), on=keys, how="left_anti")
     return source.unionByName(kept)
+
+
+def _align_evolved(df: DataFrame, other: DataFrame) -> DataFrame:
+    """Add ``other``'s missing columns to ``df`` as typed NULLs."""
+    have = set(df.columns)
+    extra = [f for f in other.schema.fields if f.name not in have]
+    for f in extra:
+        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
 
 
 def merge_write_parquet(

@@ -102,3 +102,98 @@ def test_connected_components(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_scd2_dimension_lifecycle(spark):
+    from sales_azure_data_engineer_project_spark.operators.dimensions import (
+        DimensionSpec,
+    )
+    from sales_azure_data_engineer_project_spark.operators.scd2 import (
+        build_scd2_dimension,
+    )
+
+    spec = DimensionSpec("d", "key", "nk", ("attr",))
+    b1 = spark.createDataFrame([("a", "A1"), ("b", "B1")], ["nk", "attr"])
+    d1 = build_scd2_dimension(b1, None, spec, batch_ts="2024-01-01")
+    rows1 = {(r["nk"], r["attr"]): r for r in d1.collect()}
+    assert len(rows1) == 2 and all(r["is_current"] for r in rows1.values())
+
+    # batch 2: a changes (close+open), b unchanged, c new
+    b2 = spark.createDataFrame([("a", "A2"), ("b", "B1"), ("c", "C1")], ["nk", "attr"])
+    d2 = build_scd2_dimension(b2, d1, spec, batch_ts="2024-02-01")
+    rows = d2.collect()
+    by = {(r["nk"], r["attr"]): r for r in rows}
+    assert len(rows) == 4  # a:2 versions, b:1, c:1
+
+    closed_a = by[("a", "A1")]
+    assert not closed_a["is_current"] and closed_a["valid_to"] == "2024-02-01"
+    open_a = by[("a", "A2")]
+    assert open_a["is_current"] and open_a["valid_from"] == "2024-02-01"
+    assert open_a["key"] != closed_a["key"]  # new version = new surrogate
+    assert by[("b", "B1")]["is_current"] and by[("b", "B1")]["valid_from"] == "2024-01-01"
+    assert by[("c", "C1")]["is_current"]
+
+    # keys unique & dense across all versions
+    keys = sorted(r["key"] for r in rows)
+    assert keys == list(range(1, 5))
+
+    # batch 3: a vanishes from source → stays current (no delete)
+    b3 = spark.createDataFrame([("b", "B1")], ["nk", "attr"])
+    d3 = build_scd2_dimension(b3, d2, spec, batch_ts="2024-03-01")
+    cur = {r["nk"]: r["attr"] for r in d3.filter("is_current").collect()}
+    assert cur == {"a": "A2", "b": "B1", "c": "C1"}
+
+
+def test_merge_schema_evolution(spark):
+    from sales_azure_data_engineer_project_spark.operators.upsert import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    source = spark.createDataFrame([(2, "b", 9.5)], ["k", "v", "score"])
+    out = merge_upsert(target, source, ["k"], evolve_schema=True)
+    rows = {r["k"]: (r["v"], r["score"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # without evolution the extra source column is projected away
+    # (Delta's default: schema drift needs the explicit opt-in)
+    flat = merge_upsert(target, source, ["k"])
+    assert flat.columns == ["k", "v"]
+
+
+def test_quality_expectations(spark):
+    from sales_azure_data_engineer_project_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "BR1", 2), (2, None, 9), (3, "BR3", 1), (3, "BR3", 2)],
+        ["k", "branch", "units"],
+    )
+    dim = spark.createDataFrame([(1,), (2,)], ["k"])
+    report = Q.check(
+        df,
+        [
+            Q.not_null("branch"),
+            Q.in_range("units", 1, 3),
+            Q.matches("branch", "^BR"),
+            Q.unique("k"),
+            Q.references(dim, "k"),
+        ],
+    )
+    assert report["not_null(branch)"] == 1
+    assert report["in_range(units,[1,3])"] == 1
+    assert report["matches(branch,^BR)"] == 0
+    assert report["unique(k)"] == 1
+    assert report["references(k)"] == 2  # the two k=3 rows are orphans
+
+    with _raises_quality():
+        Q.check(df, [Q.not_null("branch")], fail=True)
+
+
+class _raises_quality:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        from sales_azure_data_engineer_project_spark.operators.quality import (
+            QualityError,
+        )
+
+        assert exc_type is QualityError, "expected QualityError"
+        return True
