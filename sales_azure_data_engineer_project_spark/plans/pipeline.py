@@ -164,6 +164,37 @@ class SalesPipeline:
             )
         return {**dims, "factsales": fact, "silver": silver}
 
+    # -- data-quality surface ---------------------------------------------
+    def quality_report(self) -> dict[str, dict[str, int]]:
+        """Expectation checks over silver + gold (the validation layer
+        the reference lacks — its dirt flows to gold unexamined).
+        Returns {table: {expectation: violation_count}}; callers decide
+        warn-vs-fail (the reference data legitimately violates
+        not_null(DealerName) 31 times)."""
+        from ..operators import quality as Q
+
+        silver = read_parquet(self.spark, self.silver)
+        fact = self.read_gold("factsales")
+        report = {
+            "silver": Q.check(
+                silver,
+                [
+                    Q.not_null("Branch_ID"),
+                    Q.not_null("DealerName"),
+                    Q.in_range("Units_Sold", 1, 3),
+                    Q.matches("Model_ID", "^[A-Za-z]+-?M?"),
+                ],
+            )
+        }
+        if fact is not None:
+            checks = [Q.unique(*FACT_GRAIN)]
+            for name, spec in DIM_SPECS.items():
+                dim = self.read_gold(name)
+                if dim is not None:
+                    checks.append(Q.references(dim, spec.key_col))
+            report["factsales"] = Q.check(fact, checks)
+        return report
+
     # -- reference's one analytics query ---------------------------------
     def units_by_branch_year(self, silver: DataFrame | None = None) -> DataFrame:
         """`2_Silver_Notebook.py:63`: groupBy(BranchName, Year).sum(Units)

@@ -105,3 +105,18 @@ def test_reference_incremental_run(spark, ref_pipeline):
     snap = sorted(map(str, pipe.read_gold("factsales").collect()))
     pipe.run(f"{REF}/IncrementalSales.csv")
     assert sorted(map(str, pipe.read_gold("factsales").collect())) == snap
+
+
+def test_reference_quality_report(ref_pipeline):
+    """The validation layer quantifies the reference data's dirt instead
+    of letting it flow silently.  (Runs after the incremental tests, so
+    silver holds the 4-row increment; the initial load's 31 NULL
+    DealerNames are asserted in test_reference_initial_profile.)"""
+    pipe, _ = ref_pipeline
+    report = pipe.quality_report()
+    assert report["silver"]["not_null(Branch_ID)"] == 0
+    assert report["silver"]["in_range(Units_Sold,[1,3])"] == 0
+    fact = report["factsales"]
+    # star integrity holds over the CUMULATIVE gold state: fact grain
+    # unique, every surrogate key resolves in its dimension
+    assert all(v == 0 for v in fact.values()), fact
