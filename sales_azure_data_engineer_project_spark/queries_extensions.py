@@ -861,3 +861,102 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+@register(
+    "tfidf_distinctive_terms",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents WHERE doc_id < 50
+    ),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               CAST((1000 * tf.tf) // df.df AS BIGINT) AS tfidf_milli
+        FROM tf JOIN df ON tf.tok = df.tok
+    )
+    SELECT doc_id, tok, tf, df, tfidf_milli
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf_milli DESC, tok) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+    ORDER BY doc_id, tfidf_milli DESC, tok
+    """,
+)
+def tfidf_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style distinctive-term extraction with EXACT integer
+    scoring (tf·1000 div df — the rank-equivalent of tf/df; a float idf
+    log would not oracle-match across engines' libm)."""
+    from pyspark.sql import Window
+
+    docs = load_testdata(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "tok").withColumn(
+        "tfidf_milli", F.expr("div(1000 * tf, df)").cast("bigint")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_milli").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf_milli")
+        .orderBy("doc_id", F.col("tfidf_milli").desc(), "tok")
+    )
+
+
+@register(
+    "bigram_stats",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+    bi AS (
+        SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ),
+    counts AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY w1, w2),
+    uni AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n1 FROM counts GROUP BY w1)
+    SELECT c.w1, c.w2, c.n,
+           CAST((1000 * c.n) // u.n1 AS BIGINT) AS p_cond_permille
+    FROM counts c JOIN uni u ON c.w1 = u.w1
+    WHERE c.n >= 20
+    ORDER BY c.w1, c.w2
+    """,
+)
+def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional probabilities (×1000, integer-exact) — the
+    n-gram language-model statistic behind perplexity-style quality
+    filters.  Narrow shingle generation, one aggregation shuffle."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), X.TOKEN_RE).alias("toks"))
+    idx = F.sequence(F.lit(0), F.size("toks") - 2)
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("toks", i + 1).alias("w1"),
+                        F.element_at("toks", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    uni = counts.groupBy("w1").agg(F.sum("n").cast("bigint").alias("n1"))
+    return (
+        counts.join(uni, "w1")
+        .filter(F.col("n") >= 20)
+        .select(
+            "w1", "w2", F.col("n").cast("bigint").alias("n"),
+            F.expr("div(1000 * n, n1)").cast("bigint").alias("p_cond_permille"),
+        )
+        .orderBy("w1", "w2")
+    )

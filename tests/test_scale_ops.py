@@ -197,3 +197,28 @@ class _raises_quality:
 
         assert exc_type is QualityError, "expected QualityError"
         return True
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from sales_azure_data_engineer_project_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    # two tight blobs around (0,0,..) and (10,10,..)
+    rows = []
+    for i in range(20):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + (i % 5) * 0.01] * 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").orderBy(
+        "vec_id"
+    )
+    centroids, inertia = kmeans_fit(df, k=2, max_iter=10)
+    assigned = assign_clusters(df, centroids).collect()
+    by_parity = {}
+    for r in assigned:
+        by_parity.setdefault(r["vec_id"] % 2, set()).add(r["cluster"])
+    # each blob maps to exactly one cluster, and they differ
+    assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1
+    assert by_parity[0] != by_parity[1]
+    assert inertia < 0.1
