@@ -960,3 +960,84 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1", "w2")
     )
+
+
+@register(
+    "ann_recall_at_k",
+    """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+               (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bkt
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM n WHERE vec_id < 20),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                                c.vec_id) AS rk
+            FROM q JOIN n c ON c.vec_id != q.vec_id
+        ) WHERE rk <= 5
+    ),
+    approx AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM q JOIN n c ON q.bkt = c.bkt AND c.vec_id != q.vec_id
+    ),
+    hits AS (
+        SELECT b.query_id,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM brute b LEFT JOIN approx a
+          ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+        GROUP BY b.query_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, n_hit,
+           CAST((1000 * n_hit) // 5 AS BIGINT) AS recall_permille
+    FROM hits
+    ORDER BY query_id
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-LSH candidate set against exact brute-force
+    top-5, computed entirely in-engine — the evaluation loop an ANN
+    deployment needs (approximation quality as a first-class query, not
+    a notebook afterthought)."""
+    from pyspark.sql import Window
+
+    emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings"))).withColumn(
+        "bkt", S.sign_bucket("embedding", bits=4)
+    )
+    n = emb.select("vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"), "bkt")
+    q = n.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("bkt").alias("qbkt"),
+    )
+    cos = S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("vec_id"))
+    brute = (
+        n.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    approx = (
+        n.join(
+            F.broadcast(q),
+            (F.col("qbkt") == F.col("bkt")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.lit(1).alias("hit"))
+    )
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hit"))
+    )
+    return hits.select(
+        F.col("query_id").cast("bigint"),
+        "n_hit",
+        F.expr("div(1000 * n_hit, 5)").cast("bigint").alias("recall_permille"),
+    ).orderBy("query_id")
