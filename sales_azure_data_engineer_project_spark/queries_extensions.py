@@ -1041,3 +1041,68 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         F.expr("div(1000 * n_hit, 5)").cast("bigint").alias("recall_permille"),
     ).orderBy("query_id")
+
+
+@register(
+    "text_winnowing_fingerprints",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])) AS h
+        FROM t, unnest(generate_series(1, len(toks) - 4)) AS u(i)
+        WHERE len(toks) >= 5
+    ),
+    winnowed AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        FROM grams
+    ),
+    sel AS (SELECT DISTINCT doc_id, sel FROM winnowed)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           md5(string_agg(sel, '|' ORDER BY sel)) AS doc_fingerprint
+    FROM sel
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, à la MOSS):
+    hash every 5-gram, keep the window-of-4 minimum at each position,
+    fingerprint = digest of the selected hash set.  Guarantees any
+    shared run of ≥8 tokens yields a shared selected hash — the
+    plagiarism/near-dup detector that survives local edits."""
+    from pyspark.sql import Window
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), X.TOKEN_RE).alias("toks"))
+    idx = F.sequence(F.lit(0), F.size("toks") - 5)
+    grams = (
+        toks.filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("toks", i + j + 1) for j in range(5)]
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", F.md5(F.col("gram").cast("binary")).alias("h"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    sel = grams.select("doc_id", F.min("h").over(w).alias("sel")).distinct()
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.md5(
+                F.concat_ws("|", F.array_sort(F.collect_list("sel"))).cast("binary")
+            ).alias("doc_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
