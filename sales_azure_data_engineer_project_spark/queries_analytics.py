@@ -774,3 +774,49 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("volume"))
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH volumes AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DECIMAL(18,4)) AS nation_volume,
+           CAST(SUM(volume) AS DECIMAL(18,4)) AS total_volume
+    FROM volumes
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly volume (numerator
+    and denominator as exact decimals; the ratio is the caller's
+    division — decimal division scales differ between engines)."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    orders = load_testdata(spark, sf_dir, "orders")
+    supplier = load_testdata(spark, sf_dir, "supplier")
+    nation = load_testdata(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_3", vol))
+            .cast("decimal(18,4)")
+            .alias("nation_volume"),
+            F.sum(vol).cast("decimal(18,4)").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )

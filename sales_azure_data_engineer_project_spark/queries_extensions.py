@@ -1106,3 +1106,67 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "skew_salted_aggregation",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe two-phase aggregation (operators/skew.py) under the
+    oracle gate: l_returnflag has only 3 values — the definitional hot
+    key — so the heavy shuffle carries (key, salt) pre-aggregates.
+    Result is provably identical to the plain GROUP BY the oracle runs."""
+    from .operators.skew import salted_sum
+
+    li = load_testdata(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_orderkey").alias("uid"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    out = salted_sum(
+        li, ["l_returnflag"], {"qty": "total_qty", "cents": "total_cents"},
+        salt_from="uid", buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("total_qty").cast("bigint"),
+        F.col("total_cents").cast("bigint"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "crossmodal_doc_embedding_join",
+    r"""
+    SELECT d.doc_id,
+           CAST(len(string_split_regex(d.text, '\s+')) AS BIGINT) AS n_tokens,
+           e.label,
+           CAST(ROUND(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS DECIMAL(12,6)) AS vec_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ORDER BY d.doc_id
+    """,
+)
+def crossmodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record assembly: text features joined to the embedding
+    modality by id — the join every multimodal training pipeline runs to
+    build (text, vector, label) examples."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    emb = S.with_norm(load_testdata(spark, sf_dir, "embeddings"))
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id, "inner")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), X.TOKEN_RE)).cast("bigint").alias("n_tokens"),
+            "label",
+            F.round("_norm", 6).cast("decimal(12,6)").alias("vec_norm"),
+        )
+        .orderBy("doc_id")
+    )
