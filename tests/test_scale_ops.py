@@ -222,3 +222,27 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1
     assert by_parity[0] != by_parity[1]
     assert inertia < 0.1
+
+
+def test_scale_headroom_5m_rows(spark):
+    """Synthesize 5M fact rows in-memory and run the flagship plan shape
+    (broadcast dim join → two-phase agg).  No timing assert — the point
+    is that the partitioning/broadcast strategy survives a 10× scale-up
+    of the bench SF without config changes."""
+    fact = spark.range(0, 5_000_000).select(
+        (F.col("id") % 1000).alias("custkey"),
+        (F.col("id") % 7).cast("double").alias("qty"),
+    )
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("custkey"), (F.col("id") % 25).alias("nationkey")
+    )
+    out = (
+        fact.join(F.broadcast(dim), "custkey")
+        .groupBy("nationkey")
+        .agg(F.sum("qty").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    rows = out.collect()
+    assert len(rows) == 25
+    assert sum(r["n"] for r in rows) == 5_000_000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
