@@ -1170,3 +1170,62 @@ def crossmodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_tf_cosine",
+    f"""
+    WITH {_CORPUS_SQL},
+    tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM corpus),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, tok),
+    norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm2 FROM tf GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, dot,
+           CAST(na.norm2 AS BIGINT) AS norm2_a, CAST(nb.norm2 AS BIGINT) AS norm2_b
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE dot * dot * 100 >= 81 * na.norm2 * nb.norm2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-frequency cosine near-dup: cos(a,b) ≥ 0.9 expressed
+    ENTIRELY in integers (dot²·100 ≥ 81·‖a‖²·‖b‖²) — no floats, no
+    boundary risk.  The explode-join sparse dot product is THE scalable
+    sparse-vector similarity: cost Σ posting-list², never a dense N²."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    tok = corpus.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("norm2"))
+    b = tf.select(F.col("doc_id").alias("id_b"), "tok", F.col("tf").alias("tf_b"))
+    dots = (
+        tf.join(b, on="tok")
+        .filter(F.col("doc_id") < F.col("id_b"))
+        .groupBy(F.col("doc_id").alias("id_a"), "id_b")
+        .agg(F.sum(F.col("tf") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm2").alias("norm2_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm2").alias("norm2_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.col("dot") * F.col("dot") * 100 >= 81 * F.col("norm2_a") * F.col("norm2_b")
+        )
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.col("dot").cast("bigint"),
+            F.col("norm2_a").cast("bigint"),
+            F.col("norm2_b").cast("bigint"),
+        )
+        .orderBy("id_a", "id_b")
+    )
