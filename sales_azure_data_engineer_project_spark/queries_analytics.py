@@ -891,3 +891,134 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_year")
     )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS total_revenue
+        FROM lineitem
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + scalar-max self-reference.
+    Decimal revenue makes the MAX equality exact (the float version of
+    this query is notoriously engine-divergent)."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    supplier = load_testdata(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("decimal(18,4)")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        supplier.join(rev, supplier.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(mx), rev.total_revenue == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q22_inactive_rich_customers",
+    """
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT substr(c_name, 1, 9) AS name_prefix,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * avg_bal.n > avg_bal.s
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'O')
+    GROUP BY substr(c_name, 1, 9)
+    ORDER BY name_prefix
+    """,
+)
+def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balance (multiply-compare, exact)
+    AND no OPEN orders (anti-join), grouped by a name-prefix 'country
+    code' (the corpus has no phone column; every-customer-has-orders at
+    this SF made the literal no-orders variant empty)."""
+    customer = load_testdata(spark, sf_dir, "customer")
+    orders = load_testdata(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).cast("decimal(28,2)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(bal * F.col("n") > F.col("s"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 1, 9).alias("name_prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("decimal(18,2)").alias("totacctbal"),
+        )
+        .orderBy("name_prefix")
+    )
+
+
+@register(
+    "q21_waiting_orders",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + correlated NOT EXISTS on the same fact
+    (the 'last supplier to ship' pattern) — SQL-string form so Catalyst
+    plans the correlated subqueries (rewritten to semi/anti joins)."""
+    spark_ = spark
+    for t in ("lineitem", "orders", "supplier"):
+        load_testdata(spark_, sf_dir, t).createOrReplaceTempView(t)
+    return spark_.sql(
+        """
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        """
+    )
