@@ -1176,7 +1176,14 @@ def crossmodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame
     "dedup_tf_cosine",
     f"""
     WITH {_CORPUS_SQL},
-    tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM corpus),
+    tok AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks)-2),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                 ELSE []::VARCHAR[] END) AS tok
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus)
+    ),
     tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, tok),
     norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm2 FROM tf GROUP BY doc_id),
     dots AS (
@@ -1194,12 +1201,29 @@ def crossmodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse term-frequency cosine near-dup: cos(a,b) ≥ 0.9 expressed
-    ENTIRELY in integers (dot²·100 ≥ 81·‖a‖²·‖b‖²) — no floats, no
-    boundary risk.  The explode-join sparse dot product is THE scalable
-    sparse-vector similarity: cost Σ posting-list², never a dense N²."""
+    """Sparse term-frequency cosine near-dup over 3-gram shingle terms:
+    cos(a,b) ≥ 0.9 expressed ENTIRELY in integers
+    (dot²·100 ≥ 81·‖a‖²·‖b‖²) — no floats, no boundary risk.  The
+    explode-join sparse dot product is THE scalable sparse-vector
+    similarity: cost Σ posting-list².  Terms are shingles, not unigrams
+    — this corpus has a ~31-word vocabulary, so unigram posting lists
+    are nearly the whole corpus (measured 600M join rows at sf0.1);
+    trigram terms keep lists short (df-pruning is the other standard
+    fix)."""
     corpus = _dedup_corpus(spark, sf_dir)
-    tok = corpus.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    toks = corpus.select(
+        F.col("doc_id"), F.split(F.col("text"), X.TOKEN_RE).alias("toks")
+    )
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("toks", i + j + 1) for j in range(3)]
+            ),
+        ),
+    ).otherwise(F.array())
+    tok = toks.select("doc_id", F.explode(grams).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     from pyspark import StorageLevel
 
