@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .upsert import merge_upsert
 
-__all__ = ["VersionedTable"]
+__all__ = ["VersionedTable", "ConcurrentWriteError"]
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this merge's read and commit."""
 
 
 class VersionedTable:
@@ -60,8 +64,18 @@ class VersionedTable:
             return None
         return self.spark.read.parquet(self._vdir(v))
 
-    def _commit(self, df: DataFrame) -> int:
-        new_v = self.current_version() + 1
+    def _commit(self, df: DataFrame, *, base_version: int | None = None) -> int:
+        """Commit a new version.  ``base_version`` enables optimistic
+        concurrency: if another writer committed since the caller read
+        that version, raise instead of silently clobbering their commit
+        (Delta's conflict-detection contract)."""
+        cur = self.current_version()
+        if base_version is not None and cur != base_version:
+            raise ConcurrentWriteError(
+                f"table advanced to v{cur} since read at v{base_version}; "
+                "re-read and retry the merge"
+            )
+        new_v = cur + 1
         df.write.mode("overwrite").parquet(self._vdir(new_v))
         # atomic pointer flip: write-temp + rename within the table root
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._VERSION_")
@@ -74,10 +88,12 @@ class VersionedTable:
         return self._commit(df)
 
     def merge(self, source: DataFrame, keys: list[str], *, assert_unique: bool = True) -> int:
-        """SCD-1 MERGE as a new committed version."""
+        """SCD-1 MERGE as a new committed version, with optimistic
+        conflict detection against the version the merge read."""
+        base = self.current_version()
         target = self.read()
         merged = merge_upsert(target, source, keys, assert_unique=assert_unique)
-        return self._commit(merged)
+        return self._commit(merged, base_version=base)
 
     def compact(self, target_partitions: int = 1) -> int:
         """Small-file compaction: rewrite the current snapshot into

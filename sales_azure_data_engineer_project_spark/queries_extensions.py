@@ -1253,3 +1253,87 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "similarity_ann_ivf_nprobe2",
+    """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 61 = 0),
+    assigned AS (
+        SELECT n.vec_id, n.v, n.nrm, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v, c.cv) DESC, c.cid) AS crk
+        FROM n CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, v, nrm, cid FROM assigned WHERE crk = 1),
+    probes AS (SELECT vec_id, cid FROM assigned WHERE crk <= 2 AND vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        FROM probes p
+        JOIN n q ON q.vec_id = p.vec_id
+        JOIN cells c ON c.cid = p.cid AND c.vec_id != p.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(ROUND(cos_raw, 6) AS DECIMAL(10,6)) AS cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def similarity_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: queries probe their two nearest cells —
+    the recall/cost knob of inverted-file ANN (recall ↑ with probes,
+    candidates ∝ nprobe/|cells|)."""
+    from pyspark.sql import Window
+
+    emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
+    n = emb.select("vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"))
+    cents = n.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    crk_w = Window.partitionBy("vec_id").orderBy(
+        S.dot(F.col("v"), F.col("cv")).desc(), F.col("cid")
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("crk", F.row_number().over(crk_w))
+    )
+    cells = assigned.filter(F.col("crk") == 1).select("vec_id", "v", "nrm", "cid")
+    probes = assigned.filter((F.col("crk") <= 2) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid")
+    )
+    q = n.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    cand = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), F.col("cid").alias("ccid"),
+    )
+    scored = (
+        probes.join(F.broadcast(q), "query_id")
+        .join(cand, (F.col("ccid") == F.col("pcid")) & (F.col("neighbor_id") != F.col("query_id")))
+        .withColumn("cos_raw", S.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .select("query_id", "neighbor_id", "cos_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("neighbor_id").cast("bigint"),
+            F.round("cos_raw", 6).cast("decimal(10,6)").alias("cos_sim"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )

@@ -123,3 +123,24 @@ def test_multimodal_frame_sampling(spark):
     with _pytest.raises(NotImplementedError):
         resize_image(b"zz", 4, 4)
     assert len(resize_image(b"zz", 8, 8, fake=True)) == 1
+
+
+def test_concurrent_write_detection(spark, tmp_path):
+    from sales_azure_data_engineer_project_spark.operators.versioned import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+    import pytest as _pytest
+
+    vt = VersionedTable(spark, str(tmp_path / "cas"))
+    vt.overwrite(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    # simulate a competing writer advancing the pointer under us
+    df = spark.createDataFrame([(2, "b")], ["k", "v"])
+    base = vt.current_version()
+    vt.overwrite(spark.createDataFrame([(9, "z")], ["k", "v"]))  # the competitor
+    with _pytest.raises(ConcurrentWriteError):
+        vt._commit(df, base_version=base)
+    # normal merge path still works after a re-read
+    vt.merge(df, ["k"])
+    got = {r["k"] for r in vt.read().collect()}
+    assert got == {2, 9}
