@@ -108,3 +108,54 @@ def sessionized_stream(
             "n_events",
         )
     )
+
+
+def watermarked_dedup(
+    events: DataFrame,
+    *,
+    id_cols: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Built-in bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps ids only until the watermark
+    passes — the engine-managed alternative to the custom
+    applyInPandasWithState operators in ``stateful.py`` when duplicate
+    arrivals are known to cluster in time (e.g. at-least-once sources
+    with bounded replay)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joined to the
+    same user's purchases within ``within`` AFTER the click.  Watermarks
+    on both sides bound the join state (Spark buffers each side only
+    until the other side's watermark passes the interval) — the
+    attribution join that runs forever at fixed memory."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"""c_user = p_user AND
+                purchase_ts >= click_ts AND
+                purchase_ts <= click_ts + INTERVAL {within}"""
+        ),
+        "inner",
+    )

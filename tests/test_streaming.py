@@ -170,3 +170,72 @@ def test_stateful_dedup_bloom(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r["event_id"] for r in rows} == set(range(60))
     assert len(rows) == 60
+
+
+def test_watermarked_dedup_stream(spark, tmp_path):
+    from sales_azure_data_engineer_project_spark.streaming.incremental import (
+        watermarked_dedup,
+    )
+
+    src = str(tmp_path / "wd_src")
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        (1, "2024-01-01 00:01:00", 1, "click", 1.0),  # dup within watermark
+        (2, "2024-01-01 00:02:00", 1, "view", 2.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value",
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        watermarked_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("wd_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["event_id"] for r in spark.sql("SELECT * FROM wd_out").collect()}
+    assert got == {1, 2}
+    assert spark.sql("SELECT count(*) n FROM wd_out").first()["n"] == 2
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    from sales_azure_data_engineer_project_spark.streaming.incremental import (
+        stream_stream_join,
+    )
+
+    base = [
+        (1, "2024-01-01 10:00:00", 7, "click", 0.0),
+        (2, "2024-01-01 10:30:00", 7, "purchase", 99.0),   # within 1h of click 1
+        (3, "2024-01-01 13:00:00", 7, "purchase", 11.0),   # too late for click 1
+        (4, "2024-01-01 10:05:00", 8, "purchase", 5.0),    # other user
+    ]
+    src = str(tmp_path / "ss_src")
+    spark.createDataFrame(
+        base, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value",
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def stream_of(et):
+        return (
+            spark.readStream.schema(schema).parquet(src).filter(F.col("event_type") == et)
+        )
+
+    q = (
+        stream_stream_join(stream_of("click"), stream_of("purchase"))
+        .writeStream.format("memory")
+        .queryName("ss_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT click_id, purchase_id FROM ss_out").collect()
+    assert {(r["click_id"], r["purchase_id"]) for r in rows} == {(1, 2)}
