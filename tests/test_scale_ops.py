@@ -246,3 +246,49 @@ def test_scale_headroom_5m_rows(spark):
     assert sum(r["n"] for r in rows) == 5_000_000
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_plan_quality_regressions(spark):
+    """Golden plan properties for the headline shapes (PLANS.md enforced):
+    dimension joins broadcast; aggregations have exactly one hash
+    Exchange (plus at most a range Exchange for presentation ORDER BY)."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    flagship = m.queries()["flagship_revenue_by_nation_year"](spark, sf)
+    plan = flagship._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    pricing = m.queries()["pricing_summary"](spark, sf)
+    pplan = pricing._jdf.queryExecution().executedPlan().toString()
+    assert pplan.count("Exchange hashpartitioning") == 1
+    # column pruning reached the scan: lineitem has 11 columns, the
+    # query needs 5
+    scan_line = next(l for l in pplan.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" in scan_line
+    for pruned in ("l_orderkey", "l_partkey", "l_shipdate", "l_tax"):
+        assert pruned not in scan_line, f"{pruned} not pruned from scan"
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """Stream ⋈ static dimension (broadcast) — the streaming fact
+    enrichment every gold pipeline does before windowed aggs."""
+    src = str(tmp_path / "enr_src")
+    spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 6.0), (3, 30, 7.0)], "event_id long, code long, value double"
+    ).coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame([(10, "ten"), (20, "twenty")], ["code", "name"])
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.join(F.broadcast(dim), "code", "left")
+        .writeStream.format("memory")
+        .queryName("enr_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["event_id"]: r["name"] for r in spark.sql("SELECT * FROM enr_out").collect()}
+    assert got == {1: "ten", 2: "twenty", 3: None}

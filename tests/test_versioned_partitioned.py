@@ -144,3 +144,16 @@ def test_concurrent_write_detection(spark, tmp_path):
     vt.merge(df, ["k"])
     got = {r["k"] for r in vt.read().collect()}
     assert got == {2, 9}
+
+
+def test_version_diff_cdc(spark, tmp_path):
+    from sales_azure_data_engineer_project_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "cdc"))
+    vt.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    vt.merge(spark.createDataFrame([(2, "b2"), (3, "c")], ["k", "v"]), ["k"])
+    added, removed = vt.diff(1, 2)
+    assert sorted((r["k"], r["v"]) for r in added.collect()) == [(2, "b2"), (3, "c")]
+    assert sorted((r["k"], r["v"]) for r in removed.collect()) == [(2, "b")]
