@@ -72,3 +72,53 @@ def test_scd1_two_batches_keys_stable_and_dense(spark, batch1, batch2):
     assert sorted(k2.values()) == list(range(1, len(k2) + 1))
     for nk, key in k1.items():
         assert k2[nk] == key
+
+
+@SLOW
+@given(
+    trades=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    quotes=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=0, max_size=12
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, trades, quotes):
+    """Differential: our union-window as-of join ≡ pandas.merge_asof
+    (backward, inclusive) on arbitrary small inputs."""
+    import pandas as pd
+
+    from sales_azure_data_engineer_project_spark.operators.asof import asof_join
+
+    # unique (key, ts) per side: merge_asof tie semantics among equal
+    # right timestamps are positional, ours are tie-break-ordered — both
+    # well-defined only without intra-key ts duplicates
+    trades = list({(k, t) for k, t in trades})
+    quotes = list({(k, t) for k, t in quotes})
+    tdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(trades)], ["sym", "ts", "tid"]
+    )
+    qdf = spark.createDataFrame(
+        [(k, t, float(100 * k + t)) for k, t in quotes] or [(99, 0, 0.0)],
+        ["sym", "ts", "px"],
+    )
+    got = {
+        r["tid"]: r["px"]
+        for r in asof_join(
+            tdf, qdf, on="sym", left_ts="ts", right_ts="ts", payload=["px"]
+        ).collect()
+    }
+
+    tp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(trades)], columns=["sym", "ts", "tid"]
+    ).sort_values("ts", kind="stable")
+    qp = pd.DataFrame(
+        [(k, t, float(100 * k + t)) for k, t in quotes] or [(99, 0, 0.0)],
+        columns=["sym", "ts", "px"],
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(tp, qp, on="ts", by="sym", direction="backward")
+    want = {
+        int(r.tid): (None if pd.isna(r.px) else float(r.px))
+        for r in merged.itertuples()
+    }
+    assert got == want
