@@ -1025,3 +1025,116 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supplier_cnt") >= 8)
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-side predicate aggregation — every filter
+    pushes to the parquet reader, no joins, no shuffle beyond one
+    scalar combine."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("decimal(18,4)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "range_band_join",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('small', 0.0, 100000.0),
+               ('medium', 100000.0, 300000.0),
+               ('large', 300000.0, 1000000.0)
+    )
+    SELECT b.band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: rows matched to value intervals — the binning
+    join Spark executes as a broadcast nested loop over the tiny band
+    table (at scale: pre-compute the band with width_bucket/CASE to keep
+    it a narrow map; the join form generalizes to overlapping bands)."""
+    orders = load_testdata(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("medium", 100000.0, 300000.0), ("large", 300000.0, 1000000.0)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "array_regex_functions",
+    r"""
+    WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+               FROM documents WHERE doc_id < 20)
+    SELECT doc_id,
+           CAST(list_contains(toks, 'data') AS BOOLEAN) AS has_data,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long_tokens,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok,
+           CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT) AS n_a_words,
+           array_to_string(list_slice(toks, 1, 3), '_') AS head3
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def array_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + regex function surface: contains / filter / head / tail /
+    slice / regexp_extract_all — the collection API a training pipeline
+    leans on between tokenize and featurize."""
+    docs = load_testdata(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.split(F.col("text"), r"\s+")
+    t = docs.select("doc_id", "text", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.array_contains("toks", "data").alias("has_data"),
+        F.size(F.filter("toks", lambda x: F.length(x) > 4)).cast("bigint").alias("n_long_tokens"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), 0)).cast("bigint").alias("n_a_words"),
+        F.concat_ws("_", F.slice("toks", 1, 3)).alias("head3"),
+    ).orderBy("doc_id")
