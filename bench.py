@@ -52,14 +52,41 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Round-1 lesson (VERDICT "What's wrong" #4): an ~2.2 kB line with 86
+    # per-query timings overflowed the driver's capture and BENCH_r01
+    # recorded parsed=null.  The stdout contract line stays compact —
+    # total plus the handful of headline queries — and the full per-query
+    # detail goes to BENCH_DETAIL.json next to this script.
+    headline = {
+        k: timings[k]
+        for k in (
+            "flagship_revenue_by_nation_year",
+            "pricing_summary",
+            "q3_shipping_priority",
+            "q5_supplier_volume_by_region",
+            "dedup_minhash_lsh",
+            "similarity_ann_ivf",
+        )
+        if k in timings
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {"metric": "headline_queries_total",
+             "value": round(sum(timings.values()), 3),
+             "unit": "sec", "queries": timings, "sf": sf_val},
+            f, indent=1,
+        )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": headline,
+                "sf": sf_val,
             }
         )
     )

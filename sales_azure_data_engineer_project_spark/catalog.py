@@ -37,21 +37,42 @@ class PathCatalog:
         os.makedirs(os.path.join(self.root, schema), exist_ok=True)
 
     def table_exists(self, schema: str, table: str) -> bool:
-        """S9: ``spark.catalog.tableExists`` (`3(1)_Gold_dim_model.py:56`)."""
+        """S9: ``spark.catalog.tableExists`` (`3(1)_Gold_dim_model.py:56`).
+
+        Recognizes all three layouts the engine itself writes: flat
+        parquet files, hive-partitioned subdirectories (``Year=.../``),
+        and ``VersionedTable`` roots (``v=N/`` dirs + ``_VERSION``
+        pointer).  Round 1 only looked at top-level ``*.parquet``, so
+        the engine's own primary formats read back as nonexistent.
+        """
         p = self.path(schema, table)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        )
+        if not os.path.isdir(p):
+            return False
+        if os.path.isfile(os.path.join(p, "_VERSION")):
+            return True
+        for _dirpath, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def view_name(self, schema: str, table: str) -> str:
         return f"{schema}_{table}"
 
     def register(self, schema: str, table: str) -> None:
         """S3: make the table SQL-addressable by name."""
-        df = self.spark.read.parquet(self.path(schema, table))
+        df = self.read(schema, table)
+        if df is None:
+            raise FileNotFoundError(self.path(schema, table))
         df.createOrReplaceTempView(self.view_name(schema, table))
 
     def read(self, schema: str, table: str) -> DataFrame | None:
         if not self.table_exists(schema, table):
             return None
-        return self.spark.read.parquet(self.path(schema, table))
+        p = self.path(schema, table)
+        if os.path.isfile(os.path.join(p, "_VERSION")):
+            # VersionedTable root: read the committed snapshot, not the
+            # raw tree (v=N dirs would parse as a partition column)
+            from .operators.versioned import VersionedTable
+
+            return VersionedTable(self.spark, p).read()
+        return self.spark.read.parquet(p)

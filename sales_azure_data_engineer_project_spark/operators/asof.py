@@ -60,16 +60,21 @@ def asof_join(
     right_side = F.lit(0 if not strict else 1)
     left_side = F.lit(1 if not strict else 0)
 
-    tie = (
-        F.col(right_tiebreak)
-        if right_tiebreak is not None
-        else F.lit(0)
-    )
+    # the tiebreak orders in its NATIVE type: an unconditional cast to
+    # long would turn e.g. a string tiebreak into all-NULLs and silently
+    # make the equal-ts winner nondeterministic again (ADVICE r1)
+    if right_tiebreak is not None:
+        tie_type = right.schema[right_tiebreak].dataType
+        r_tie = F.col(right_tiebreak)
+        l_tie = F.lit(None).cast(tie_type)
+    else:
+        r_tie = F.lit(0).cast("long")
+        l_tie = F.lit(0).cast("long")
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         right_side.alias("__side"),
-        tie.cast("long").alias("__tie"),
+        r_tie.alias("__tie"),
         F.struct(*payload).alias("__payload"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
@@ -77,7 +82,7 @@ def asof_join(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         left_side.alias("__side"),
-        F.lit(0).cast("long").alias("__tie"),
+        l_tie.alias("__tie"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         *lcols,
     )

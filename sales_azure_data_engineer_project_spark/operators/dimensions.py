@@ -31,7 +31,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..functions.scalar import dense_surrogate_key, next_key_offset
 
@@ -77,11 +76,23 @@ def build_scd1_dimension(
     nk = spec.nk_cols
     src = silver.select(*spec.natural_cols).distinct()  # P1
 
-    # Key-assignment order includes the attributes, not just the natural
-    # key: when source data violates the nk→attrs FD (the reference data
-    # does — e.g. empty vs. filled DealerName for one Dealer_ID), two
-    # distinct rows share the natural key and ordering by nk alone would
-    # assign their surrogates nondeterministically.
+    # Reference parity: the src dedup is DISTINCT over (nk, attrs) —
+    # `select Distinct Dealer_ID, DealerName` (`3(3)_Gold_dim_dealer.py:44`)
+    # — NOT one row per natural key.  If the input violates the nk→attrs
+    # FD, the initial load legitimately creates one dim row (and one
+    # surrogate) per variant, exactly like the reference.  (The
+    # reference's own CSVs do not violate the FD — every
+    # Dealer_ID/Branch_ID maps to one name — but synthetic dirt can.)
+    # Key-assignment therefore orders by ALL natural cols so variants
+    # sort deterministically.
+    #
+    # Incremental edge case, also reference parity: when a batch carries
+    # a NEW attribute variant of a natural key that already exists in
+    # the sink, the nk-join below hands both variants the sink's one
+    # surrogate, and the downstream merge aborts on the duplicate key —
+    # the same "multiple source rows matched" failure Delta's MERGE
+    # raises in the reference.  Fail-fast is the contract; callers that
+    # want collapse-to-one-variant semantics should pre-aggregate silver.
     order_cols = spec.natural_cols
 
     if sink is None or not sink.take(1):  # S9 tableExists branch

@@ -15,8 +15,14 @@ persisted per round and the previous round unpersisted, so lineage
 stays O(1) — without that, iteration k would replay all k-1 prior
 joins (the classic iterative-Spark trap).
 
-Driver involvement is one boolean per round (did any label change) —
-the loop is data-size-independent.
+Driver involvement is one scalar per round: because each node's label
+is min(own, neighbors') it is monotone non-increasing, so the SUM of
+all labels strictly decreases until fixpoint — an unchanged sum IS
+convergence.  That makes the per-round convergence check a single
+tree-aggregated scalar (no join of new-vs-old labels, which round 1
+paid as an extra shuffle per iteration).  The sum is computed in
+DECIMAL(38,0), exact for any realistic id space, so wraparound can
+never fake convergence.
 """
 
 from __future__ import annotations
@@ -53,9 +59,14 @@ def connected_components(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    prev_sum = label_sum(labels)
 
     for _ in range(max_iter):
         neighbor_labels = sym.join(
@@ -67,15 +78,12 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        # one action per round: materializes new_labels into the cache
+        # AND returns the convergence scalar
+        cur_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels

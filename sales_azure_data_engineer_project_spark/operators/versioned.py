@@ -68,7 +68,18 @@ class VersionedTable:
         """Commit a new version.  ``base_version`` enables optimistic
         concurrency: if another writer committed since the caller read
         that version, raise instead of silently clobbering their commit
-        (Delta's conflict-detection contract)."""
+        (Delta's conflict-detection contract).
+
+        The version directory is CLAIMED atomically: the data is staged
+        into a private ``._staged_*`` dir and published with one
+        ``os.rename`` onto ``v=N`` — rename fails if another writer
+        already owns ``v=N``.  A check-then-act scheme (r1: check
+        pointer, long parquet write straight into v=N, flip pointer)
+        left the whole write duration as a race window in which two
+        writers could interleave into the SAME directory; with
+        rename-publish the loser's data never becomes visible and it
+        gets ConcurrentWriteError instead.  A crashed writer leaves only
+        an invisible ``._staged_*`` dir (removed by ``vacuum``)."""
         cur = self.current_version()
         if base_version is not None and cur != base_version:
             raise ConcurrentWriteError(
@@ -76,12 +87,29 @@ class VersionedTable:
                 "re-read and retry the merge"
             )
         new_v = cur + 1
-        df.write.mode("overwrite").parquet(self._vdir(new_v))
-        # atomic pointer flip: write-temp + rename within the table root
+        staged = tempfile.mkdtemp(dir=self.root, prefix="._staged_")
+        # Spark refuses to write into an existing dir without overwrite
+        # mode; overwrite onto the fresh mkdtemp path is safe — we own it
+        df.write.mode("overwrite").parquet(staged)
+        try:
+            os.rename(staged, self._vdir(new_v))
+        except OSError as e:
+            import shutil
+
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"v{new_v} was claimed by a concurrent writer; "
+                "re-read and retry the merge"
+            ) from e
+        # pointer flip is monotonic: never move it backwards if a later
+        # commit already advanced it
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._VERSION_")
         with os.fdopen(fd, "w") as f:
             f.write(str(new_v))
-        os.replace(tmp, self._pointer)
+        if self.current_version() > new_v:
+            os.unlink(tmp)
+        else:
+            os.replace(tmp, self._pointer)
         return new_v
 
     def overwrite(self, df: DataFrame) -> int:
@@ -129,4 +157,7 @@ class VersionedTable:
                 if v <= cur - keep_last:
                     shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
                     dropped.append(v)
+            elif name.startswith("._staged_"):
+                # abandoned claim from a crashed writer — never visible
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
         return sorted(dropped)

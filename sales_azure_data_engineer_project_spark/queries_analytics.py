@@ -33,7 +33,7 @@ from .queries_core import register
                 PARTITION BY l_suppkey
                 ORDER BY l_shipdate, l_orderkey, l_linenumber
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(18,2)) AS running_qty
+           ) AS DOUBLE) AS running_qty
     FROM lineitem
     WHERE l_suppkey <= 5
     ORDER BY l_suppkey, l_orderkey, l_linenumber
@@ -53,7 +53,7 @@ def running_total_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             F.sum(F.col("l_quantity").cast("decimal(12,2)"))
             .over(w)
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("running_qty"),
         )
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
@@ -63,7 +63,7 @@ def running_total_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_parts_per_brand",
     """
-    SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS retailprice, rk
+    SELECT p_brand, p_partkey, p_retailprice AS retailprice, rk
     FROM (
         SELECT p_brand, p_partkey, p_retailprice,
                CAST(ROW_NUMBER() OVER (
@@ -91,7 +91,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_brand",
             "p_partkey",
-            F.col("p_retailprice").cast("decimal(12,2)").alias("retailprice"),
+            F.col("p_retailprice").alias("retailprice"),
             "rk",
         )
         .orderBy("p_brand", "rk")
@@ -102,11 +102,11 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "price_delta_vs_prev_order",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+           o_totalprice AS totalprice,
            CAST(CAST(o_totalprice AS DECIMAL(12,2)) -
                 LAG(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-                AS DECIMAL(13,2)) AS delta_prev
+                AS DOUBLE) AS delta_prev
     FROM orders
     WHERE o_custkey <= 50
     ORDER BY o_custkey, o_orderkey
@@ -120,8 +120,8 @@ def price_delta_vs_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            price.alias("totalprice"),
-            (price - F.lag(price).over(w)).cast("decimal(13,2)").alias("delta_prev"),
+            F.col("o_totalprice").alias("totalprice"),
+            (price - F.lag(price).over(w)).cast("double").alias("delta_prev"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -136,7 +136,7 @@ def price_delta_vs_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_above_avg_price",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice
+    SELECT o_orderkey, o_totalprice AS totalprice
     FROM orders
     WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
           > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) FROM orders)
@@ -147,7 +147,7 @@ def orders_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_testdata(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
-        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice
+        SELECT o_orderkey, o_totalprice AS totalprice
         FROM orders
         WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
               > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) FROM orders)
@@ -166,8 +166,8 @@ def orders_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_returnflag_status",
     """
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_o,
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_f
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -184,8 +184,8 @@ def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         piv.select(
             "l_returnflag",
-            F.col("O").cast("decimal(18,2)").alias("qty_o"),
-            F.col("F").cast("decimal(18,2)").alias("qty_f"),
+            F.col("O").cast("double").alias("qty_o"),
+            F.col("F").cast("double").alias("qty_f"),
         )
         .orderBy("l_returnflag")
     )
@@ -195,7 +195,7 @@ def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -208,7 +208,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -232,7 +232,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_us,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY hour_us, event_type
@@ -248,7 +248,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_value"),
         )
         .orderBy("hour_us", "event_type")
@@ -389,7 +389,7 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (
         SELECT event_id, user_id, event_type,
                epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-               CAST(value AS DECIMAL(12,2)) AS value
+               value
         FROM events
     ),
     tagged AS (
@@ -399,7 +399,7 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ev WHERE event_type = 'purchase'
         UNION ALL
         SELECT user_id AS k, ts_us AS wts, 1 AS side, 0 AS tie,
-               NULL::BIGINT AS p_ts, NULL::DECIMAL(12,2) AS p_value,
+               NULL::BIGINT AS p_ts, NULL::DOUBLE AS p_value,
                event_id, ts_us AS l_ts
         FROM ev WHERE event_type = 'click'
     ),
@@ -427,7 +427,7 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.unix_micros("ts").alias("ts_us"),
-        F.col("value").cast("decimal(12,2)").alias("value"),
+        "value",
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts_us"
@@ -479,7 +479,7 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(value) OVER (
                 PARTITION BY user_id ORDER BY ts_us
                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(18,2)) AS rolling_1h_value
+           ) AS DOUBLE) AS rolling_1h_value
     FROM ev
     ORDER BY event_id
     """,
@@ -501,7 +501,7 @@ def events_rolling_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "ts_us",
-            F.sum("value").over(w).cast("decimal(18,2)").alias("rolling_1h_value"),
+            F.sum("value").over(w).cast("double").alias("rolling_1h_value"),
         )
         .orderBy("event_id")
     )
@@ -598,7 +598,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_losses",
     """
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -623,7 +623,7 @@ def q10_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -661,7 +661,7 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unpivot_measures",
     """
-    SELECT o_orderkey, measure, CAST(val AS DECIMAL(14,2)) AS val
+    SELECT o_orderkey, measure, CAST(val AS DOUBLE) AS val
     FROM (
         SELECT o_orderkey,
                CAST(o_totalprice AS DECIMAL(14,2)) AS totalprice,
@@ -680,9 +680,11 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(14,2)").alias("totalprice"),
         F.col("o_custkey").cast("decimal(14,2)").alias("custkey"),
     )
-    return wide.unpivot(
-        "o_orderkey", ["totalprice", "custkey"], "measure", "val"
-    ).orderBy("o_orderkey", "measure")
+    return (
+        wide.unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "val")
+        .withColumn("val", F.col("val").cast("double"))
+        .orderBy("o_orderkey", "measure")
+    )
 
 
 @register(
@@ -738,7 +740,7 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS volume
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -771,7 +773,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
-        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("volume"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("volume"))
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
 
@@ -789,8 +791,8 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation ns ON s.s_nationkey = ns.n_nationkey
     )
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DECIMAL(18,4)) AS nation_volume,
-           CAST(SUM(volume) AS DECIMAL(18,4)) AS total_volume
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DOUBLE) AS nation_volume,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
     FROM volumes
     GROUP BY o_year
     ORDER BY o_year
@@ -814,9 +816,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.sum(F.when(F.col("n_name") == "NATION_3", vol))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("nation_volume"),
-            F.sum(vol).cast("decimal(18,4)").alias("total_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
         )
         .orderBy("o_year")
     )
@@ -864,9 +866,9 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
            CAST(SUM(CASE WHEN p_type LIKE 'TYPE_1%'
                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END)
-                AS DECIMAL(18,4)) AS promo_revenue,
+                AS DOUBLE) AS promo_revenue,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))
-                AS DECIMAL(18,4)) AS total_revenue
+                AS DOUBLE) AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY CAST(year(l_shipdate) AS INTEGER)
     ORDER BY ship_year
@@ -885,9 +887,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg(
             F.sum(F.when(F.col("p_type").like("TYPE_1%"), rev))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("promo_revenue"),
-            F.sum(rev).cast("decimal(18,4)").alias("total_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
         )
         .orderBy("ship_year")
     )
@@ -898,7 +900,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS total_revenue
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
         FROM lineitem
         GROUP BY l_suppkey
     )
@@ -921,7 +923,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast("decimal(12,2)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
             )
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("total_revenue")
         )
     )
@@ -944,7 +946,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT substr(c_name, 1, 9) AS name_prefix,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS totacctbal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM customer c, avg_bal
     WHERE CAST(c_acctbal AS DECIMAL(12,2)) * avg_bal.n > avg_bal.s
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -972,7 +974,7 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.substring("c_name", 1, 9).alias("name_prefix"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(bal).cast("decimal(18,2)").alias("totacctbal"),
+            F.sum(bal).cast("double").alias("totacctbal"),
         )
         .orderBy("name_prefix")
     )

@@ -6,9 +6,13 @@ DuckDB ``oracle_sql()`` twin.  Determinism/hash-stability rules:
 - Aggregates over doubles are cast to DECIMAL *before* summing on BOTH
   sides: decimal arithmetic is exact, so the result is independent of
   partial-aggregation order (a double sum is not).
-- Final aggregate types are explicitly cast (Spark sum(decimal(p,s)) →
-  decimal(p+10,s); DuckDB → decimal(38,s); an explicit outer cast makes
-  them agree).
+- Final projected columns are never DECIMAL: the exact decimal result
+  gets one outer CAST(... AS DOUBLE) on BOTH sides.  Spark's toPandas
+  keeps decimals as ``decimal.Decimal`` (scale-preserving, '2547.40')
+  while DuckDB's pandas path yields float64 ('2547.4'), so a DECIMAL
+  output can never hash-match in the driver's pandas-level canonical
+  compare.  decimal→double is the correctly-rounded IEEE conversion in
+  both engines, so identical exact decimals become identical doubles.
 - Integer sums are cast to BIGINT (DuckDB sums integers into HUGEINT).
 - Every computed column is aliased identically in Spark and SQL.
 - Ties in any top-k / window ordering are broken by a unique column.
@@ -56,7 +60,7 @@ def register(name: str, oracle: str | None):
     """
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total_revenue,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -82,7 +86,7 @@ def flagship_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
@@ -103,9 +107,9 @@ def flagship_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -120,9 +124,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -207,10 +211,10 @@ def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "union_segments",
     """
-    SELECT c_custkey, c_mktsegment AS segment, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+    SELECT c_custkey, c_mktsegment AS segment, c_acctbal AS acctbal
     FROM customer WHERE c_mktsegment = 'BUILDING'
     UNION ALL
-    SELECT c_custkey, c_mktsegment AS segment, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+    SELECT c_custkey, c_mktsegment AS segment, c_acctbal AS acctbal
     FROM customer WHERE c_mktsegment = 'MACHINERY'
     ORDER BY c_custkey
     """,
@@ -222,7 +226,7 @@ def union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         return customer.filter(F.col("c_mktsegment") == seg).select(
             "c_custkey",
             F.col("c_mktsegment").alias("segment"),
-            F.col("c_acctbal").cast("decimal(12,2)").alias("acctbal"),
+            F.col("c_acctbal").alias("acctbal"),
         )
 
     return slice_of("BUILDING").unionByName(slice_of("MACHINERY")).orderBy("c_custkey")
@@ -261,7 +265,7 @@ def max_order_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "star_join_sales",
     """
     SELECT p.p_brand, s.s_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS units
     FROM lineitem l
     LEFT JOIN part p ON l.l_partkey = p.p_partkey
@@ -289,7 +293,7 @@ def star_join_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p_brand", "s_name")
         .agg(
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
             F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("units"),
         )
         .orderBy("p_brand", "s_name")
@@ -305,9 +309,9 @@ def star_join_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "derived_columns",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS net_price,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS net_price,
            CAST(l_quantity AS VARCHAR) AS qty_str,
-           CAST(CAST(l_tax AS DECIMAL(4,2)) + CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(6,2)) AS tax_plus_disc
+           CAST(CAST(l_tax AS DECIMAL(4,2)) + CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS tax_plus_disc
     FROM lineitem
     WHERE l_orderkey < 50
     ORDER BY l_orderkey, l_linenumber
@@ -323,9 +327,9 @@ def derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            (price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("net_price"),
+            (price * (F.lit(1) - disc)).cast("double").alias("net_price"),
             F.col("l_quantity").cast("string").alias("qty_str"),
-            (tax + disc).cast("decimal(6,2)").alias("tax_plus_disc"),
+            (tax + disc).cast("double").alias("tax_plus_disc"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
@@ -339,7 +343,7 @@ def derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_orders",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice, o_orderpriority
+    SELECT o_orderkey, o_totalprice AS totalprice, o_orderpriority
     FROM orders
     ORDER BY totalprice DESC, o_orderkey ASC
     LIMIT 25
@@ -350,7 +354,7 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.select(
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(12,2)").alias("totalprice"),
+            F.col("o_totalprice").alias("totalprice"),
             "o_orderpriority",
         )
         .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
@@ -398,7 +402,7 @@ def dim_dense_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
     FROM customer
     GROUP BY c_mktsegment
     HAVING COUNT(*) > 200
@@ -412,7 +416,7 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_bal"),
         )
         .filter(F.col("n_customers") > 200)
@@ -424,7 +428,7 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "richest_customer_per_nation",
     """
     SELECT c_nationkey, c_custkey, c_name,
-           CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+           c_acctbal AS acctbal
     FROM customer c
     WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
                        WHERE c2.c_nationkey = c.c_nationkey)
@@ -439,7 +443,7 @@ def richest_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_nationkey, c_custkey, c_name,
-               CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+               c_acctbal AS acctbal
         FROM customer c
         WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
@@ -453,7 +457,7 @@ def richest_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
     GROUP BY o_orderstatus
@@ -472,7 +476,7 @@ def orders_of_overdrawn_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total"),
         )
         .orderBy("o_orderstatus")
@@ -600,7 +604,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal < 5000 THEN 'standard'
                 ELSE 'premium' END AS tier,
            coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULTED') AS seg_or_default,
-           CAST(greatest(CAST(c_acctbal AS DECIMAL(12,2)), 0.00) AS DECIMAL(12,2)) AS bal_floor,
+           greatest(c_acctbal, CAST(0.0 AS DOUBLE)) AS bal_floor,
            CASE WHEN c_nationkey % 2 = 0 THEN TRUE ELSE FALSE END AS even_nation
     FROM customer
     WHERE c_custkey < 200
@@ -621,9 +625,7 @@ def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("DEFAULTED")).alias(
                 "seg_or_default"
             ),
-            F.greatest(bal.cast("decimal(12,2)"), F.lit(0).cast("decimal(12,2)"))
-            .cast("decimal(12,2)")
-            .alias("bal_floor"),
+            F.greatest(bal, F.lit(0.0)).alias("bal_floor"),
             (F.col("c_nationkey") % 2 == 0).alias("even_nation"),
         )
         .orderBy("c_custkey")
@@ -635,7 +637,7 @@ def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           list_sort(list(c_mktsegment)) AS segments
+           array_to_string(list_sort(list(c_mktsegment)), '|') AS segments
     FROM customer
     WHERE c_custkey < 40
     GROUP BY c_nationkey
@@ -646,14 +648,17 @@ def orders_per_customer_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: collect_list is unordered in a
     distributed engine, so sort_array makes it comparable (DuckDB
     list() preserves arrival order — also made deterministic by the
-    sort)."""
+    sort).  The sorted array is projected as a '|'-joined string: the
+    driver's pandas canonicalizer cannot hash list cells (unhashable),
+    so the comparison surface is a scalar while the operator under test
+    stays sorted array_agg."""
     customer = load_testdata(spark, sf_dir, "customer")
     return (
         customer.filter(F.col("c_custkey") < 40)
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sort_array(F.collect_list("c_mktsegment")).alias("segments"),
+            F.concat_ws("|", F.sort_array(F.collect_list("c_mktsegment"))).alias("segments"),
         )
         .orderBy("c_nationkey")
     )
@@ -715,7 +720,7 @@ def empty_schema_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -754,7 +759,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(20)
@@ -765,7 +770,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_supplier_volume_by_region",
     """
     SELECT r.r_name AS region, n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -790,7 +795,7 @@ def q5_supplier_volume_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey, "inner")
         .groupBy("region", "nation")
-        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
         .orderBy("region", F.col("revenue").desc(), "nation")
     )
 
@@ -883,7 +888,7 @@ def cross_join_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -895,7 +900,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -963,7 +968,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'BRAND_1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
@@ -989,7 +994,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(rev).cast("decimal(18,4)").alias("revenue"),
+            F.sum(rev).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -1030,7 +1035,7 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue,
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1056,7 +1061,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast("decimal(12,2)")
                 * F.col("l_discount").cast("decimal(4,2)")
             )
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -1073,7 +1078,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.band,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
     FROM orders o JOIN bands b
       ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
     GROUP BY b.band
@@ -1099,7 +1104,7 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total"),
         )
         .orderBy("band")
@@ -1138,3 +1143,203 @@ def array_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), 0)).cast("bigint").alias("n_a_words"),
         F.concat_ws("_", F.slice("toks", 1, 3)).alias("head3"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join distribution histogram.  The LEFT
+    join's extra non-key predicate must live in the JOIN condition (a
+    WHERE would drop the zero-order customers the histogram exists to
+    count).  Two aggregations, but the second groups ~50 distinct
+    counts — its Exchange is trivial; the first shuffles on c_custkey
+    only because the join itself already did (AQE reuses the
+    partitioning)."""
+    customer = load_testdata(spark, sf_dir, "customer")
+    orders = load_testdata(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy(customer.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH brand_lines AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'BRAND_1'
+    ),
+    avg_qty AS (
+        SELECT l_partkey, 0.2 * AVG(l_quantity) AS threshold
+        FROM brand_lines GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM brand_lines b JOIN avg_qty a ON b.l_partkey = a.l_partkey
+    WHERE b.l_quantity < a.threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-key average as a join back onto the fact
+    (the decorrelated form of Q17's correlated scalar subquery — write
+    it decorrelated ourselves instead of trusting each engine's
+    rewrite).  The part-filtered lineitem slice is computed ONCE as a
+    broadcast-pruned scan, then self-joined on l_partkey; both sides of
+    that join shuffle on the same key so AQE plans a single exchange
+    pair.  Quantities are integral doubles, so AVG is exact and the
+    0.2× threshold compares identically in both engines."""
+    part = load_testdata(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "BRAND_1"
+    ).select("p_partkey")
+    li = load_testdata(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).drop(
+        "p_partkey"
+    )
+    avg_qty = brand_lines.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+    )
+    joined = brand_lines.alias("b").join(
+        avg_qty.alias("a"), F.col("b.l_partkey") == F.col("a.l_partkey")
+    )
+    return joined.filter(F.col("b.l_quantity") < F.col("a.threshold")).agg(
+        (
+            F.sum(F.col("b.l_extendedprice").cast("decimal(12,2)")).cast("double")
+            / F.lit(7.0)
+        )
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS orderdate,
+           o.o_totalprice AS totalprice,
+           big.sum_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate driving a star probe.
+    The big-order set is tiny after the >300 filter (sub-percent of
+    orders), so it is the BROADCAST side into orders — the plan never
+    shuffles orders or customer on the join key.  At 100 TB the same
+    holds: the aggregate shrinks lineitem by ~4× lines/order, the
+    HAVING by another ~100×, so the broadcast stays MB-sized."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    orders = load_testdata(spark, sf_dir, "orders")
+    customer = load_testdata(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey", F.col("sq").cast("double").alias("sum_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit_adapted",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(4,2))
+               ) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, adapted: the corpus has no partsupp table, so
+    ps_supplycost is proxied by 10% of p_retailprice (cost model noted,
+    not hidden — the PLAN shape is the thing under test: a five-table
+    join where part/supplier/nation broadcast and lineitem-orders is the
+    one shuffle pair).  All arithmetic stays in exact decimals until the
+    final DOUBLE cast."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    part = load_testdata(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supplier = load_testdata(spark, sf_dir, "supplier")
+    nation = load_testdata(spark, sf_dir, "nation")
+    orders = load_testdata(spark, sf_dir, "orders")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        * F.lit("0.10").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(price * (F.lit(1) - disc) - cost).cast("double").alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )

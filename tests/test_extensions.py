@@ -101,3 +101,58 @@ def test_multimodal_extract_features(spark):
     out = M.extract_features(M.attach_binary_payload(df)).first()
     assert out["n_bytes"] == 11
     assert out["width"] == 11 % 640 and out["height"] == (7 * 11) % 480
+
+
+def test_embedding_lsh_vs_blocked_brute(spark, sf_smoke):
+    """The UNBLOCKED all-pairs cosine join (O(N²) — demoted from the
+    registered query surface per VERDICT r1 item 6) survives here at
+    sf0.001 as the ground truth that cross-validates both scale tiers:
+
+    - the registered blocked brute force (`dedup_embedding_cosine`,
+      equi-join on vec_id//512) must equal ground truth restricted to
+      within-block pairs — i.e. it trades COVERAGE, never correctness;
+    - the sign-LSH tier's candidate pairs must be a subset of the
+      all-pairs universe with recall > 0 on this corpus (recall < 1 is
+      by design; exactness of the scores is oracle-checked separately).
+    """
+    import __spark_entry__ as entry_mod
+
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+
+    emb = S.with_norm(load_testdata(spark, sf_smoke, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("_v").alias("va"), F.col("_norm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb")
+    )
+    cos = S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    def all_pairs(threshold: float) -> set[tuple[int, int]]:
+        return {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(cos >= threshold)
+            .select("id_a", "id_b")
+            .collect()
+        }
+
+    qs = entry_mod.queries()
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in qs["dedup_embedding_cosine"](spark, sf_smoke).collect()
+    }
+    within_block_truth = {
+        (x, y) for x, y in all_pairs(0.45) if x // 512 == y // 512
+    }
+    assert blocked == within_block_truth
+
+    # the LSH tier runs at its own threshold (0.4)
+    truth_lsh = all_pairs(0.4)
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in qs["dedup_embedding_lsh"](spark, sf_smoke).collect()
+    }
+    assert lsh <= truth_lsh
+    if truth_lsh:
+        assert len(lsh) > 0

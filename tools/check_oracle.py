@@ -1,18 +1,26 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — pandas-path faithful.
 
-Runs every ``__spark_entry__.queries()`` entry on Spark and its
-``oracle_sql()`` twin on DuckDB over the same parquet, then compares
-row-count, sorted column names, and an order-insensitive canonical
-value multiset.  Strict by default (exact value equality after
-canonicalization) so that passing here makes the driver's hash compare
-very likely to pass.
+Round-1 lesson (VERDICT.md "What's wrong" #1): the driver compares
+``sdf.toPandas()`` against ``duckdb_con.execute(sql).df()`` and hashes a
+string canonicalization of the cells.  Spark's toPandas keeps DECIMAL
+columns as ``decimal.Decimal`` objects with scale preserved ('2547.40')
+while DuckDB's pandas path converts DECIMAL to float64 ('2547.4'), so a
+value-exact comparison (collect vs fetchall, Decimal == Decimal) passes
+where the driver's hash fails.  This gate therefore:
+
+- converts through the SAME pandas paths the driver uses;
+- canonicalizes ``decimal.Decimal`` WITHOUT normalizing scale (so a
+  trailing-zero mismatch fails here exactly like it fails there);
+- treats list/array cells as hard errors (pandas lexsort crashes on
+  unhashable cells in the driver — 'orders_per_customer_array' r1);
+- flags any per-column pandas dtype disagreement, the leading indicator
+  of the whole failure class.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
 
-import decimal
 import math
 import os
 import sys
@@ -21,31 +29,42 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def canon(v):
+def canon_cell(v) -> str:
+    """Stringify one pandas cell the way a canonical hash would see it.
+
+    Floats use repr (shortest round-trip — two floats produce the same
+    string iff they are the same double).  Decimals use str WITH scale
+    (driver-faithful: Decimal('2547.40') != float 2547.4).
+    """
+    import numpy as np
+
     if v is None:
         return "\x00NULL"
-    if isinstance(v, bool):
+    if isinstance(v, float) and math.isnan(v):
+        return "\x00NULL"
+    if isinstance(v, np.floating):
+        fv = float(v)
+        return "\x00NULL" if math.isnan(fv) else repr(fv)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise TypeError(f"unhashable array cell (driver would crash): {v!r}")
+    if isinstance(v, (bool, np.bool_)):
         return f"b:{int(v)}"
-    if isinstance(v, decimal.Decimal):
-        return f"d:{v.normalize():f}" if v != 0 else "d:0"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "f:nan"
-        return f"f:{v!r}"
-    if isinstance(v, int):
-        return f"i:{v}"
-    if isinstance(v, bytes):
-        return f"x:{v.hex()}"
+        return repr(v)
     if hasattr(v, "isoformat"):
         return f"t:{v.isoformat()}"
-    if isinstance(v, (list, tuple)):
-        return "l:[" + ",".join(canon(x) for x in v) + "]"
-    return f"s:{v}"
+    return str(v)
 
 
-def rows_canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+def canon_frame(pdf) -> list[str]:
+    cols = sorted(pdf.columns)
+    out = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out.append("|".join(canon_cell(v) for v in row))
+    out.sort()
+    return out
 
 
 def main() -> int:
@@ -55,12 +74,11 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entry_mod
+    from sales_azure_data_engineer_project_spark.schemas import TESTDATA_TABLES
     from sales_azure_data_engineer_project_spark.session import get_spark
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
-    from sales_azure_data_engineer_project_spark.schemas import TESTDATA_TABLES
-
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -75,40 +93,55 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
+            print(
+                f"ok   {name}: rows-only ({len(spdf)} rows, no oracle) "
+                f"[{time.time()-t0:.1f}s]"
+            )
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
         msgs = []
-        if len(srows) != len(drows):
-            msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(spdf) != len(dpdf):
+            msgs.append(f"rowcount spark={len(spdf)} duck={len(dpdf)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            msgs.append(
+                f"cols spark={sorted(spdf.columns)} duck={sorted(dpdf.columns)}"
+            )
         if not msgs:
-            sc = rows_canon(scols, [list(r) for r in srows])
-            dc = rows_canon(dcols, drows)
-            if sc != dc:
-                diff = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
-                msgs.append(f"values differ; first diffs: {diff}")
+            # dtype-kind parity: the canary for the decimal/object-vs-
+            # float64 class even when stringified values happen to agree.
+            # Same-kind width differences (int32 vs int64) canonicalize
+            # to the same value strings, so they only warn.
+            for c in sorted(spdf.columns):
+                sd, dd = spdf[c].dtype, dpdf[c].dtype
+                if sd.kind != dd.kind:
+                    msgs.append(f"dtype[{c}] spark={sd} duck={dd}")
+                elif str(sd) != str(dd):
+                    print(f"warn {name}: dtype[{c}] spark={sd} duck={dd}")
+        if not msgs:
+            try:
+                sc, dc = canon_frame(spdf), canon_frame(dpdf)
+            except TypeError as e:
+                msgs.append(str(e))
+            else:
+                if sc != dc:
+                    diff = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+                    msgs.append(f"values differ; first diffs: {diff}")
         if msgs:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(msgs)}")
         else:
-            print(f"ok   {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
+            print(f"ok   {name}: {len(spdf)} rows match [{time.time()-t0:.1f}s]")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
