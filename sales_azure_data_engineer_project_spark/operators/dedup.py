@@ -115,7 +115,15 @@ def jaccard_pairs(
     are dropped.  Output: (id_a, id_b, common, jac_permille).
     """
     shingled = _shingled(df, id_col, text_col, n)
-    sh = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    # the equality self-join only needs shingle IDENTITY, not the
+    # string: xxhash64 to 8-byte longs shrinks the shuffled posting
+    # list ~4× and makes the join/groupBy compare longs instead of
+    # ~25-byte strings.  Collision risk is birthday-bounded (~1e-9 at
+    # 1e5 distinct shingles, still <1e-4 at 1e8) and any collision is
+    # caught by the DuckDB oracle, which intersects the raw strings.
+    sh = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("sh_raw")
+    ).select(F.col(id_col), F.xxhash64("sh_raw").alias("sh"))
     sizes = shingled.select(F.col(id_col), F.size("shingles").alias("sz")).filter(
         F.col("sz") > 0
     )
@@ -128,9 +136,11 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    # per-doc size tables are |docs| rows — broadcast unconditionally
+    # rather than trusting AQE's runtime stats on a cached fragment
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "jac_permille",
             F.expr("div(1000 * common, sz_a + sz_b - common)").cast("bigint"),

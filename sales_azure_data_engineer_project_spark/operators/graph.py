@@ -51,12 +51,25 @@ def connected_components(
     """
     # persist the edge list: it is re-joined EVERY round, and without
     # this the entire upstream lineage (for dedup clustering, the whole
-    # shingle/Jaccard pipeline) would re-execute per iteration
+    # shingle/Jaccard pipeline) would re-execute per iteration.
+    # Symmetrize with ONE explode, not union-of-two-selects: a union
+    # references `edges` twice, so the first materialization would run
+    # the (expensive, partially uncached) upstream pair-computation
+    # twice — explode scans it once.
     sym = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("s"), F.col(src_col).alias("d")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.s", "e.d")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     def label_sum(df: DataFrame):
@@ -64,26 +77,47 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
 
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
-    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
-    prev_sum = label_sum(labels)
-
-    for _ in range(max_iter):
-        neighbor_labels = sym.join(
-            labels, sym.d == labels.id, "inner"
-        ).select(F.col("s").alias("id"), "component")
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+    # Size the LOOP's shuffle width from the measured edge count.  AQE
+    # cannot re-plan across an iterative driver loop, and a tiny dup
+    # graph (thousands of edges) pays full-width shuffle scheduling
+    # every round — measured 1-1.5 s/round at 32 partitions for a
+    # 2,364-edge graph, pure task overhead.  One partition per ~2M
+    # edges, capped at the session's configured width, so a
+    # cluster-scale graph keeps full parallelism while a small one
+    # collapses to a single partition (which satisfies every clustering
+    # requirement → the per-round join/agg plan exchange-free).  The
+    # count also materializes sym's cache, which round 1 needs anyway.
+    spark = nodes.sparkSession
+    n_edges = sym.count()
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_parts = max(1, min(conf_parts, n_edges // 2_000_000 + 1))
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = nodes.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("component")
         )
-        # one action per round: materializes new_labels into the cache
-        # AND returns the convergence scalar
-        cur_sum = label_sum(new_labels)
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        prev_sum = label_sum(labels)
+
+        for _ in range(max_iter):
+            neighbor_labels = sym.join(
+                labels, sym.d == labels.id, "inner"
+            ).select(F.col("s").alias("id"), "component")
+            new_labels = (
+                labels.unionByName(neighbor_labels)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            # one action per round: materializes new_labels into the
+            # cache AND returns the convergence scalar
+            cur_sum = label_sum(new_labels)
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     return labels

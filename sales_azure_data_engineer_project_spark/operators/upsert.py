@@ -37,7 +37,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "merge_write_parquet"]
+__all__ = ["merge_upsert", "merge_write_parquet", "merge_write_partitioned"]
 
 
 def merge_upsert(
@@ -121,3 +121,66 @@ def merge_write_parquet(
     else:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         os.rename(staging, path)
+
+
+def merge_write_partitioned(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+    *,
+    assert_unique: bool = True,
+) -> list:
+    """MERGE INTO a hive-partitioned parquet table, rewriting ONLY the
+    partitions the source touches.
+
+    This is the bounded-rewrite MERGE the 100 TB gold zone needs (the
+    module docstring's scale note, now implemented): ``merge_write_parquet``
+    rewrites the whole table per merge — fine for dimension-sized
+    tables, ruinous for a fact table where a daily batch touches 1 of
+    ~2,000 date partitions.  Here:
+
+    1. the affected partition values are the source's distinct
+       ``partition_col`` values (one small collect — partitions per
+       batch, not rows);
+    2. the target is read with an IN-list filter on ``partition_col``
+       that prunes to exactly those directories (partition pruning —
+       the scan never touches the other ~1,999);
+    3. the merged slice is written back via dynamic partition overwrite
+       (``partitionOverwriteMode=dynamic``), which replaces only the
+       partitions present in the written frame.
+
+    ``partition_col`` must be functionally determined by the merge keys
+    (a row may not move between partitions), which holds for any
+    date-grained fact whose key includes the date.  Returns the list of
+    partition values rewritten.
+    """
+    if partition_col not in source.columns:
+        raise ValueError(f"source lacks partition column {partition_col!r}")
+    affected = [
+        r[0] for r in source.select(partition_col).distinct().collect()
+    ]
+    exists = os.path.isdir(path) and any(
+        name.startswith(f"{partition_col}=") for name in os.listdir(path)
+    )
+    if exists:
+        target_slice = spark.read.parquet(path).filter(
+            F.col(partition_col).isin(affected)
+        )
+        merged = merge_upsert(
+            target_slice, source, keys, assert_unique=assert_unique
+        )
+    else:
+        merged = merge_upsert(None, source, keys, assert_unique=assert_unique)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return sorted(affected)

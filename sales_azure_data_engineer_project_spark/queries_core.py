@@ -501,13 +501,24 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ``quantile_cont`` share the (n−1)p linear-interpolation
     definition; verified bitwise-identical on this corpus."""
     li = load_testdata(spark, sf_dir, "lineitem")
+    # one percentile(col, array(...)) call, not three: the exact
+    # percentile aggregate buffers the group's values once per CALL, so
+    # the array form is ~3× cheaper in both memory and sort time
+    # (measured 4.8 s → expected ~1.7 s at sf0.1)
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
-            F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
-            F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))"
+            ).alias("ps"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("ps", 1).alias("p25"),
+            F.element_at("ps", 2).alias("p50"),
+            F.element_at("ps", 3).alias("p75"),
+            "n",
         )
         .orderBy("l_returnflag")
     )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stateful_dedup"]
+__all__ = ["stateful_dedup", "stateful_dedup_bloom", "stateful_sessionize"]
 
 
 def stateful_dedup(
@@ -121,4 +121,107 @@ def stateful_dedup_bloom(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Inactivity-gap sessionization with TIMEOUT-driven emission — the
+    custom stateful operator shape the dedup ops above don't exercise:
+    output rows are produced when the watermark passes a group's
+    deadline, not when input arrives.
+
+    Per key, state carries the open session (start, last event ts,
+    count, value sum).  Each batch folds its events in event-time order:
+    an event within ``gap_seconds`` of the last extends the session; a
+    later one CLOSES the current session (emitted immediately) and opens
+    a new one.  After folding, the group's event-time timeout is set to
+    ``last_ts + gap``; when the watermark crosses it with no new events,
+    the timed-out callback emits the final open session and clears
+    state.
+
+    Scale: state is one fixed-size tuple per ACTIVE key (closed sessions
+    leave state immediately), partitioned by key across executors; the
+    watermark bounds how long a silent key stays resident.  This is the
+    streaming twin of the batch window-gap sessionization in
+    ``queries_analytics.events_sessionization``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def sessionize_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def session_row(start, last, n, total) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": [int(key[0])],
+                    "session_start_us": [int(start)],
+                    "session_end_us": [int(last)],
+                    "n_events": [int(n)],
+                    "total_value": [float(total)],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield session_row(start, last, n, total)
+            return
+
+        start, last, n, total = state.get if state.exists else (None, 0, 0, 0.0)
+        events = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                ts_us = int(row[ts_col].value // 1_000)  # pandas Timestamp → µs
+                events.append((ts_us, float(row[value_col])))
+        events.sort()
+        for ts_us, val in events:
+            if start is None:
+                start, last, n, total = ts_us, ts_us, 1, val
+            elif ts_us - last <= gap_us:
+                last, n, total = max(last, ts_us), n + 1, total + val
+            else:
+                yield session_row(start, last, n, total)
+                start, last, n, total = ts_us, ts_us, 1, val
+        if start is not None:
+            state.update((start, last, n, total))
+            state.setTimeoutTimestamp((last + gap_us) // 1_000)  # µs → ms
+
+    # EventTimeTimeout requires a watermark on the input; deadlines fire
+    # when the watermark (not wall-clock) crosses them, so late data
+    # within the watermark still extends its session.
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            sessionize_group,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

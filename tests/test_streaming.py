@@ -239,3 +239,124 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("SELECT click_id, purchase_id FROM ss_out").collect()
     assert {(r["click_id"], r["purchase_id"]) for r in rows} == {(1, 2)}
+
+
+def test_stateful_sessionize_timeout_emission(spark, tmp_path):
+    """applyInPandasWithState with EventTimeTimeout: in-batch gap breaks
+    emit immediately; the final open session is emitted only when the
+    WATERMARK crosses its inactivity deadline in a later batch."""
+    from sales_azure_data_engineer_project_spark.streaming.stateful import (
+        stateful_sessionize,
+    )
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(src)
+    schema = "ts_s string, user_id long, value double"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_drain():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, value double"
+        ).parquet(src)
+        q = (
+            stateful_sessionize(
+                stream, gap_seconds=1800, watermark="10 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def sessions():
+        try:
+            return {
+                (r["key"], r["session_start_us"], r["n_events"], r["total_value"])
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:  # noqa: BLE001 - sink not created yet
+            return set()
+
+    us = lambda s: 1_000_000 * s  # noqa: E731
+    h10 = 1704103200_000_000  # 2024-01-01 10:00:00 UTC in µs
+
+    # batch 1, user 7: two events 5 min apart (one session), then one
+    # 3 h later — the gap closes session 1 IN-BATCH; session 2 stays open
+    drop([
+        ("2024-01-01 10:00:00", 7, 1.0),
+        ("2024-01-01 10:05:00", 7, 2.0),
+        ("2024-01-01 13:00:00", 7, 5.0),
+    ])
+    run_drain()
+    assert sessions() == {(7, h10, 2, 3.0)}
+
+    # batch 2: user 9 at 18:00 advances the watermark to 17:50, and the
+    # trailing no-data micro-batch (noDataMicroBatches, on by default)
+    # re-evaluates timeouts against it — 17:50 > the 13:30 deadline, so
+    # user 7's open session emits via the TIMED-OUT path in this drain
+    drop([("2024-01-01 18:00:00", 9, 7.0)])
+    run_drain()
+    assert sessions() == {
+        (7, h10, 2, 3.0),
+        (7, h10 + us(3 * 3600), 1, 5.0),   # timeout emission
+    }
+
+    # batch 3: user 9's 60-min in-batch gap closes its 18:00 session
+    # immediately; the 19:00 session stays open (deadline 19:30 > the
+    # final 18:50 watermark)
+    drop([("2024-01-01 19:00:00", 9, 9.0)])
+    run_drain()
+    got = sessions()
+    assert (9, h10 + us(8 * 3600), 1, 7.0) in got        # in-batch gap break
+    assert len(got) == 3  # 19:00 session still open, not emitted
+
+
+def test_merge_write_partitioned_bounded_rewrite(spark, tmp_path):
+    """Partition-pruned MERGE: only partitions present in the source are
+    rewritten; untouched partition directories keep their files."""
+    import glob
+
+    from sales_azure_data_engineer_project_spark.operators.upsert import (
+        merge_write_partitioned,
+    )
+
+    path = str(tmp_path / "fact")
+    schema = "k long, pday string, v string"
+    initial = spark.createDataFrame(
+        [(1, "A", "a1"), (2, "B", "b1"), (3, "C", "c1")], schema
+    )
+    touched = merge_write_partitioned(
+        spark, initial, path, ["k", "pday"], "pday"
+    )
+    assert touched == ["A", "B", "C"]
+
+    files_before = {
+        p: sorted(glob.glob(f"{path}/pday={p}/*.parquet")) for p in "ABC"
+    }
+
+    # merge touches only B: update k=2, insert k=4
+    batch = spark.createDataFrame([(2, "B", "b2"), (4, "B", "b-new")], schema)
+    touched = merge_write_partitioned(spark, batch, path, ["k", "pday"], "pday")
+    assert touched == ["B"]
+
+    got = {
+        (r["k"], r["pday"]): r["v"] for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "A"): "a1",
+        (2, "B"): "b2",
+        (3, "C"): "c1",
+        (4, "B"): "b-new",
+    }
+    # A and C directories were not rewritten (same physical files)
+    for p in "AC":
+        assert sorted(glob.glob(f"{path}/pday={p}/*.parquet")) == files_before[p]
+    assert sorted(glob.glob(f"{path}/pday=B/*.parquet")) != files_before["B"]
