@@ -1024,3 +1024,46 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY numwait DESC, s_name
         """
     )
+
+
+@register(
+    "window_rank_suite",
+    """
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_orderkey
+    FROM orders
+    WHERE o_orderkey <= 500
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderstatus, o_totalprice, o_orderkey
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window breadth: ntile / percent_rank / cume_dist /
+    lead / nth_value in one pass — one Exchange on the partition key,
+    one sort, five functions sharing the frame.  percent_rank and
+    cume_dist are exact small-integer ratios, so the doubles agree
+    bitwise across engines; every ORDER BY carries the unique
+    o_orderkey tiebreak (hash-stability rule)."""
+    orders = load_testdata(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.nth_value("o_orderkey", 2).over(wrows).alias("second_orderkey"),
+        )
+        .orderBy("o_orderstatus", F.col("o_orderkey"))
+    )

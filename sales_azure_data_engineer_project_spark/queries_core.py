@@ -1354,3 +1354,49 @@ def q9_product_profit_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(price * (F.lit(1) - disc) - cost).cast("double").alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+@register(
+    "json_functions",
+    """
+    WITH j AS (
+        SELECT p_partkey,
+               '{"brand":"' || p_brand || '","size":' || CAST(p_size AS VARCHAR) ||
+               ',"tags":["' || lower(p_type) || '","' || p_name || '"]}' AS doc
+        FROM part WHERE p_partkey < 80
+    )
+    SELECT p_partkey,
+           json_extract_string(doc, '$.brand') AS brand,
+           CAST(json_extract(doc, '$.size') AS BIGINT) AS size,
+           json_extract_string(doc, '$.tags[0]') AS tag0,
+           CAST(json_array_length(json_extract(doc, '$.tags')) AS BIGINT) AS n_tags
+    FROM j
+    ORDER BY p_partkey
+    """,
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: JSON path extraction over an in-row
+    document.  The document is CONSTRUCTED by identical string concat on
+    both sides (engine-native to_json key order/whitespace differ, so
+    serializer output is never compared — only parse results).
+    get_json_object stays JVM-side (Jackson) — no UDF."""
+    part = load_testdata(spark, sf_dir, "part").filter(F.col("p_partkey") < 80)
+    doc = F.concat(
+        F.lit('{"brand":"'), F.col("p_brand"),
+        F.lit('","size":'), F.col("p_size").cast("string"),
+        F.lit(',"tags":["'), F.lower(F.col("p_type")),
+        F.lit('","'), F.col("p_name"), F.lit('"]}'),
+    )
+    j = part.select("p_partkey", doc.alias("doc"))
+    return (
+        j.select(
+            "p_partkey",
+            F.get_json_object("doc", "$.brand").alias("brand"),
+            F.get_json_object("doc", "$.size").cast("bigint").alias("size"),
+            F.get_json_object("doc", "$.tags[0]").alias("tag0"),
+            F.json_array_length(F.get_json_object("doc", "$.tags"))
+            .cast("bigint")
+            .alias("n_tags"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -1237,7 +1237,14 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array())
-    tok = toks.select("doc_id", F.explode(grams).alias("tok"))
+    # trigram identity, not content, drives the tf/dot pipeline —
+    # xxhash64 to longs before the groupBy/self-join (same trick as
+    # operators/dedup.jaccard_pairs: ~4× smaller shuffles, long
+    # compares; the DuckDB oracle intersects raw strings, so any
+    # collision would surface as a hash mismatch there)
+    tok = toks.select("doc_id", F.explode(grams).alias("tok_raw")).select(
+        "doc_id", F.xxhash64("tok_raw").alias("tok")
+    )
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     from pyspark import StorageLevel
 

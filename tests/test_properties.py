@@ -122,3 +122,54 @@ def test_asof_join_matches_pandas_merge_asof(spark, trades, quotes):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+def test_connected_components_vs_union_find(spark):
+    """Differential: Spark iterative CC against a driver-side union-find
+    on seeded random graphs (stars, chains, isolated nodes, cycles)."""
+    import random
+
+    from sales_azure_data_engineer_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        n = 120
+        edges = set()
+        # chains + stars + a cycle, plus random noise edges
+        for start in range(0, 30, 6):
+            for i in range(start, start + 5):
+                edges.add((i, i + 1))  # chains of 6
+        center = rng.randrange(40, 60)
+        for _ in range(8):
+            edges.add((center, rng.randrange(60, 90)))  # star
+        edges.update([(100, 101), (101, 102), (102, 100)])  # cycle
+        for _ in range(10):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {i: find(i) for i in range(n)}
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "src long, dst long"
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(nodes, edf).collect()
+        }
+        assert got == expected, f"seed {seed}"
