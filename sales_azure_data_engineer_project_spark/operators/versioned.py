@@ -86,7 +86,20 @@ class VersionedTable:
                 f"table advanced to v{cur} since read at v{base_version}; "
                 "re-read and retry the merge"
             )
-        new_v = cur + 1
+        # claim one PAST any existing v= dir, not just pointer+1: a
+        # writer that published v=N but crashed before the pointer flip
+        # leaves an orphaned directory, and pointer+1 would collide with
+        # it on every retry forever.  Orphans stay invisible (pointer
+        # never reached them) and vacuum sweeps them.
+        max_dir = max(
+            (
+                int(name[2:])
+                for name in os.listdir(self.root)
+                if name.startswith("v=") and name[2:].isdigit()
+            ),
+            default=0,
+        )
+        new_v = max(cur, max_dir) + 1
         staged = tempfile.mkdtemp(dir=self.root, prefix="._staged_")
         # Spark refuses to write into an existing dir without overwrite
         # mode; overwrite onto the fresh mkdtemp path is safe — we own it

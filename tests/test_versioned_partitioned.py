@@ -157,3 +157,86 @@ def test_version_diff_cdc(spark, tmp_path):
     added, removed = vt.diff(1, 2)
     assert sorted((r["k"], r["v"]) for r in added.collect()) == [(2, "b2"), (3, "c")]
     assert sorted((r["k"], r["v"]) for r in removed.collect()) == [(2, "b")]
+
+
+def test_merge_partitioned_target_scan_is_pruned(spark, tmp_path):
+    """The partition-pruned MERGE's target read carries the IN-list in
+    PartitionFilters — the scan physically skips untouched partitions."""
+    from sales_azure_data_engineer_project_spark.operators.upsert import (
+        merge_write_partitioned,
+    )
+
+    path = str(tmp_path / "pmfact")
+    schema = "k long, pday string, v string"
+    initial = spark.createDataFrame(
+        [(i, d, f"{d}{i}") for d in "ABCDE" for i in range(20)], schema
+    )
+    merge_write_partitioned(spark, initial, path, ["k", "pday"], "pday")
+
+    target_slice = spark.read.parquet(path).filter(F.col("pday").isin(["B"]))
+    plan = target_slice._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pday" in plan
+    assert target_slice.count() == 20  # one partition's rows, not 100
+
+
+def test_versioned_commit_skips_orphaned_version_dir(spark, tmp_path):
+    """A writer that published v=N but crashed before the pointer flip
+    leaves an orphan; the next commit must claim PAST it (self-heal),
+    not collide with it forever."""
+    import os
+
+    from sales_azure_data_engineer_project_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    root = str(tmp_path / "vt")
+    vt = VersionedTable(spark, root)
+    assert vt.overwrite(spark.createDataFrame([(1, "a")], "k long, v string")) == 1
+
+    # crashed writer: v=2 published, pointer never flipped
+    os.makedirs(os.path.join(root, "v=2"))
+    with open(os.path.join(root, "v=2", "part-0.parquet"), "wb") as f:
+        f.write(b"orphan")
+
+    v = vt.overwrite(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert v == 3  # claimed past the orphan
+    assert vt.current_version() == 3
+    assert [r["k"] for r in vt.read().collect()] == [2]
+
+
+def test_versioned_staged_claim_loses_race(spark, tmp_path, monkeypatch):
+    """Two writers racing the SAME version number: the loser's
+    rename-publish fails, it gets ConcurrentWriteError, and its data
+    never becomes visible.  The winner is injected between the loser's
+    version-claim decision and its rename."""
+    import os
+
+    from sales_azure_data_engineer_project_spark.operators import versioned as V
+
+    root = str(tmp_path / "vt2")
+    vt = V.VersionedTable(spark, root)
+    assert vt.overwrite(spark.createDataFrame([(1, "a")], "k long, v string")) == 1
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        # just before the loser publishes v=2, the winner lands it
+        if os.path.basename(dst) == "v=2" and not os.path.isdir(dst):
+            os.makedirs(dst)
+            with open(os.path.join(dst, "part-0.parquet"), "wb") as f:
+                f.write(b"winner")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(V.os, "rename", racing_rename)
+    try:
+        vt.overwrite(spark.createDataFrame([(9, "loser")], "k long, v string"))
+        raised = False
+    except V.ConcurrentWriteError:
+        raised = True
+    monkeypatch.undo()
+    assert raised
+    # loser's rows never visible; staging dir swept by vacuum
+    assert vt.current_version() == 1
+    assert [r["k"] for r in vt.read().collect()] == [1]
+    vt.vacuum(keep_last=10)
+    assert [n for n in os.listdir(root) if n.startswith("._staged_")] == []
