@@ -292,3 +292,47 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
     q.awaitTermination()
     got = {r["event_id"]: r["name"] for r in spark.sql("SELECT * FROM enr_out").collect()}
     assert got == {1: "ten", 2: "twenty", 3: None}
+
+
+def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
+    """Fleet-wide plan hygiene over EVERY registered query: no
+    CartesianProduct anywhere, row-at-a-time Python UDFs (BatchEvalPython)
+    banned from all plans (Arrow tiers — ArrowEvalPython / mapInPandas /
+    FlatMapGroupsInPandas — are the only allowed Python boundaries), and
+    BroadcastNestedLoopJoin only where a non-equi join is the point and
+    the build side is constant-sized (allowlisted)."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    # non-equi joins against constant-size build sides: a BNLJ over a
+    # broadcast of O(1) rows is the intended plan, not a smell
+    bnlj_ok = {
+        "range_band_join",          # 3-band interval table
+        "orders_above_avg_price",   # scalar subquery comparison
+        "q22_inactive_rich_customers",  # scalar avg comparison
+        "events_value_anomalies",   # scalar stddev bounds
+        "dedup_embedding_cosine",   # blk equi-join + id< inequality picks BNLJ at tiny SF
+        "events_funnel",            # per-user ts inequality after key join
+        "q21_waiting_orders",       # correlated <> EXISTS rewrite
+        "similarity_ann_ivf",       # broadcast centroid grid (crossJoin by design)
+        "similarity_ann_ivf_nprobe2",
+        "ann_recall_at_k",
+        "text_chunking",            # chunk-grid expansion
+        "cross_join_region_priority",  # deliberate tiny-dim cross join
+        "similarity_cosine_topk",   # brute-force baseline: bounded
+                                    # query set broadcast × corpus (the
+                                    # ANN tiers are the scale path)
+    }
+    offenders = {}
+    for name, fn in m.queries().items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("row-at-a-time PythonUDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            bad.append("unexpected BNLJ")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"plan hygiene violations: {offenders}"
