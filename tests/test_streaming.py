@@ -360,3 +360,61 @@ def test_merge_write_partitioned_bounded_rewrite(spark, tmp_path):
     for p in "AC":
         assert sorted(glob.glob(f"{path}/pday={p}/*.parquet")) == files_before[p]
     assert sorted(glob.glob(f"{path}/pday=B/*.parquet")) != files_before["B"]
+
+
+def test_stream_incremental_merge_partitioned(spark, tmp_path):
+    """Streaming foreachBatch ingest into a partitioned gold table:
+    each drained batch rewrites only the partitions it touches, replays
+    converge (exactly-once via checkpoint + idempotent merge)."""
+    import glob
+
+    from sales_azure_data_engineer_project_spark.streaming.incremental import (
+        stream_incremental_merge_partitioned,
+    )
+
+    src = str(tmp_path / "pm_src")
+    tgt = str(tmp_path / "pm_tgt")
+    ckpt = str(tmp_path / "pm_ckpt")
+    os.makedirs(src)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("pday", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+
+    def run():
+        stream_incremental_merge_partitioned(
+            spark, src, tgt, ["k", "pday"], "pday", schema, ckpt
+        )
+
+    spark.createDataFrame(
+        [(1, "A", "a1"), (2, "B", "b1"), (3, "C", "c1")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {
+        (r["k"], r["pday"], r["v"]) for r in spark.read.parquet(tgt).collect()
+    } == {(1, "A", "a1"), (2, "B", "b1"), (3, "C", "c1")}
+
+    files_a = sorted(glob.glob(f"{tgt}/pday=A/*.parquet"))
+
+    # second drop touches only B; A's physical files must survive
+    spark.createDataFrame([(2, "B", "b2"), (4, "B", "b-new")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run()
+    got = {(r["k"], r["pday"]): r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert got == {
+        (1, "A"): "a1",
+        (2, "B"): "b2",
+        (3, "C"): "c1",
+        (4, "B"): "b-new",
+    }
+    assert sorted(glob.glob(f"{tgt}/pday=A/*.parquet")) == files_a
+
+    # no new files: checkpoint makes the re-run a no-op
+    run()
+    assert {
+        (r["k"], r["pday"]): r["v"] for r in spark.read.parquet(tgt).collect()
+    } == got
