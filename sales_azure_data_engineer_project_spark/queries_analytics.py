@@ -1067,3 +1067,112 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", F.col("o_orderkey"))
     )
+
+
+@register(
+    "stats_aggregates_exact",
+    """
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(12,2)) AS x,
+               CAST(l_discount AS DECIMAL(4,2)) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        FROM t GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST((n * sxx - sx * sx) AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) AS var_qty,
+           sqrt(CAST((n * sxx - sx * sx) AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) AS stddev_qty,
+           CAST(n * sxy - sx * sy AS DOUBLE) /
+             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_disc
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def stats_aggregates_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation via the EXPLICIT sum-of-squares
+    formulas in exact DECIMAL, cast to DOUBLE only at the final
+    division.  The engines' native var_samp/corr use different
+    streaming-merge update formulas whose double rounding differs in the
+    last bits — not hash-stable; identical exact integers pushed through
+    identical double expressions are.  Map-side combinable (all five
+    sums partial-aggregate), one Exchange."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_discount").cast("decimal(4,2)")
+    s = li.select("l_returnflag", x.alias("x"), y.alias("y")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var = (n * sxx - sx * sx).cast("double") / (n.cast("double") * (n - 1))
+    corr = (n * sxy - sx * sy).cast("double") / F.sqrt(
+        (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double")
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        corr.alias("corr_qty_disc"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "null_safe_equality",
+    """
+    WITH e AS (
+        SELECT event_id, user_id,
+               nullif(event_type, 'view') AS et
+        FROM events WHERE event_id < 200
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.et IS NOT DISTINCT FROM b.et
+     AND a.event_id < b.event_id
+    ORDER BY id_a, id_b
+    """,
+)
+def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    matches NULL — the semantics plain '=' silently drops.  Spark plans
+    eqNullSafe as a HASH join key (coalesce-wrapped), so this stays an
+    equi-join, not a nested loop."""
+    ev = (
+        load_testdata(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            "user_id",
+            F.nullif("event_type", F.lit("view")).alias("et"),
+        )
+    )
+    a = ev.select(
+        F.col("event_id").alias("id_a"), F.col("user_id").alias("u_a"), F.col("et").alias("et_a")
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"), F.col("user_id").alias("u_b"), F.col("et").alias("et_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("u_a") == F.col("u_b"))
+            & F.col("et_a").eqNullSafe(F.col("et_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
