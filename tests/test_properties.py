@@ -173,3 +173,30 @@ def test_connected_components_vs_union_find(spark):
             for r in connected_components(nodes, edf).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_merge_upsert_idempotent_and_scd1_property(spark):
+    """Property (seeded): re-merging the same source is a no-op
+    (idempotency — the reference's rerunnable-batch contract), source
+    wins on every key collision, and non-matching target rows survive."""
+    import random
+
+    from sales_azure_data_engineer_project_spark.operators.upsert import merge_upsert
+
+    for seed in (3, 17, 91):
+        rng = random.Random(seed)
+        tgt_keys = rng.sample(range(100), 40)
+        src_keys = rng.sample(range(100), 30)
+        target = spark.createDataFrame(
+            [(k, f"t{k}") for k in tgt_keys], "k long, v string"
+        )
+        source = spark.createDataFrame(
+            [(k, f"s{k}") for k in src_keys], "k long, v string"
+        )
+        once = merge_upsert(target, source, ["k"])
+        twice = merge_upsert(once, source, ["k"])
+        got_once = {r["k"]: r["v"] for r in once.collect()}
+        got_twice = {r["k"]: r["v"] for r in twice.collect()}
+        assert got_once == got_twice, f"not idempotent (seed {seed})"
+        expected = {k: f"t{k}" for k in tgt_keys} | {k: f"s{k}" for k in src_keys}
+        assert got_once == expected, f"SCD-1 win rule broken (seed {seed})"
