@@ -1218,14 +1218,15 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: per-key average as a join back onto the fact
-    (the decorrelated form of Q17's correlated scalar subquery — write
-    it decorrelated ourselves instead of trusting each engine's
-    rewrite).  The part-filtered lineitem slice is computed ONCE as a
-    broadcast-pruned scan, then self-joined on l_partkey; both sides of
-    that join shuffle on the same key so AQE plans a single exchange
-    pair.  Quantities are integral doubles, so AVG is exact and the
-    0.2× threshold compares identically in both engines."""
+    """TPC-H Q17 shape: per-key average threshold applied back to the
+    same rows.  The textbook decorrelation (aggregate + join back, the
+    oracle's CTE form) makes the part-filtered lineitem slice feed TWO
+    consumers — at 100 TB that is two lineitem scans (Spark won't reuse
+    the subtree: one side aggregates).  The window formulation computes
+    the per-partkey AVG with a WINDOW over the single broadcast-pruned
+    scan: one scan, ONE Exchange(l_partkey), no self-join.  Quantities
+    are integral doubles, so AVG is exact and the 0.2× threshold
+    compares identically in both engines."""
     part = load_testdata(spark, sf_dir, "part").filter(
         F.col("p_brand") == "BRAND_1"
     ).select("p_partkey")
@@ -1235,20 +1236,21 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).drop(
         "p_partkey"
     )
-    avg_qty = brand_lines.groupBy("l_partkey").agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
-    )
-    joined = brand_lines.alias("b").join(
-        avg_qty.alias("a"), F.col("b.l_partkey") == F.col("a.l_partkey")
-    )
-    return joined.filter(F.col("b.l_quantity") < F.col("a.threshold")).agg(
-        (
-            F.sum(F.col("b.l_extendedprice").cast("decimal(12,2)")).cast("double")
-            / F.lit(7.0)
+    w = Window.partitionBy("l_partkey")
+    return (
+        brand_lines.withColumn(
+            "threshold", F.lit(0.2) * F.avg("l_quantity").over(w)
         )
-        .cast("double")
-        .alias("avg_yearly"),
-        F.count(F.lit(1)).alias("n"),
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
 
