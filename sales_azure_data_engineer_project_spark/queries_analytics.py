@@ -144,15 +144,22 @@ def price_delta_vs_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_testdata(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice AS totalprice
-        FROM orders
-        WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
-              > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) FROM orders)
-        ORDER BY o_orderkey
-        """
+    """Rows above the global average, in exact integer/decimal algebra
+    (price·n > Σprice avoids division).  The two scalar subqueries of
+    the SQL form each re-scan orders (3 fact scans); here BOTH scalars
+    come from ONE aggregation pass, broadcast back — 2 scans total, and
+    the broadcast side is a single row."""
+    orders = load_testdata(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    stats = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(price).cast("decimal(28,2)").alias("s"),
+    )
+    return (
+        orders.join(F.broadcast(stats))
+        .filter(price * F.col("n") > F.col("s"))
+        .select("o_orderkey", F.col("o_totalprice").alias("totalprice"))
+        .orderBy("o_orderkey")
     )
 
 
@@ -720,16 +727,23 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    stats = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").cast("bigint").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    # per-user stats as a WINDOW over the single scan, not an
+    # aggregate-and-join-back (which scans events twice — the two
+    # consumers' subtrees differ so the exchange is never reused):
+    # one scan, one Exchange(user_id)
+    w = Window.partitionBy("user_id")
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("bigint").alias("ss"),
     )
     dev = F.col("n") * F.col("cents") - F.col("s")
     var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
     return (
-        ev.join(F.broadcast(stats), "user_id")
-        .filter((F.col("n") >= 2) & (dev * dev > 4 * var_n2))
+        ev.filter((F.col("n") >= 2) & (dev * dev > 4 * var_n2))
         .select("event_id", "user_id", "cents", dev.cast("bigint").alias("dev_scaled"))
         .orderBy("event_id")
     )
@@ -927,6 +941,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_revenue")
         )
     )
+    # rev (per-supplier aggregate, |suppliers| rows) feeds two consumers
+    # — the scalar max and the probe join.  Unpersisted, each would
+    # re-run the full lineitem aggregation (two fact scans at 100 TB);
+    # persisting the SMALL aggregate keeps one pass and both the max
+    # and the join read the cache.
+    from pyspark import StorageLevel
+
+    rev = rev.persist(StorageLevel.MEMORY_AND_DISK)
     mx = rev.agg(F.max("total_revenue").alias("m"))
     return (
         supplier.join(rev, supplier.s_suppkey == rev.supplier_no)
