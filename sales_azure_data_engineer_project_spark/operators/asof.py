@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "asof_join_same_source"]
 
 
 def asof_join(
@@ -98,3 +98,66 @@ def asof_join(
         *lcols, *[F.col(f"__match.{p}").alias(p) for p in payload]
     )
     return out
+
+
+def asof_join_same_source(
+    df: DataFrame,
+    *,
+    on: str,
+    ts: str,
+    is_left,
+    is_right,
+    left_cols: list[str],
+    payload: dict[str, str],
+    strict: bool = False,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """:func:`asof_join` fast path when BOTH sides are row-subsets of
+    ONE DataFrame (the ubiquitous event-stream case: clicks as-of last
+    purchase from the same events table).
+
+    The generic operator unions two filtered branches of the same
+    source, which plans TWO full scans of the fact table.  Here every
+    row belongs to at most one side, so one scan suffices: rows matching
+    neither predicate are dropped, the side tag / payload / tiebreak are
+    CASE expressions, and the same single-shuffle window does the rest.
+
+    ``payload`` maps output column name → source column (payload values
+    are taken from RIGHT rows; left rows carry NULL so the running
+    ``last IGNORE NULLS`` skips them).
+    """
+    right_side = F.lit(0 if not strict else 1)
+    left_side = F.lit(1 if not strict else 0)
+    if right_tiebreak is not None:
+        tie_type = df.schema[right_tiebreak].dataType
+        tie = F.when(is_right, F.col(right_tiebreak)).otherwise(
+            F.lit(None).cast(tie_type)
+        )
+    else:
+        tie = F.lit(0).cast("long")
+    payload_struct = F.when(
+        is_right, F.struct(*[F.col(src).alias(name) for name, src in payload.items()])
+    )  # otherwise NULL
+    tagged = (
+        df.filter(is_left | is_right)
+        .select(
+            F.col(on).alias("__k"),
+            F.col(ts).alias("__ts"),
+            F.when(is_right, right_side).otherwise(left_side).alias("__side"),
+            tie.alias("__tie"),
+            payload_struct.alias("__payload"),
+            *left_cols,
+        )
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("__side") == left_side).select(
+        *left_cols,
+        *[F.col(f"__match.{name}").alias(name) for name in payload],
+    )

@@ -426,8 +426,12 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every click, the user's most recent purchase at-or-before it
-    (backward as-of join, composed scalably — one shuffle, no range join)."""
-    from .operators.asof import asof_join
+    (backward as-of join, composed scalably — one shuffle, no range
+    join).  Both sides are subsets of the SAME events table, so the
+    same-source fast path does it in ONE scan (the generic two-frame
+    operator unions two filtered branches = two full fact scans; see
+    ``operators/asof.py::asof_join_same_source``)."""
+    from .operators.asof import asof_join_same_source
 
     ev = load_testdata(spark, sf_dir, "events").select(
         "event_id",
@@ -436,28 +440,14 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         "value",
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts_us"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "event_id",
-        F.col("ts_us").alias("p_ts"),
-        F.col("value").alias("p_value"),
-    )
-    out = asof_join(
-        clicks,
-        purchases.select(
-            "user_id",
-            F.col("p_ts").alias("ts_us"),
-            "event_id",
-            F.col("p_ts").alias("last_purchase_ts_us"),
-            F.col("p_value").alias("last_purchase_value"),
-        ),
+    out = asof_join_same_source(
+        ev,
         on="user_id",
-        left_ts="ts_us",
-        right_ts="ts_us",
-        payload=["last_purchase_ts_us", "last_purchase_value"],
+        ts="ts_us",
+        is_left=F.col("event_type") == "click",
+        is_right=F.col("event_type") == "purchase",
+        left_cols=["event_id", "user_id", "ts_us"],
+        payload={"last_purchase_ts_us": "ts_us", "last_purchase_value": "value"},
         right_tiebreak="event_id",
     )
     return out.select(

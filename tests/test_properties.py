@@ -200,3 +200,64 @@ def test_merge_upsert_idempotent_and_scd1_property(spark):
         assert got_once == got_twice, f"not idempotent (seed {seed})"
         expected = {k: f"t{k}" for k in tgt_keys} | {k: f"s{k}" for k in src_keys}
         assert got_once == expected, f"SCD-1 win rule broken (seed {seed})"
+
+
+def test_asof_same_source_equals_generic(spark):
+    """The single-scan same-source fast path must produce exactly the
+    generic two-frame asof_join's result on seeded random event data,
+    including equal-timestamp ties (tiebreak) and no-match NULLs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sales_azure_data_engineer_project_spark.operators.asof import (
+        asof_join,
+        asof_join_same_source,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(8):
+        for _ in range(40):
+            eid += 1
+            # coarse ts grid → plenty of equal-ts collisions
+            rows.append(
+                (eid, user, rng.choice(["click", "purchase", "view"]),
+                 rng.randrange(20) * 1000, float(rng.randrange(100)))
+            )
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us"),
+        "event_id",
+        F.col("ts_us").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    generic = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload=["p_ts", "p_value"],
+        right_tiebreak="event_id",
+    )
+    fast = asof_join_same_source(
+        ev,
+        on="user_id",
+        ts="ts_us",
+        is_left=F.col("event_type") == "click",
+        is_right=F.col("event_type") == "purchase",
+        left_cols=["event_id", "user_id", "ts_us"],
+        payload={"p_ts": "ts_us", "p_value": "value"},
+        right_tiebreak="event_id",
+    )
+    key = lambda r: (r["event_id"], r["user_id"], r["ts_us"], r["p_ts"], r["p_value"])  # noqa: E731
+    assert sorted(map(key, generic.collect())) == sorted(map(key, fast.collect()))
