@@ -846,11 +846,17 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     crk_w = Window.partitionBy("vec_id").orderBy(
         S.dot(F.col("v"), F.col("cv")).desc(), F.col("cid")
     )
+    from pyspark import StorageLevel
+
+    # the cell assignment IS the inverted file: build it once (persist)
+    # — unpersisted, the N×|cents| quantization crossJoin would run
+    # twice (query side + probe side), the dominant cost
     cells = (
         n.crossJoin(F.broadcast(cents))
         .withColumn("crk", F.row_number().over(crk_w))
         .filter(F.col("crk") == 1)
         .select("vec_id", "v", "nrm", "cid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     q = cells.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
@@ -1025,7 +1031,13 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings"))).withColumn(
         "bkt", S.sign_bucket("embedding", bits=4)
     )
-    n = emb.select("vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"), "bkt")
+    from pyspark import StorageLevel
+
+    # n feeds the query set, the brute-force pass AND the bucketed pass
+    # — persist so the norm/bucket derivation runs once
+    n = emb.select(
+        "vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"), "bkt"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     q = n.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"), F.col("bkt").alias("qbkt"),
@@ -1327,9 +1339,14 @@ def similarity_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     crk_w = Window.partitionBy("vec_id").orderBy(
         S.dot(F.col("v"), F.col("cv")).desc(), F.col("cid")
     )
+    from pyspark import StorageLevel
+
+    # assignment feeds both the inverted file (crk=1) and the probe
+    # list (crk<=2) — persist so quantization runs once
     assigned = (
         n.crossJoin(F.broadcast(cents))
         .withColumn("crk", F.row_number().over(crk_w))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cells = assigned.filter(F.col("crk") == 1).select("vec_id", "v", "nrm", "cid")
     probes = assigned.filter((F.col("crk") <= 2) & (F.col("vec_id") < 10)).select(
