@@ -917,10 +917,14 @@ def tfidf_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df_, "tok").withColumn(
-        "tfidf_milli", F.expr("div(1000 * tf, df)").cast("bigint")
-    )
+    # df from a WINDOW over the tf aggregate: tf has exactly one row
+    # per (doc, tok), so count-over-partition(tok) IS the document
+    # frequency — no second tokenize+explode pass and no join (the
+    # aggregate-and-join-back form re-scanned and re-exploded the
+    # corpus for the df side)
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    ).withColumn("tfidf_milli", F.expr("div(1000 * tf, df)").cast("bigint"))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_milli").desc(), F.col("tok"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -1425,37 +1429,45 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer permille (``div``) for cross-engine hash stability.
     Empty/1-token docs guard the ``sequence`` (Spark counts DOWN for
     sequence(1,0) — NOTES pitfall)."""
+    from pyspark.sql import Window
+
+    # ONE posexplode pass feeds BOTH aggregation grains via GROUPING
+    # SETS ((doc,tok),(doc,bigram)) — the naive form tokenized the
+    # corpus twice (explode branch for unigrams, array branch for
+    # bigrams).  The bigram is lead(tok) over the in-doc position
+    # window, whose Exchange(doc_id) is the same partitioning the
+    # grouping-sets aggregate and the final per-doc rollup reuse.
     docs = load_testdata(spark, sf_dir, "documents")
-    t = docs.select("doc_id", X.tokens("text").alias("toks"))
-    exploded = t.select("doc_id", F.explode("toks").alias("tok"))
-    uni = (
-        exploded.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_tok_count"))
+    pe = docs.select(
+        "doc_id", F.posexplode(X.tokens("text")).alias("pos", "tok")
     )
-    n = F.size("toks")
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bi = t.select(
-        "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        bigrams.alias("bigrams"),
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    pe = pe.withColumn(
+        "bg", F.concat_ws(" ", F.col("tok"), F.lead("tok").over(wd))
+    ).withColumn(
+        "bg", F.when(F.lead("tok").over(wd).isNotNull(), F.col("bg"))
     )
-    nb = F.size("bigrams")
+    g = pe.groupingSets(
+        [["doc_id", "tok"], ["doc_id", "bg"]], "doc_id", "tok", "bg"
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.grouping("bg").alias("is_tok_grain"),
+        F.count("bg").alias("c_bg"),
+    )
+    per_doc = g.groupBy("doc_id").agg(
+        F.max(F.when(F.col("is_tok_grain") == 1, F.col("c"))).alias("top_tok_count"),
+        F.sum(F.when(F.col("is_tok_grain") == 1, F.col("c"))).cast("bigint").alias("n_tokens"),
+        # bigram grain, NULL-bg group excluded: c_bg==0 there
+        F.sum(
+            F.when((F.col("is_tok_grain") == 0) & (F.col("c_bg") > 0), F.col("c"))
+        ).cast("bigint").alias("n_bigrams"),
+        F.count(
+            F.when((F.col("is_tok_grain") == 0) & (F.col("c_bg") > 0), F.lit(1))
+        ).cast("bigint").alias("n_distinct_bigrams"),
+    )
     return (
-        bi.join(uni, "doc_id")
-        .withColumn("n_bigrams", nb.cast("bigint"))
-        .withColumn(
-            "n_dup_bigrams",
-            (nb - F.size(F.array_distinct("bigrams"))).cast("bigint"),
+        per_doc.withColumn(
+            "n_dup_bigrams", F.col("n_bigrams") - F.col("n_distinct_bigrams")
         )
         .select(
             "doc_id",
