@@ -261,3 +261,119 @@ def test_asof_same_source_equals_generic(spark):
     )
     key = lambda r: (r["event_id"], r["user_id"], r["ts_us"], r["p_ts"], r["p_value"])  # noqa: E731
     assert sorted(map(key, generic.collect())) == sorted(map(key, fast.collect()))
+
+
+def test_funnel_window_form_vs_reference(spark):
+    """The one-scan window-chain funnel must equal the step-by-step
+    reference computation on seeded data with equal-ts collisions."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sales_azure_data_engineer_project_spark.queries_analytics import events_funnel
+
+    rng = random.Random(99)
+    rows = []
+    for user in range(30):
+        for _ in range(rng.randrange(1, 15)):
+            rows.append(
+                (user, rng.choice(["signup", "click", "purchase", "view"]),
+                 rng.randrange(10) * 1_000_000)
+            )
+    # reference: t1 = min signup; t2 = min click > t1; t3 = min purchase > t2
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, et, ts in rows:
+        by_user[u].append((et, ts))
+    s1 = s2 = s3 = 0
+    for evs in by_user.values():
+        t1 = min((ts for et, ts in evs if et == "signup"), default=None)
+        if t1 is None:
+            continue
+        s1 += 1
+        t2 = min((ts for et, ts in evs if et == "click" and ts > t1), default=None)
+        if t2 is None:
+            continue
+        s2 += 1
+        t3 = min((ts for et, ts in evs if et == "purchase" and ts > t2), default=None)
+        if t3 is not None:
+            s3 += 1
+
+    import os
+    import tempfile
+
+    # events_funnel loads from a sf_dir; write a miniature corpus
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, u, et, ts, 0.0) for i, (u, et, ts) in enumerate(rows)],
+            "event_id long, user_id long, event_type string, ts_us long, value double",
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_micros("ts_us").alias("ts"), "value",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = {r["step"]: r["n_users"] for r in events_funnel(spark, td).collect()}
+    assert got == {
+        "step1_signup": s1,
+        "step2_click": s2,
+        "step3_purchase": s3,
+    }
+
+
+def test_q21_window_form_vs_reference(spark):
+    """The one-scan two-max Q21 must equal the brute-force EXISTS /
+    NOT-EXISTS reference on seeded data, including orders where several
+    suppliers tie on the max ship date."""
+    import os
+    import random
+    import tempfile
+    from collections import defaultdict
+
+    from sales_azure_data_engineer_project_spark.queries_analytics import (
+        q21_waiting_orders,
+    )
+
+    rng = random.Random(7)
+    lineitem = []
+    for ok in range(60):
+        for _ in range(rng.randrange(1, 6)):
+            # tiny date grid → frequent max-date ties, incl. cross-supplier
+            lineitem.append((ok, rng.randrange(1, 8), rng.randrange(5)))
+    orders = [(ok, rng.choice(["F", "O"])) for ok in range(60)]
+    supplier = [(sk, f"S#{sk:03d}") for sk in range(1, 8)]
+
+    status = dict(orders)
+    by_order = defaultdict(list)
+    for ok, sk, d in lineitem:
+        by_order[ok].append((sk, d))
+    expected = defaultdict(int)
+    for ok, rows in by_order.items():
+        if status[ok] != "F":
+            continue
+        for sk, d in rows:
+            if not any(o_sk != sk for o_sk, _ in rows):
+                continue
+            if any(o_sk != sk and o_d > d for o_sk, o_d in rows):
+                continue
+            expected[f"S#{sk:03d}"] += 1
+
+    with tempfile.TemporaryDirectory() as td:
+        from pyspark.sql import functions as F
+
+        spark.createDataFrame(
+            [(ok, sk, 1, d) for ok, sk, d in lineitem],
+            "l_orderkey long, l_suppkey long, l_linenumber int, d int",
+        ).select(
+            "l_orderkey", "l_suppkey", "l_linenumber",
+            F.expr("timestampadd(DAY, d, TIMESTAMP '2024-01-01')").alias("l_shipdate"),
+        ).write.parquet(os.path.join(td, "lineitem.parquet"))
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_orderstatus string"
+        ).write.parquet(os.path.join(td, "orders.parquet"))
+        spark.createDataFrame(
+            supplier, "s_suppkey long, s_name string"
+        ).write.parquet(os.path.join(td, "supplier.parquet"))
+        got = {
+            r["s_name"]: r["numwait"] for r in q21_waiting_orders(spark, td).collect()
+        }
+    assert got == dict(expected)
