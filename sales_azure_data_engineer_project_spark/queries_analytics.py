@@ -1251,3 +1251,214 @@ def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partsupp-dependent TPC-H shapes, adapted (the corpus has no partsupp
+# table — supply facts are DERIVED from lineitem, which preserves the
+# query *shapes*: correlated-min, value-share HAVING, semi-join nest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH supply AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+        FROM lineitem GROUP BY 1, 2
+    ), eur AS (
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), ranked AS (
+        SELECT p_partkey, p_brand, s_name, n_name, cost,
+               MIN(cost) OVER (PARTITION BY p_partkey) AS mc
+        FROM supply
+        JOIN eur ON suppkey = s_suppkey
+        JOIN part ON p_partkey = partkey
+        WHERE p_size <= 15
+    )
+    SELECT p_partkey, p_brand, s_name, n_name,
+           CAST(cost AS DOUBLE) AS min_cost
+    FROM ranked WHERE cost = mc
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min-cost supplier per part), adapted:
+    supply cost is MIN(l_extendedprice) per (part, supplier) derived
+    from lineitem (no partsupp in the corpus; MIN avoids division, so
+    the decimal compare is engine-exact).
+
+    Scale shape: the correlated subquery is a window MIN over the
+    (part, supplier) aggregate — already partitioned by part key from
+    the groupBy, so the window reuses the aggregation's clustering and
+    AQE coalesces; supplier/nation/region and the size-filtered part
+    side are broadcast.  One wide shuffle total (the supply groupBy).
+    """
+    li = load_testdata(spark, sf_dir, "lineitem")
+    supplier = load_testdata(spark, sf_dir, "supplier")
+    nation = load_testdata(spark, sf_dir, "nation")
+    region = load_testdata(spark, sf_dir, "region")
+    part = load_testdata(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("cost"))
+    eur = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    joined = (
+        supply.join(F.broadcast(eur), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("partkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("mc", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("mc"))
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name",
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH val AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS part_value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+    ), total AS (
+        SELECT CAST(SUM(part_value) AS DECIMAL(28,2)) AS t,
+               COUNT(*) AS cnt FROM val
+    )
+    SELECT partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM val, total
+    WHERE part_value * cnt > 2 * t
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (value-share HAVING against a scalar subquery),
+    adapted: part 'inventory value' is the summed extended price shipped
+    by ASIA suppliers (no partsupp availqty×supplycost in the corpus).
+    The share threshold is scale-invariant — a part qualifies when its
+    value exceeds 2× the average per-part value (part_value*cnt > 2*t)
+    — and is a multiply-compare, so both engines compare exact
+    decimals, never a float fraction.  (TPC-H's own Q11 divides the
+    fraction by SF for the same reason.)
+
+    Scale shape: one fact shuffle (groupBy partkey); the per-part
+    aggregate is persisted because it feeds BOTH the scalar total and
+    the filter probe (q15 pattern — without the persist each consumer
+    would re-scan lineitem); the scalar joins back via broadcast.
+    """
+    from pyspark import StorageLevel
+
+    li = load_testdata(spark, sf_dir, "lineitem")
+    supplier = load_testdata(spark, sf_dir, "supplier")
+    nation = load_testdata(spark, sf_dir, "nation")
+    region = load_testdata(spark, sf_dir, "region")
+    asia = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(asia), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("part_value"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = val.agg(
+        F.sum("part_value").cast("decimal(28,2)").alias("t"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * F.col("cnt") > F.lit(2) * F.col("t"))
+        .select("partkey", F.col("part_value").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    """
+    WITH qty AS (
+        SELECT l_suppkey AS suppkey,
+               SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+               SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS recent_qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+      AND s_suppkey IN (SELECT suppkey FROM qty WHERE recent_qty * 2 > total_qty)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (supplier semi-join against a nested quantity
+    aggregate over a name-filtered part subset), adapted: 'excess
+    stock' means more than half the supplier's all-time shipped
+    quantity of 'small%' parts moved in the recent period (the corpus
+    has no availqty; BIGINT sums keep both engines integer-exact).
+
+    Scale shape: the name-filtered part side is broadcast into the fact
+    scan (filter BEFORE the shuffle); one groupBy(suppkey) shuffle whose
+    output is supplier-cardinality small, then a broadcast semi-join
+    into the region-filtered supplier dimension — the fact table is
+    scanned exactly once.
+    """
+    li = load_testdata(spark, sf_dir, "lineitem")
+    supplier = load_testdata(spark, sf_dir, "supplier")
+    nation = load_testdata(spark, sf_dir, "nation")
+    region = load_testdata(spark, sf_dir, "region")
+    part = load_testdata(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"),
+                    F.col("l_quantity").cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("recent_qty"),
+        )
+        .filter(F.col("recent_qty") * 2 > F.col("total_qty"))
+        .select("suppkey")
+    )
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(qty), supplier.s_suppkey == qty.suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -310,6 +310,7 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "range_band_join",          # 3-band interval table
         "orders_above_avg_price",   # scalar subquery comparison
         "q22_inactive_rich_customers",  # scalar avg comparison
+        "q11_important_parts",      # scalar total-value comparison
         "events_value_anomalies",   # scalar stddev bounds
         "dedup_embedding_cosine",   # blk equi-join + id< inequality picks BNLJ at tiny SF
         "events_funnel",            # per-user ts inequality after key join
