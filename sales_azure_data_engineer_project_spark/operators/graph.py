@@ -15,14 +15,14 @@ persisted per round and the previous round unpersisted, so lineage
 stays O(1) — without that, iteration k would replay all k-1 prior
 joins (the classic iterative-Spark trap).
 
-Driver involvement is one scalar per round: because each node's label
-is min(own, neighbors') it is monotone non-increasing, so the SUM of
-all labels strictly decreases until fixpoint — an unchanged sum IS
-convergence.  That makes the per-round convergence check a single
-tree-aggregated scalar (no join of new-vs-old labels, which round 1
-paid as an extra shuffle per iteration).  The sum is computed in
-DECIMAL(38,0), exact for any realistic id space, so wraparound can
-never fake convergence.
+Driver involvement is one scalar per round: each round's aggregate
+carries the node's OWN previous label alongside the min (the self row
+is tagged before the union), so ``changed = Σ(new < own)`` falls out of
+the same groupBy — no join of new-vs-old labels (an extra shuffle) and
+no "previous round" state, which means no separate initialization
+action either (an earlier revision compared per-round label SUMs,
+paying one extra driver action before the loop to seed the baseline).
+``changed == 0`` IS the fixpoint, directly.
 """
 
 from __future__ import annotations
@@ -72,11 +72,6 @@ def connected_components(
         .select("e.s", "e.d")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    def label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0][0]
-
     # Size the LOOP's shuffle width from the measured edge count.  AQE
     # cannot re-plan across an iterative driver loop, and a tiny dup
     # graph (thousands of edges) pays full-width shuffle scheduling
@@ -106,25 +101,36 @@ def connected_components(
         labels = nodes.select(
             F.col(id_col).alias("id"), F.col(id_col).alias("component")
         ).localCheckpoint(eager=False)
-        prev_sum = label_sum(labels)  # materializes the checkpoint
 
         for _ in range(max_iter):
+            # tag the self row so the groupBy can recover the node's
+            # previous label next to the min — the convergence scalar
+            # rides the round's one aggregation for free
+            self_rows = labels.select(
+                "id", "component", F.lit(True).alias("is_self")
+            )
             neighbor_labels = sym.join(
                 labels, sym.d == labels.id, "inner"
-            ).select(F.col("s").alias("id"), "component")
+            ).select(
+                F.col("s").alias("id"), "component", F.lit(False).alias("is_self")
+            )
             new_labels = (
-                labels.unionByName(neighbor_labels)
+                self_rows.unionByName(neighbor_labels)
                 .groupBy("id")
-                .agg(F.min("component").alias("component"))
+                .agg(
+                    F.min("component").alias("component"),
+                    F.max(F.when(F.col("is_self"), F.col("component"))).alias("own"),
+                )
                 .localCheckpoint(eager=False)
             )
             # one action per round: materializes the checkpoint AND
             # returns the convergence scalar
-            cur_sum = label_sum(new_labels)
-            labels = new_labels
-            if cur_sum == prev_sum:
+            changed = new_labels.agg(
+                F.sum((F.col("component") < F.col("own")).cast("long")).alias("c")
+            ).collect()[0][0]
+            labels = new_labels.select("id", "component")
+            if not changed:
                 break
-            prev_sum = cur_sum
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     return labels
