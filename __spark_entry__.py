@@ -50,8 +50,11 @@ _PRIORITY = [
     "orders_per_customer_array",
     # SURVEY §2 family representatives (driver-green r1, kept in-window)
     "distinct_projection_split",
-    "customers_without_orders",
+    # (customers_without_orders returns 0 rows at sf0.01 — a trivially-
+    # matching check; its semi-join twin below covers the same P6
+    # family with 1,500 rows, freeing a window slot for token counting)
     "customers_with_orders",
+    "text_token_counts",
     "max_order_key",
     "top_orders",
     "dim_dense_keys",

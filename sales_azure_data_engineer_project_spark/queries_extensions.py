@@ -1557,3 +1557,58 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_token_counts",
+    r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+               ) AS bpe
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(bpe) AS BIGINT) AS bpe_tokens,
+           CAST((1000 * length(text)) // len(bpe) AS BIGINT) AS chars_per_bpe_milli
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting, the budget currency of every LLM
+    training pipeline: whitespace tokens AND a BPE-ish pre-tokenizer
+    count (the GPT-2 split regex — contraction suffixes, letter runs,
+    digit runs, punctuation runs, whitespace — which upper-bounds real
+    BPE merge counts and is deterministic without a vocab file).
+    chars/token (milli) is the packing-density signal used to filter
+    boilerplate/code-like shards.  Verified engine-exact: the Java and
+    RE2 dialects agree on this pattern over the whole corpus (no
+    lookarounds, which RE2 lacks).
+
+    Scale shape: map-only over the text column — no shuffle, no UDF;
+    the regex runs inside whole-stage codegen.  ``_fan_out`` spreads
+    the small local file so the regex work uses every core; a real
+    multi-GB input partitions naturally."""
+    docs = _fan_out(load_testdata(spark, sf_dir, "documents"))
+    bpe_pat = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(bpe_pat), F.lit(0))
+    counted = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("ws_tokens"),
+        F.size(bpe).cast("bigint").alias("bpe_tokens"),
+    )
+    return counted.select(
+        "*",
+        F.expr("div(1000 * n_chars, bpe_tokens)")
+        .cast("bigint")
+        .alias("chars_per_bpe_milli"),
+    ).orderBy("doc_id")
