@@ -17,7 +17,7 @@ Engine-parity contracts used throughout:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .io import load_testdata
@@ -1612,3 +1612,172 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_per_bpe_milli"),
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_training_prep",
+    f"""
+    WITH {_CORPUS_SQL},
+    tk AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
+           FROM corpus),
+    scored AS (
+        SELECT doc_id, text,
+               len(toks) AS n_tokens,
+               (1000 * len(list_distinct(toks))) // len(toks) AS ttr,
+               len(list_filter(toks, x -> x IN
+                   ('the','a','an','of','and','to','is','in','it','for')))
+                   AS stop_hits
+        FROM tk
+    ),
+    quality AS (SELECT * FROM scored WHERE n_tokens >= 20 AND ttr >= 300),
+    lang AS (SELECT * FROM quality WHERE stop_hits * 20 >= n_tokens),
+    exd AS (SELECT * FROM lang
+           QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+    exsh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks)-2),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                 ELSE []::VARCHAR[] END)) AS sh
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM exd)
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM exsh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(concat_ws('|', h4, h5, h6, h7)) AS band_sig FROM sig
+    ),
+    drops AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+    ),
+    nd AS (SELECT * FROM exd WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+    samp AS (SELECT * FROM nd
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c'),
+    funnel AS (
+        SELECT 0 AS stage_idx, 'raw' AS stage, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens FROM scored
+        UNION ALL SELECT 1, 'quality', COUNT(*), SUM(n_tokens) FROM quality
+        UNION ALL SELECT 2, 'lang', COUNT(*), SUM(n_tokens) FROM lang
+        UNION ALL SELECT 3, 'exact_dedup', COUNT(*), SUM(n_tokens) FROM exd
+        UNION ALL SELECT 4, 'near_dedup', COUNT(*), SUM(n_tokens) FROM nd
+        UNION ALL SELECT 5, 'sample', COUNT(*), SUM(n_tokens) FROM samp
+    )
+    SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM funnel ORDER BY stage_idx
+    """,
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep funnel — the composed pipeline every
+    stage in this module exists to serve, as ONE query: quality filter
+    (length + lexical diversity) → language filter (stopword heuristic)
+    → exact dedup (keep min doc id per content digest) → near-dup
+    removal (MinHash-LSH candidates, drop the higher id of every
+    candidate pair) → deterministic hash sample (md5 first nibble,
+    ~13/16 keep rate).  Output: per-stage surviving document and
+    token counts, the shape of a pipeline-health dashboard.
+
+    Scale shape: the scored corpus is ONE scan, persisted and reused by
+    every stage; exact dedup is a window-min over the 16-byte digest
+    (one shuffle); near-dup reuses the banded-minhash machinery
+    (constant-size signatures, band-bucket equi-join — the 100 TB
+    path).  The six stage counts come from THREE conditional-aggregate
+    jobs, not six: quality/lang are per-row flags of the scored corpus
+    (stages 0-2 in one pass), the sample predicate is a per-row flag of
+    the near-dedup survivors (stages 4-5 in one pass) — a row-level
+    filter never deserves its own scan.  Every boundary is a built-in
+    function — no Python anywhere.
+    """
+    from pyspark import StorageLevel
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    # bind the token array ONCE before deriving from it: Spark does no
+    # CSE through higher-order lambdas, so inlining split() into each
+    # derived column re-runs the regex tokenization per use (measured
+    # 3× slowdown on this very stage)
+    tk = corpus.select("doc_id", "text", F.split(F.col("text"), X.TOKEN_RE).alias("toks"))
+    base = (
+        tk.select(
+            "doc_id",
+            "text",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.expr("div(1000 * size(array_distinct(toks)), size(toks))").alias("ttr"),
+            F.size(F.filter(F.col("toks"), lambda t: t.isin(*X.EN_STOPWORDS)))
+            .cast("bigint")
+            .alias("stop_hits"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    q_pass = (F.col("n_tokens") >= 20) & (F.col("ttr") >= 300)
+    l_pass = q_pass & (F.col("stop_hits") * 20 >= F.col("n_tokens"))
+    lang = base.filter(l_pass)
+    ex = (
+        lang.withColumn(
+            "keep",
+            F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text").cast("binary")))),
+        )
+        .filter(F.col("doc_id") == F.col("keep"))
+        .drop("keep")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = D.minhash_bands(ex, "doc_id", "text", n_hashes=8, band_size=4)
+    drops = (
+        D.lsh_candidate_pairs(bands, "doc_id")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = ex.join(F.broadcast(drops), "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    s_pass = (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1) <= "c"
+    )
+
+    def _cnt(flag):
+        return F.count(F.when(flag, F.lit(1)))
+
+    def _tok(flag):
+        return F.coalesce(F.sum(F.when(flag, F.col("n_tokens"))), F.lit(0)).cast(
+            "bigint"
+        )
+
+    def _row(idx: int, name: str, c, t):
+        return F.struct(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            c.alias("n_docs"),
+            t.alias("n_tokens"),
+        )
+
+    true = F.lit(True)
+    s012 = base.agg(
+        F.inline(
+            F.array(
+                _row(0, "raw", _cnt(true), _tok(true)),
+                _row(1, "quality", _cnt(q_pass), _tok(q_pass)),
+                _row(2, "lang", _cnt(l_pass), _tok(l_pass)),
+            )
+        )
+    )
+    s3 = ex.agg(F.inline(F.array(_row(3, "exact_dedup", _cnt(true), _tok(true)))))
+    s45 = nd.agg(
+        F.inline(
+            F.array(
+                _row(4, "near_dedup", _cnt(true), _tok(true)),
+                _row(5, "sample", _cnt(s_pass), _tok(s_pass)),
+            )
+        )
+    )
+    return s012.unionByName(s3).unionByName(s45).orderBy("stage_idx")
