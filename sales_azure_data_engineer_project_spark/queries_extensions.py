@@ -1781,3 +1781,73 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s012.unionByName(s3).unionByName(s45).orderBy("stage_idx")
+
+
+@register("similarity_ann_ivf_kmeans", None)  # trained quantizer → rows-only
+def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: Lloyd's k-means (k=8,
+    deterministic first-k seeding over vec_id order) fits the centroid
+    set, then the inverted file and probing work exactly like
+    ``similarity_ann_ivf``.  The fixed-stride variant exists so a DuckDB
+    oracle can replay the centroids; this one is the production path —
+    learned cells follow the data distribution, so cell populations
+    (and therefore probe cost) stay balanced where a stride quantizer
+    degrades.  Iterative centroid fit is not SQL-expressible → rows-only
+    driver check; ``tests/test_scale_ops.py`` covers k-means itself.
+
+    Scale shape: per k-means iteration one narrow assignment pass
+    (broadcast k×d centroids) + one (k·d)-row partial-sum shuffle —
+    only the centroid matrix ever reaches the driver.  The probe join
+    is a broadcast equi-join on the cell id, identical to the stride
+    IVF.
+    """
+    from pyspark import StorageLevel
+
+    from .operators.kmeans import assign_clusters_arrow, kmeans_fit
+
+    emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
+    base = (
+        emb.select("vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # deterministic seeds = lowest-k vec_ids, fetched once — sorting the
+    # whole frame inside the fit would re-run the sort on every
+    # iteration's scan
+    seed_rows = (
+        base.filter(F.col("vec_id") < 8).orderBy("vec_id").select("v").collect()
+    )
+    centroids, _ = kmeans_fit(
+        base,
+        k=8,
+        vec_col="v",
+        max_iter=3,
+        seeds=[list(r["v"]) for r in seed_rows],
+        compute_inertia=False,
+    )
+    cells = assign_clusters_arrow(base, centroids, "v").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    q = cells.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cluster").alias("qcluster"),
+    )
+    scored = cells.join(
+        F.broadcast(q),
+        (F.col("qcluster") == F.col("cluster")) & (F.col("query_id") != F.col("vec_id")),
+    ).withColumn(
+        "cos_raw", S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("vec_id").cast("bigint").alias("neighbor_id"),
+            F.round("cos_raw", 6).cast("double").alias("cos_sim"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )
