@@ -1293,11 +1293,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lineitem (no partsupp in the corpus; MIN avoids division, so
     the decimal compare is engine-exact).
 
-    Scale shape: the correlated subquery is a window MIN over the
-    (part, supplier) aggregate — already partitioned by part key from
-    the groupBy, so the window reuses the aggregation's clustering and
-    AQE coalesces; supplier/nation/region and the size-filtered part
-    side are broadcast.  One wide shuffle total (the supply groupBy).
+    Scale shape: ONE wide shuffle — an explicit repartition on the part
+    key feeds both the (part, supplier) aggregation AND the window MIN
+    (hash partitioning on a SUBSET of the group keys satisfies the
+    aggregation's clustered distribution, and the window partitions by
+    that same subset; Catalyst left alone would plan an Exchange on the
+    full grouping key and a SECOND on p_partkey for the window).
+    Tradeoff made explicit: repartitioning raw rows forfeits map-side
+    combine, but (part, supplier) pairs are nearly unique per lineitem
+    row, so the combine saved almost nothing while the second shuffle
+    was full-size.  Supplier/nation/region and the size-filtered part
+    side are broadcast.
     """
     li = load_testdata(spark, sf_dir, "lineitem")
     supplier = load_testdata(spark, sf_dir, "supplier")
@@ -1305,9 +1311,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_testdata(spark, sf_dir, "region")
     part = load_testdata(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
 
-    supply = li.groupBy(
-        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("cost"))
+    supply = (
+        li.repartition(F.col("l_partkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("cost"))
+    )
     eur = (
         supplier.join(
             F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
