@@ -156,3 +156,61 @@ def test_embedding_lsh_vs_blocked_brute(spark, sf_smoke):
     assert lsh <= truth_lsh
     if truth_lsh:
         assert len(lsh) > 0
+
+
+def test_arrow_assignment_matches_sql_fold(spark, sf_smoke):
+    """Differential: the Arrow/numpy cluster assignment must agree with
+    the interpreted SQL-fold assignment everywhere the argmin is
+    unambiguous (summation order can only flip exact distance ties)."""
+    from pyspark.sql import functions as F
+
+    from sales_azure_data_engineer_project_spark.operators import similarity as S
+    from sales_azure_data_engineer_project_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_arrow,
+    )
+
+    emb = S.with_norm(spark.read.parquet(sf_smoke + "/embeddings.parquet"))
+    base = emb.select("vec_id", F.col("_v").alias("v"))
+    cents = [list(r["v"]) for r in base.orderBy("vec_id").limit(4).collect()]
+    sql_rows = {
+        r["vec_id"]: r["cluster"] for r in assign_clusters(base, cents, "v").collect()
+    }
+    arrow_rows = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters_arrow(base, cents, "v").collect()
+    }
+    assert sql_rows == arrow_rows
+
+
+def test_training_prep_funnel_invariants(spark, sf_smoke):
+    """The funnel's stage populations must be monotone non-increasing
+    and stage 0 must equal the planted-corpus size."""
+    import __spark_entry__ as entry_mod
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _dedup_corpus,
+    )
+
+    rows = entry_mod.queries()["pipeline_training_prep"](spark, sf_smoke).collect()
+    assert [r["stage"] for r in rows] == [
+        "raw", "quality", "lang", "exact_dedup", "near_dedup", "sample",
+    ]
+    docs = [r["n_docs"] for r in rows]
+    toks = [r["n_tokens"] for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert docs[0] == _dedup_corpus(spark, sf_smoke).count()
+    assert docs[-1] > 0
+
+
+def test_token_count_invariants(spark, sf_smoke):
+    """BPE-ish pre-tokenization splits at least as fine as whitespace:
+    bpe_tokens >= ws_tokens for every doc, and the density ratio is
+    consistent with the counts it was derived from."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["text_token_counts"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["bpe_tokens"] >= r["ws_tokens"] > 0
+        assert r["chars_per_bpe_milli"] == 1000 * r["n_chars"] // r["bpe_tokens"]
