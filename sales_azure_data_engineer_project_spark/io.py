@@ -113,18 +113,31 @@ def write_bucketed_table(
 def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver-corpus table (TESTDATA.md).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer — illegal for
-    Spark's reader, so the session reads nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and we rebuild a proper
-    timestamp here at microsecond precision (truncation, matching what
-    DuckDB's CAST(ts_ns AS TIMESTAMP) does).
+    ``events.ts`` has shipped in two parquet encodings across driver
+    rounds, both normalized here to TIMESTAMP (instant) in UTC — the
+    type every downstream query (unix_micros, window, date_trunc) and
+    the zone-naive DuckDB oracle agree on:
+
+    - TIMESTAMP(NANOS): illegal for Spark's reader, so the session
+      reads nanos as long (``spark.sql.legacy.parquet.nanosAsLong``)
+      and we rebuild a microsecond timestamp (truncation, matching
+      DuckDB's CAST(ts_ns AS TIMESTAMP)).
+    - naive timestamp[us] (isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ by default; ``_ensure_session_confs`` disables the
+      inference so the wall-clock values read as UTC instants, with a
+      cast fallback below if that conf is locked down (cast interprets
+      NTZ in the session zone, which we force to UTC — same instants).
     """
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division — double division would lose precision on
-        # 1.7e18-scale nanosecond epochs (doubles carry 53 bits)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if table == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division — double division would lose precision on
+            # 1.7e18-scale nanosecond epochs (doubles carry 53 bits)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -137,14 +150,22 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 
     - UTC session timezone: year()/date_trunc() etc. render instants in
       the session zone; the DuckDB oracle is zone-naive (UTC).
-    - nanosAsLong: the events table stores TIMESTAMP(NANOS), which the
-      reader otherwise rejects outright.
+    - nanosAsLong: round-1 events parquet stored TIMESTAMP(NANOS),
+      which the reader otherwise rejects outright.
+    - inferTimestampNTZ off: round-2 events parquet stores naive
+      timestamp[us]; without inference it reads as a UTC instant
+      (TIMESTAMP), the type unix_micros()/window() require and the
+      semantics the zone-naive oracle assumes.
     """
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001 — a locked-down conf is non-fatal
-        pass
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked-down conf is non-fatal
+            pass
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:

@@ -68,9 +68,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # The corpus events table stores TIMESTAMP(NANOS) which the
-        # vectorized reader rejects; read as long and normalize in io.
+        # The corpus events table has shipped as TIMESTAMP(NANOS) (reader
+        # rejects it — read as long, normalize in io) and as naive
+        # timestamp[us] (read as a UTC instant, not NTZ, so time functions
+        # and the zone-naive oracle agree).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
         # bucketed-table warehouse outside the repo tree
         .config(
