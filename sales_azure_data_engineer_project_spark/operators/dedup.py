@@ -35,6 +35,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_bands",
     "lsh_candidate_pairs",
+    "minhash_verified_pairs",
     "simhash16",
 ]
 
@@ -170,6 +171,21 @@ def minhash_bands(
     deterministic, engine-portable (lexicographic min over hex).
     """
     shingled = _shingled(df, id_col, text_col, shingle_n)
+    return _bands_from_shingled(
+        shingled, id_col, n_hashes=n_hashes, band_size=band_size
+    )
+
+
+def _bands_from_shingled(
+    shingled: DataFrame,
+    id_col: str,
+    *,
+    n_hashes: int,
+    band_size: int,
+) -> DataFrame:
+    """Banded signatures from a pre-built (id, shingles-array) frame, so
+    callers that also need the raw shingle sets (e.g. candidate
+    verification) share ONE persisted tokenization."""
     sh = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
     seeded = sh.select(
         F.col(id_col), F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"), "sh"
@@ -221,6 +237,70 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
             F.col("id_a").cast("bigint"),
             F.col("id_b").cast("bigint"),
             F.col("shared_bands").cast("bigint"),
+        )
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    min_permille: int = 300,
+) -> DataFrame:
+    """Near-dup pairs via LSH candidates + exact-Jaccard verification.
+
+    The 100 TB pair-generation path: ``jaccard_pairs`` joins the full
+    shingle posting lists (cost Σ bucket² over every shingle bucket in
+    the corpus), while this generates candidates from constant-size
+    banded minhash signatures — the shuffle is |docs|·n_bands rows of
+    (id, 16-byte band-sig) regardless of document length — and then
+    computes exact Jaccard ONLY for colliding pairs by intersecting the
+    two candidates' shingle arrays (array_intersect, no posting-list
+    join).  Verification cost is linear in the candidate count, which
+    at any scale tracks the true duplicate count, not N².
+
+    Recall < 1 by LSH design: a pair is emitted only if it shares a
+    band AND verified Jaccard ≥ ``min_permille``.  Precision is exact —
+    verification eliminates every false-positive collision.
+
+    Output: (id_a, id_b, common, jac_permille) — the same schema as
+    ``jaccard_pairs``, so downstream clustering is drop-in.
+    """
+    shingled = _shingled(df, id_col, text_col, shingle_n)
+    bands = _bands_from_shingled(
+        shingled, id_col, n_hashes=n_hashes, band_size=band_size
+    )
+    cand = lsh_candidate_pairs(bands, id_col).select("id_a", "id_b")
+    # Verification joins: candidates ≪ corpus, so hand both joins to
+    # AQE (the persisted shingled side carries accurate stats); each is
+    # a plain equi-join on the doc id — no shuffle of non-candidate
+    # documents' arrays survives the join pruning at scale.
+    a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jac_permille",
+            F.expr(
+                "div(1000 * common, size(sh_a) + size(sh_b) - common)"
+            ).cast("bigint"),
+        )
+        .filter(F.col("jac_permille") >= min_permille)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.col("common").cast("bigint").alias("common"),
+            "jac_permille",
         )
     )
 

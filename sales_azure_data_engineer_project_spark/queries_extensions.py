@@ -683,6 +683,94 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_MINHASH_BANDS_SQL = f"""
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(concat_ws('|', h4, h5, h6, h7)) AS band_sig FROM sig
+    )
+"""
+
+
+@register(
+    "dedup_clusters_minhash",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL}, {_MINHASH_BANDS_SQL},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS c
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE (1000 * c) // (sa.sz + sb.sz - c) >= 300
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(least(c.doc_id, coalesce(MIN(r.v), c.doc_id)) AS BIGINT) AS component
+    FROM corpus c LEFT JOIN reach r ON r.u = c.doc_id
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with LSH candidate generation — the 100 TB
+    clustering path.
+
+    ``dedup_clusters`` generates pairs from the full shingle
+    posting-list join (Σ bucket² work over every shingle in the
+    corpus); here candidates come from banded minhash signatures
+    (constant-size per doc — the shuffle is |docs|·2 band rows no
+    matter how long the documents are), each candidate is verified
+    with exact Jaccard over just that pair's shingle arrays, and the
+    verified edges feed the same connected-components loop.  Recall
+    is bounded by the banding probability (recall < 1 by design);
+    precision matches ``dedup_clusters`` exactly, since verification
+    recomputes true Jaccard.  Oracle: DuckDB recursive CTE over the
+    identically-banded, identically-verified edge set."""
+    from .operators.graph import connected_components
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = D.minhash_verified_pairs(
+        corpus, "doc_id", "text", n_hashes=8, band_size=4, min_permille=300
+    )
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    labels = connected_components(
+        nodes, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return labels.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Pandas-UDF tier (Arrow-batched Python): grouped-map, grouped-agg.
 # Integer arithmetic inside pandas keeps them oracle-exact.

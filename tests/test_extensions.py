@@ -55,6 +55,28 @@ def test_minhash_lsh_candidates(spark, docs):
     assert all((4 not in p) for p in cands)
 
 
+def test_minhash_verified_pairs_subset_of_jaccard(spark, docs):
+    """LSH-verified pairs must be a SUBSET of the full posting-list
+    Jaccard pairs (recall < 1 by banding), and every emitted pair must
+    carry the IDENTICAL exact (common, jac_permille) — verification
+    recomputes true Jaccard, so precision matches the brute path."""
+    full = {
+        (r["id_a"], r["id_b"]): (r["common"], r["jac_permille"])
+        for r in D.jaccard_pairs(docs, "doc_id", "text", min_permille=300).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): (r["common"], r["jac_permille"])
+        for r in D.minhash_verified_pairs(
+            docs, "doc_id", "text", min_permille=300
+        ).collect()
+    }
+    assert set(lsh) <= set(full)
+    for k, v in lsh.items():
+        assert v == full[k]
+    # identical docs collide in every band and verify at jaccard 1.0
+    assert lsh[(1, 2)] == full[(1, 2)]
+
+
 def test_simhash_identical_docs_equal(spark, docs):
     fp = {r["doc_id"]: r["simhash16"] for r in D.simhash16(docs, "doc_id", "text").collect()}
     assert fp[1] == fp[2]
