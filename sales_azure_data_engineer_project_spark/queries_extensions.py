@@ -1575,6 +1575,92 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN8 = ", ".join(f"toks[i+{j}]" for j in range(8))
+
+
+@register(
+    "text_span_dup_stats",
+    rf"""
+    WITH {_CORPUS_SQL},
+    t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
+    spans AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 8
+                 THEN list_transform(generate_series(1, len(toks)-7),
+                      i -> concat_ws(' ', {_SPAN8}))
+                 ELSE []::VARCHAR[] END)) AS span
+        FROM t
+    ),
+    cnt AS (SELECT span, COUNT(*) AS n_docs FROM spans GROUP BY span),
+    per_doc AS (
+        SELECT s.doc_id, COUNT(*) AS n_spans,
+               SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM spans s JOIN cnt c ON s.span = c.span
+        GROUP BY s.doc_id
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           CAST(CASE WHEN coalesce(p.n_spans, 0) > 0
+                     THEN (1000 * p.n_dup) // p.n_spans ELSE 0 END AS BIGINT)
+               AS dup_span_permille
+    FROM corpus c LEFT JOIN per_doc p ON p.doc_id = c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span profile per document — the C4-style span-dedup
+    signal (Raffel et al. 2020 §2.2 removed repeated three-sentence
+    spans; here the span is a fixed 8-token window since the corpus has
+    no sentence structure).  A doc whose spans mostly appear in other
+    docs is boilerplate or a near-copy; ``dup_span_permille`` is the
+    filter column a training pipeline thresholds on.
+
+    Spark-first shape: distinct 8-gram spans per doc (array expression,
+    codegen), explode, ONE shuffle keyed by span hash where a window
+    ``count(*)`` computes cross-doc span frequency (no join back — the
+    grouped side and probe side would be the same exchange), then one
+    per-doc aggregate.  Span identity travels as xxhash64 longs (8
+    bytes vs ~50-byte strings in the wide shuffle); the oracle groups
+    raw strings, so a collision would fail the hash gate at sf0.01.
+    Skew bound: a window partition is one span's posting list, which
+    tracks the duplicate-group size, not corpus size."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", F.split(F.col("text"), X.TOKEN_RE).alias("toks"))
+    spans = toks.select(
+        "doc_id", D.shingles_from_tokens(F.col("toks"), 8).alias("spans")
+    )
+    sp = spans.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id", F.xxhash64("span").alias("h")
+    )
+    w = Window.partitionBy("h")
+    per_doc = (
+        sp.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.expr("div(1000 * n_dup, n_spans)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("dup_span_permille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "text_pii_scrub",
     r"""
