@@ -37,6 +37,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_verified_pairs",
     "simhash16",
+    "simhash_hamming_pairs",
 ]
 
 
@@ -301,6 +302,125 @@ def minhash_verified_pairs(
             F.col("id_b").cast("bigint"),
             F.col("common").cast("bigint").alias("common"),
             "jac_permille",
+        )
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def _simhash64_blocks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash as FOUR 16-bit integer blocks per document.
+
+    Production-width variant of ``simhash16``: bit i (0..63) votes with
+    the i-th bit of md5(token), +1 when set, −1 when clear, weighted by
+    token multiplicity; the fingerprint bit is 1 iff the vote sum is
+    positive.  Bits are packed big-endian into blocks b0..b3 (bit p of
+    block b has weight 2^(15−p)), keeping every value ≤ 65535 so both
+    engines stay in exact BIGINT arithmetic — no 64-bit sign hazards.
+
+    One explode + ONE map-side-combined aggregate keyed by the doc id
+    computes all 64 vote sums in a single pass (wide agg beats a
+    (doc, bit) explode: no 64× row blow-up through the shuffle).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), TOKEN_RE)).alias("tok")
+    )
+    hashed = toks.select(id_col, F.md5(F.col("tok").cast("binary")).alias("h"))
+
+    def vote(b: int, p: int):
+        j = 4 * b + p // 4 + 1  # 1-based hex nibble position
+        k = p % 4  # bit within nibble, 0 = MSB
+        return F.expr(
+            f"CASE WHEN ((locate(substr(h, {j}, 1), '{_HEX}') - 1) div {2 ** (3 - k)}) % 2 = 1 "
+            "THEN 1 ELSE -1 END"
+        )
+
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(vote(b, p)).alias(f"s_{b}_{p}")
+            for b in range(4)
+            for p in range(16)
+        ]
+    )
+    blocks = [
+        sum(
+            [
+                F.when(F.col(f"s_{b}_{p}") > 0, F.lit(2 ** (15 - p))).otherwise(F.lit(0))
+                for p in range(16)
+            ],
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias(f"b{b}")
+        for b in range(4)
+    ]
+    return votes.select(F.col(id_col), *blocks)
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash Hamming distance ≤ ``max_hamming``
+    (≤ 3), found WITHOUT an all-pairs scan — Manku, Jain & Das Sarma's
+    pigeonhole scheme (WWW 2007): split the fingerprint into 4 blocks;
+    any pair within Hamming 3 must agree EXACTLY on ≥ 1 block, so
+    candidates come from four equality self-joins (one per block), then
+    exact Hamming verification via bit_count(xor) on the 4 block ints.
+
+    At 100 TB: the candidate join shuffles (block_idx, 16-bit value,
+    id) — constant bytes per doc — and each block-bucket is a near-dup
+    cluster's size, not corpus size; verification touches candidates
+    only.  Output: (id_a, id_b, hamming).
+    """
+    if max_hamming > 3:
+        raise ValueError("4-block pigeonhole guarantees recall only for hamming <= 3")
+    from pyspark import StorageLevel
+
+    sig = _simhash64_blocks(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    blk = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("blk_idx"), F.col(f"b{b}").alias("blk_val"))
+                for b in range(4)
+            ])
+        ).alias("e"),
+    ).select(id_col, "e.blk_idx", "e.blk_val")
+    r = blk.select(
+        F.col(id_col).alias("rid"), F.col("blk_idx"), F.col("blk_val")
+    )
+    cand = (
+        blk.join(r, on=["blk_idx", "blk_val"])
+        .filter(F.col(id_col) < F.col("rid"))
+        .select(F.col(id_col).alias("id_a"), F.col("rid").alias("id_b"))
+        .distinct()
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)]
+    )
+    b_ = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"b{b}").alias(f"c{b}") for b in range(4)]
+    )
+    ham = sum(
+        [F.expr(f"bit_count(a{b} ^ c{b})").cast("bigint") for b in range(4)],
+        F.lit(0).cast("bigint"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b_, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.col("hamming"),
         )
     )
 

@@ -277,6 +277,73 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash16(corpus, "doc_id", "text").orderBy("doc_id")
 
 
+def _duck_simhash64_votes() -> str:
+    out = []
+    for b in range(4):
+        for p in range(16):
+            j = 4 * b + p // 4 + 1
+            k = p % 4
+            out.append(
+                f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {j}, 1)) - 1) "
+                f"// {2 ** (3 - k)}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{b}_{p}"
+            )
+    return ", ".join(out)
+
+
+def _duck_simhash64_blocks() -> str:
+    return ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN s_{b}_{p} > 0 THEN {2 ** (15 - p)} ELSE 0 END"
+            for p in range(16)
+        )
+        + f") AS b{b}"
+        for b in range(4)
+    )
+
+
+@register(
+    "dedup_simhash_hamming",
+    f"""
+    WITH {_CORPUS_SQL},
+    tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM corpus),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    votes AS (SELECT doc_id, {_duck_simhash64_votes()} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_duck_simhash64_blocks()} FROM votes),
+    blk AS (
+        SELECT doc_id, 0 AS blk_idx, b0 AS blk_val FROM sig
+        UNION ALL SELECT doc_id, 1, b1 FROM sig
+        UNION ALL SELECT doc_id, 2, b2 FROM sig
+        UNION ALL SELECT doc_id, 3, b3 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM blk a JOIN blk b ON a.blk_idx = b.blk_idx AND a.blk_val = b.blk_val
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+           CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+                bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) AS BIGINT) AS hamming
+    FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) +
+          bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs at Hamming ≤ 3 — the production
+    simhash tier (VERDICT r1 follow-up to the 16-bit SQL-exact toy).
+    Candidates via Manku et al.'s 4-block pigeonhole (a pair within
+    Hamming 3 agrees exactly on ≥ 1 of 4 16-bit blocks → four equality
+    self-joins, never an all-pairs scan), verified with
+    bit_count(xor) over the block ints.  Fingerprints stay as 4×16-bit
+    BIGINT blocks so both engines compute in exact integer arithmetic."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    return D.simhash_hamming_pairs(corpus, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     """

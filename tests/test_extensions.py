@@ -84,6 +84,17 @@ def test_simhash_identical_docs_equal(spark, docs):
     assert fp[1] != fp[4]
 
 
+def test_simhash_hamming_pairs(spark, docs):
+    """Exact duplicates are Hamming-0 pairs; unrelated content verifies
+    far above the threshold and is excluded even if a block collides."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_hamming_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert all(4 not in p for p in pairs)
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     rows.append((9, [1.0, 0.001, 0.0, 0.0]))  # near-parallel to vec 0
