@@ -95,6 +95,34 @@ def test_simhash_hamming_pairs(spark, docs):
     assert all(4 not in p for p in pairs)
 
 
+def test_simhash_hamming_differential_brute(spark):
+    """The 4-block pigeonhole is EXHAUSTIVE for Hamming <= 3 (any such
+    pair agrees exactly on >= 1 block), so the operator's output must
+    EQUAL brute-force all-pairs Hamming — same pairs, same distances."""
+    from itertools import combinations
+
+    base = "spark shuffles data between stages when a wide dependency appears"
+    rows = [(i, base + f" variant {i % 4}") for i in range(24)]
+    rows += [(100 + i, f"totally unrelated corpus line number {i} with words") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sig = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in D._simhash64_blocks(df, "doc_id", "text").collect()
+    }
+    brute = {
+        (a, b): sum(bin(sig[a][i] ^ sig[b][i]).count("1") for i in range(4))
+        for a, b in combinations(sorted(sig), 2)
+        if sum(bin(sig[a][i] ^ sig[b][i]).count("1") for i in range(4)) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_hamming_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == brute
+    assert brute  # the planted variants must actually produce low-hamming pairs
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     rows.append((9, [1.0, 0.001, 0.0, 0.0]))  # near-parallel to vec 0
