@@ -24,7 +24,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["as_double_vec", "dot", "with_norm", "cosine_topk", "sign_bucket"]
+__all__ = [
+    "as_double_vec",
+    "dot",
+    "with_norm",
+    "cosine_topk",
+    "sq8_codes",
+    "sq8_topk",
+    "sign_bucket",
+]
 
 
 def as_double_vec(col: Column | str) -> Column:
@@ -68,6 +76,77 @@ def cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )
+
+
+def sq8_codes(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar-quantize vectors to 8-bit codes over the global value range.
+
+    The compression tier of production ANN (FAISS's SQ8): each dimension
+    maps to ``floor((x − min) · 256 / (max − min))`` clamped to [0, 255]
+    — 4 bytes/float → 1 byte/dim, so a 100 TB float corpus scans as
+    25 TB and distance math runs in exact integer arithmetic (which is
+    also what makes a DuckDB oracle bit-exact; float SQ variants could
+    not be hash-compared).  The range statistic is ONE tiny aggregate
+    broadcast to the quantization map — no shuffle of the vectors.
+
+    Output: (id, codes array<int>).
+    """
+    v = as_double_vec(vec_col)
+    stats = df.select(
+        F.min(F.array_min(v)).alias("mn"), F.max(F.array_max(v)).alias("mx")
+    )
+    quant = F.transform(
+        v,
+        lambda x: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor((x - F.col("mn")) * F.lit(256.0) / (F.col("mx") - F.col("mn"))).cast("int"),
+            ),
+        ),
+    )
+    return df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), quant.alias("codes")
+    )
+
+
+def sq8_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k per query by integer dot product in the quantized domain.
+
+    Same shape as ``cosine_topk`` (broadcast queries, scan candidates,
+    rank-filter per query) but the score is Σ qa_i·qb_i over the 8-bit
+    codes — BIGINT-exact, order-independent.  Output: (query_id,
+    neighbor_id, approx_dot, rk)."""
+    cand = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col("codes").alias("cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col("codes").alias("qv"))
+    idot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx_dot", idot)
+        .select("query_id", "neighbor_id", "approx_dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -440,6 +440,57 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ann_sq8",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM (SELECT unnest(v) AS x FROM e)),
+    q AS (
+        SELECT vec_id,
+               list_transform(v, x -> least(255, greatest(0,
+                   CAST(floor((x - mn) * 256.0 / (mx - mn)) AS INTEGER)))) AS qv
+        FROM e, mm
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_sum(list_transform(generate_series(1, len(a.qv)),
+                        i -> a.qv[i] * b.qv[i])) AS approx_dot
+        FROM q a JOIN q b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 10
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, approx_dot,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY approx_dot DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(approx_dot AS BIGINT) AS approx_dot, rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+)
+def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k — the COMPRESSION tier of ANN,
+    complementing the partitioning (IVF) and hashing (sign-LSH) tiers:
+    8-bit codes over the global value range cut the scanned bytes 4×
+    and turn the distance into an exact BIGINT dot product.  One tiny
+    min/max aggregate broadcasts into the quantization map; scoring is
+    the same broadcast-queries scan-candidates shape as the brute
+    baseline.  Both engines quantize with the identical double
+    expression, so codes — and therefore ranks — match exactly."""
+    emb = _fan_out(load_testdata(spark, sf_dir, "embeddings"))
+    codes = S.sq8_codes(emb)
+    out = S.sq8_topk(codes, codes.filter(F.col("vec_id") < 10), k=10)
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("neighbor_id").cast("bigint"),
+        F.col("approx_dot").cast("bigint"),
+        "rk",
+    ).orderBy("query_id", "rk")
+
+
+@register(
     "similarity_ann_sign_lsh",
     """
     WITH n AS (

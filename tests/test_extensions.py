@@ -77,6 +77,19 @@ def test_minhash_verified_pairs_subset_of_jaccard(spark, docs):
     assert lsh[(1, 2)] == full[(1, 2)]
 
 
+def test_sq8_codes_and_topk(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((9, [1.0, 0.001, 0.0, 0.0]))  # near-parallel to vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = S.sq8_codes(emb)
+    got = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert all(0 <= c <= 255 for cs in got.values() for c in cs)
+    assert got[0] == [255, 0, 0, 0]  # max value clamps to 255
+    out = S.sq8_topk(codes, codes.filter("vec_id = 0"), k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [9, 1]
+    assert out[0]["approx_dot"] == 255 * 255
+
+
 def test_simhash_identical_docs_equal(spark, docs):
     fp = {r["doc_id"]: r["simhash16"] for r in D.simhash16(docs, "doc_id", "text").collect()}
     assert fp[1] == fp[2]

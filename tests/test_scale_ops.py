@@ -323,6 +323,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "similarity_cosine_topk",   # brute-force baseline: bounded
                                     # query set broadcast × corpus (the
                                     # ANN tiers are the scale path)
+        "similarity_ann_sq8",       # same bounded-query broadcast shape,
+                                    # scored in the 8-bit code domain
     }
     offenders = {}
     for name, fn in m.queries().items():
