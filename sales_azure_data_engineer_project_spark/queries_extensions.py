@@ -491,6 +491,111 @@ def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ann_ivf_sq8",
+    """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM (SELECT unnest(v) AS x FROM n)),
+    codes AS (
+        SELECT vec_id,
+               list_transform(v, x -> least(255, greatest(0,
+                   CAST(floor((x - mn) * 256.0 / (mx - mn)) AS INTEGER)))) AS qv
+        FROM n, mm
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 61 = 0),
+    assigned AS (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v, c.cv) DESC, c.cid) AS crk
+        FROM n CROSS JOIN cents c
+    ),
+    cells AS (
+        SELECT a.vec_id, a.cid, k.qv
+        FROM assigned a JOIN codes k ON k.vec_id = a.vec_id
+        WHERE a.crk = 1
+    ),
+    q AS (SELECT * FROM cells WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i] * c.qv[i])) AS approx_dot
+        FROM q JOIN cells c ON q.cid = c.cid AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, approx_dot,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY approx_dot DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(approx_dot AS BIGINT) AS approx_dot, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def similarity_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × SQ8 — the production ANN composition (FAISS ``IVF,SQ8``):
+    the coarse quantizer routes each vector to a centroid cell (exact
+    double dot, broadcast centroids), and IN-cell scoring runs on 8-bit
+    codes with a BIGINT dot product.  At 100 TB the probe touches one
+    cell's worth of candidates AND scans them at a quarter of the
+    bytes; both reductions multiply.  Cell assignment and codes are
+    each computed once (persisted inverted file carries the codes)."""
+    from pyspark import StorageLevel
+
+    emb = _fan_out(load_testdata(spark, sf_dir, "embeddings"))
+    n = emb.select("vec_id", S.as_double_vec("embedding").alias("v"))
+    cents = n.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    crk_w = Window.partitionBy("vec_id").orderBy(
+        S.dot(F.col("v"), F.col("cv")).desc(), F.col("cid")
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("crk", F.row_number().over(crk_w))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "cid")
+    )
+    codes = S.sq8_codes(emb)
+    cells = (
+        assigned.join(codes, "vec_id")
+        .select("vec_id", "cid", "codes")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    q = cells.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("qcid"),
+        F.col("codes").alias("qv"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("codes"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cells.join(
+        F.broadcast(q),
+        (F.col("qcid") == F.col("cid")) & (F.col("query_id") != F.col("vec_id")),
+    ).withColumn("approx_dot", idot)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("vec_id").cast("bigint").alias("neighbor_id"),
+            F.col("approx_dot").cast("bigint"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
     "similarity_ann_sign_lsh",
     """
     WITH n AS (

@@ -317,6 +317,7 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "q21_waiting_orders",       # correlated <> EXISTS rewrite
         "similarity_ann_ivf",       # broadcast centroid grid (crossJoin by design)
         "similarity_ann_ivf_nprobe2",
+        "similarity_ann_ivf_sq8",   # same centroid grid + bounded-query probe
         "ann_recall_at_k",
         "text_chunking",            # chunk-grid expansion
         "cross_join_region_priority",  # deliberate tiny-dim cross join
