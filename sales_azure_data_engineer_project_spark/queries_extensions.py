@@ -1840,25 +1840,29 @@ def text_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter column a training pipeline thresholds on.
 
     Spark-first shape: distinct 8-gram spans per doc (array expression,
-    codegen), explode, ONE shuffle keyed by span hash where a window
-    ``count(*)`` computes cross-doc span frequency (no join back — the
-    grouped side and probe side would be the same exchange), then one
-    per-doc aggregate.  Span identity travels as xxhash64 longs (8
-    bytes vs ~50-byte strings in the wide shuffle); the oracle groups
-    raw strings, so a collision would fail the hash gate at sf0.01.
-    Skew bound: a window partition is one span's posting list, which
-    tracks the duplicate-group size, not corpus size."""
+    codegen), explode, cross-doc span frequency via groupBy(span hash)
+    joined back to the posting list — the grouped side and the probe
+    side are the IDENTICAL subtree, so Catalyst reuses one Exchange(h)
+    for both (measured 4.8 s vs 6.6 s for a window-count form: ~260k
+    one-row window partitions pay per-group sort overhead the hash
+    aggregate doesn't) — then one per-doc aggregate.  Span identity
+    travels as xxhash64 longs (8 bytes vs ~50-byte strings in the wide
+    shuffle); the oracle groups raw strings, so a collision would fail
+    the hash gate at sf0.01.  Skew bound: a span's posting list tracks
+    its duplicate-group size, not corpus size."""
     corpus = _dedup_corpus(spark, sf_dir)
-    toks = corpus.select("doc_id", F.split(F.col("text"), X.TOKEN_RE).alias("toks"))
-    spans = toks.select(
-        "doc_id", D.shingles_from_tokens(F.col("toks"), 8).alias("spans")
+    # Explode the INLINE generator expression: binding the span array as
+    # a named projection column first makes GenerateExec re-evaluate the
+    # whole transform per OUTPUT row under codegen — O(spans²) per doc,
+    # measured 31.9 s vs 2.1 s at sf0.1.  (The "bind tokens first" rule
+    # from NOTES applies to multi-consumer projections, not to a single
+    # explode; persisted `_shingled` consumers are unaffected.)
+    sp = D.shingle_explode(corpus, "doc_id", "text", 8).select(
+        "doc_id", F.xxhash64("sh").alias("h")
     )
-    sp = spans.select("doc_id", F.explode("spans").alias("span")).select(
-        "doc_id", F.xxhash64("span").alias("h")
-    )
-    w = Window.partitionBy("h")
+    cnt = sp.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (
-        sp.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        sp.join(cnt, "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
