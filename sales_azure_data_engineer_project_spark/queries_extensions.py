@@ -1798,6 +1798,99 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_cdc_chunks",
+    rf"""
+    WITH {_CORPUS_SQL},
+    t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
+    pe AS (
+        SELECT doc_id, u.pos AS pos, u.tok AS tok
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks)),
+                            i -> {{'pos': i, 'tok': toks[i]}})) AS u
+              FROM t)
+    ),
+    cid AS (
+        SELECT doc_id, pos, tok,
+               SUM(CASE WHEN substr(md5(tok), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS chunk_id
+        FROM pe
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+        FROM cid GROUP BY doc_id, chunk_id
+    ),
+    cnt AS (SELECT fp, COUNT(*) AS n_docs FROM chunks GROUP BY fp),
+    per_doc AS (
+        SELECT c.doc_id, COUNT(*) AS n_chunks,
+               SUM(CASE WHEN t.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+        FROM chunks c JOIN cnt t ON t.fp = c.fp
+        GROUP BY c.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_shared AS BIGINT) AS n_shared_chunks,
+           CAST((1000 * n_shared) // n_chunks AS BIGINT) AS shared_permille
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking — rolling-hash boundaries instead of
+    fixed strides (the rsync/LBFS trick): a token opens a new chunk
+    when its hash lands in a 1/8 target band, so chunk boundaries are
+    determined by CONTENT and survive insertions/deletions that shift
+    every fixed-window frame (``text_chunking``'s weakness as a dedup
+    unit).  Per doc: how many chunks, and how many also appear verbatim
+    in another document — the storage-dedup / near-dup signal.
+
+    Spark-first shape: posexplode → one Exchange(doc_id) where the
+    boundary cumsum window AND the per-chunk grouping both live →
+    chunk fingerprints → cross-doc count via groupBy(fp) joined back
+    (same reused-exchange pattern as ``text_span_dup_stats``) → per-doc
+    aggregate.  Chunk text is rebuilt with an order-struct sort inside
+    the aggregate (collect_list alone is order-nondeterministic)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    pe = corpus.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), X.TOKEN_RE)).alias("pos", "tok")
+    )
+    flag = F.when(
+        F.substring(F.md5(F.col("tok").cast("binary")), 1, 1).isin("0", "1"), 1
+    ).otherwise(0)
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cid = pe.withColumn("chunk_id", F.sum(flag).over(w))
+    chunks = cid.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x.tok,
+                ),
+            ).cast("binary")
+        ).alias("fp")
+    )
+    cnt = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        chunks.join(cnt, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_chunks").cast("bigint"),
+        F.col("n_shared").cast("bigint").alias("n_shared_chunks"),
+        F.expr("div(1000 * n_shared, n_chunks)").cast("bigint").alias("shared_permille"),
+    ).orderBy("doc_id")
+
+
 _SPAN8 = ", ".join(f"toks[i+{j}]" for j in range(8))
 
 
