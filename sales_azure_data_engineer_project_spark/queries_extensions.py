@@ -2345,3 +2345,37 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+@register("similarity_ann_pq", None)  # iterative codebook training → rows-only
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k — completes the FAISS quantization
+    triad (IVF = partition, SQ8 = scalar compress, PQ = vector
+    compress): 64-dim floats → 4 codes of 4 bits-worth each (m=4
+    subspaces × k=16 codewords, 64× smaller than float32), queries stay
+    full-precision and score candidates through a broadcast
+    (query × subspace × codeword) inner-product lookup table — m table
+    reads + adds per candidate, never a d-dim scan.
+
+    Codebook training = m independent deterministic Lloyd's loops
+    (first-k-by-id seeding), not SQL-expressible → rows-only driver
+    check; ``tests/test_extensions.py`` pins code determinism and
+    cluster-structured retrieval."""
+    # no _fan_out: PQ's per-row work is tiny (16-dim argmin), so the
+    # driver-loop job cost is TASK COUNT, not compute — training jobs
+    # on the input's natural partitioning run 32× fewer tasks locally
+    # (measured 6.5 → 4.1 s); at scale the input partitions naturally
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    codes, books = S.pq_fit_codes(emb, m=4, k=16, max_iter=3)
+    from pyspark import StorageLevel
+
+    codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
+    out = S.pq_adc_topk(
+        codes, books, emb.filter(F.col("vec_id") < 10), k_neighbors=5
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("neighbor_id").cast("bigint"),
+        F.round("approx_ip", 6).cast("double").alias("approx_ip"),
+        "rk",
+    ).orderBy("query_id", "rk")

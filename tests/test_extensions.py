@@ -77,6 +77,24 @@ def test_minhash_verified_pairs_subset_of_jaccard(spark, docs):
     assert lsh[(1, 2)] == full[(1, 2)]
 
 
+def test_pq_codes_and_adc_retrieval(spark):
+    """PQ on two well-separated clusters: identical vectors share codes,
+    and ADC ranks same-cluster vectors above the other cluster."""
+    a = [10.0, 10.0, 0.0, 0.0]
+    b = [0.0, 0.0, 10.0, 10.0]
+    rows = [(i, [x + (i % 3) * 0.01 for x in a]) for i in range(6)]
+    rows += [(100 + i, [x + (i % 3) * 0.01 for x in b]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes, books = S.pq_fit_codes(emb, m=2, k=2, max_iter=4)
+    got = {r["vec_id"]: (r["c0"], r["c1"]) for r in codes.collect()}
+    assert got[0] == got[3]  # identical vectors → identical codes
+    assert got[0] != got[100]  # opposite clusters → different codes
+    assert len(books) == 2 and all(len(cb) == 2 for cb in books)
+    out = S.pq_adc_topk(codes, books, emb.filter("vec_id = 0"), k_neighbors=8).collect()
+    top5 = [r["neighbor_id"] for r in out[:5]]
+    assert set(top5) == {1, 2, 3, 4, 5}  # own cluster first
+
+
 def test_sq8_codes_and_topk(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     rows.append((9, [1.0, 0.001, 0.0, 0.0]))  # near-parallel to vec 0

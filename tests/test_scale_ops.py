@@ -326,6 +326,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                     # ANN tiers are the scale path)
         "similarity_ann_sq8",       # same bounded-query broadcast shape,
                                     # scored in the 8-bit code domain
+        "similarity_ann_pq",        # ADC probe: bounded query LUT
+                                    # broadcast against the code scan
     }
     offenders = {}
     for name, fn in m.queries().items():
