@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stateful_dedup", "stateful_dedup_bloom", "stateful_sessionize"]
+__all__ = [
+    "stateful_dedup",
+    "stateful_dedup_bloom",
+    "stateful_sessionize",
+    "stateful_signature_dedup",
+]
 
 
 def stateful_dedup(
@@ -224,4 +229,87 @@ def stateful_sessionize(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def stateful_signature_dedup(
+    stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+) -> DataFrame:
+    """Streaming CONTENT dedup: drop documents whose minhash signature
+    was already seen, across micro-batches — the re-crawl case (same
+    article under a new id/URL) that id-keyed ``stateful_dedup`` cannot
+    catch.
+
+    The batch minhash (``operators.dedup.minhash_bands``) computes
+    signatures with explode + groupBy for shuffle economy; streaming
+    needs a ROW-LOCAL form, so each hash is an ``array_min`` over a
+    ``transform`` of the row's shingle array — no shuffle before the
+    stateful operator.  Signature equality means Jaccard ≈ 1 (catches
+    exact dups deterministically; a near-dup at similarity j collides
+    with probability j^n_hashes), so this is the cheap first gate in a
+    streaming ingest, ahead of batch LSH clustering.
+
+    Docs too short to shingle (< 3 tokens, NULL signature) pass through
+    unconditionally — they must not dedup against each other.  State is
+    one signature set per shard group (16 shards via the signature's
+    first hex char), bounded by distinct content volume; swap in the
+    Bloom pattern of ``stateful_dedup_bloom`` for unbounded streams.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import word_shingles
+
+    shingles = word_shingles(text_col, 3)
+
+    # CAUTION: the seed must be captured via a real closure, never a
+    # default-arg lambda (``lambda s, i=i``): a 2-parameter callable is
+    # treated by F.transform as a (value, index) lambda, so ``i`` would
+    # be SHADOWED by the generated index column and the salt literal
+    # would embed that column object's repr — whose auto-generated name
+    # differs per plan construction, silently changing every signature
+    # between queries (state lookups then never match).
+    def _minhash(seed: int):
+        return F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s).cast("binary")),
+            )
+        )
+
+    hashes = [_minhash(i) for i in range(n_hashes)]
+    sig = F.when(
+        F.size(shingles) > 0,
+        F.md5(F.concat_ws("|", *hashes).cast("binary")),
+    )
+    tagged = stream.withColumn("_sig", sig).withColumn(
+        "_shard", F.coalesce(F.substring("_sig", 1, 1), F.lit("_"))
+    )
+    out_schema = stream.schema
+    state_schema = T.StructType(
+        [T.StructField("seen", T.ArrayType(T.StringType()), True)]
+    )
+    passthrough = [f.name for f in stream.schema]
+
+    def dedup_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen: set[str] = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            nosig = pdf["_sig"].isna()
+            fresh = pdf[nosig | (~pdf["_sig"].isin(seen) & ~pdf["_sig"].duplicated())]
+            if len(fresh):
+                seen.update(s for s in fresh["_sig"] if isinstance(s, str))
+                yield fresh[passthrough]
+        state.update((sorted(seen),))
+
+    return tagged.groupBy("_shard").applyInPandasWithState(
+        dedup_group,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

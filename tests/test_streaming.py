@@ -172,6 +172,63 @@ def test_stateful_dedup_bloom(spark, tmp_path):
     assert len(rows) == 60
 
 
+def test_stateful_signature_dedup_content(spark, tmp_path):
+    """Content-signature dedup: the SAME TEXT under a NEW id is dropped
+    across micro-batches (the re-crawl case); distinct texts pass, and
+    sub-shingle docs (NULL signature) always pass."""
+    from sales_azure_data_engineer_project_spark.streaming.stateful import (
+        stateful_signature_dedup,
+    )
+
+    src = str(tmp_path / "sigsrc")
+    out = str(tmp_path / "sigout")
+    ckpt = str(tmp_path / "sigckpt")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    article = "the quick brown fox jumps over the lazy dog near the river bank"
+
+    def run_drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful_signature_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [
+            (1, article),
+            (2, "completely different content about spark streaming state"),
+            (3, article),  # in-batch content dup of 1 → dropped
+            (4, "hi"),  # < 3 tokens, NULL signature → passes
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_drain()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 4 in got1 and 2 in got1
+    assert len(got1 & {1, 3}) == 1  # exactly one copy of the article survives
+
+    spark.createDataFrame(
+        [
+            (10, article),  # cross-batch content dup → dropped via state
+            (11, "brand new text that nobody has streamed in before now"),
+            (12, "hi"),  # short docs never dedup against each other
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_drain()
+    rows = spark.read.parquet(out).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 10 not in ids
+    assert {11, 12} <= ids
+    assert len(rows) == len(ids)
+
+
 def test_watermarked_dedup_stream(spark, tmp_path):
     from sales_azure_data_engineer_project_spark.streaming.incremental import (
         watermarked_dedup,
