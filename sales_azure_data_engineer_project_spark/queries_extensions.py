@@ -826,6 +826,67 @@ def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_HEX12 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (12 - i)}"
+        for i in range(1, 13)
+    )
+    + ")"
+)
+
+
+@register(
+    "sample_weighted_poisson",
+    f"""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, n_chars,
+               CAST({_HEX12} AS DOUBLE) / n_chars AS priority
+        FROM u
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS weight,
+           priority
+    FROM keyed
+    ORDER BY priority, doc_id
+    LIMIT 100
+    """,
+)
+def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Poisson sampling (Ohlsson 1998): weighted sample of
+    100 docs where selection probability ∝ weight (here n_chars —
+    length-weighted subset selection, the way training pipelines bias
+    a sample toward longer documents without dropping short ones
+    entirely).  Priority = u/w with u a deterministic 48-bit content
+    hash; smallest-k priorities win.
+
+    Cross-engine exactness: u is an INTEGER (md5-prefix parsed to 48
+    bits — Spark ``conv``, DuckDB nibble-sum, identical values) and
+    u/w is ONE correctly-rounded IEEE division of exact integers, so
+    both engines produce bit-identical priorities.  Plan: a map pass +
+    TakeOrderedAndProject — no full sort at any scale."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            F.col("doc_id").cast("bigint"),
+            F.col("n_chars").cast("bigint").alias("weight"),
+            (u.cast("double") / F.col("n_chars")).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )
+
+
 @register(
     "vocab_top_tokens",
     r"""
