@@ -18,71 +18,69 @@ from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: 
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# The driver verifies the FIRST 50 registered queries (round-1 lesson:
-# CORRECTNESS_r01.json stopped at entry 50, leaving the whole extension
-# suite unchecked).  This explicit order front-loads (a) every query
-# that failed r1's hash gate, (b) one representative of every SURVEY §2
-# operator family, and (c) one representative of every LLM-pipeline
-# family (dedup / LSH / ANN / text / chunking / pandas-UDF / sampling /
-# multimodal / skew).  Everything after position 50 is either a variant
-# of an in-window family or was driver-green in round 1.
+# The driver verifies the FIRST 50 registered queries.  Rounds 1+2
+# together drove 70 of the 110 registered queries green
+# (CORRECTNESS_r01 ∪ CORRECTNESS_r02); this round-3 order front-loads
+# the 40 queries NEVER driver-checked (all round-2 additions: adapted
+# TPC-H Q2/Q4/Q7/Q8/Q9/Q11/Q13/Q14/Q15/Q17/Q18/Q20/Q21/Q22, the
+# window-rank/json/stats/null-safe suites, the SimHash-Hamming /
+# TF-cosine / SQ8 / IVF×SQ8 / PQ / kmeans ANN tiers, CDC chunks,
+# span-dup, repetition ratios, PII scrub, weighted sampling, vocab,
+# funnel, crossmodal) followed by 10 cross-round canaries — one per
+# proven family — so regressions in already-green code still surface.
 _PRIORITY = [
-    # r1 hash-fails + the array-cell error, all fixed this round
-    "flagship_revenue_by_nation_year",
-    "pricing_summary",
-    "union_segments",
-    "star_join_sales",
-    "derived_columns",
-    "richest_customer_per_nation",
-    "conditional_functions",
-    "q3_shipping_priority",
-    "q5_supplier_volume_by_region",
-    "grouping_sets_revenue",
-    "running_total_by_supplier",
-    "topk_parts_per_brand",
-    "price_delta_vs_prev_order",
-    "orders_above_avg_price",
-    "pivot_returnflag_status",
-    "events_hourly_rollup",
-    "events_asof_last_purchase",
-    "events_rolling_1h_value",
-    "unpivot_measures",
-    "orders_per_customer_array",
-    # SURVEY §2 family representatives (driver-green r1, kept in-window)
-    "distinct_projection_split",
-    # (customers_without_orders returns 0 rows at sf0.01 — a trivially-
-    # matching check; its semi-join twin below covers the same P6
-    # family with 1,500 rows, freeing a window slot for token counting)
-    "customers_with_orders",
-    "text_token_counts",
-    "max_order_key",
-    "top_orders",
-    "dim_dense_keys",
-    "having_filter",
-    "string_functions",
-    "sql_over_path_scan",
-    "empty_schema_select",
-    "events_sessionization",
-    # LLM-pipeline families (never driver-checked in r1)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "dedup_clusters",
-    "similarity_cosine_topk",
-    "similarity_ann_sign_lsh",
-    "similarity_ann_ivf",
-    "ann_recall_at_k",
-    "text_quality_stats",
-    "text_lang_id",
-    "text_fingerprints",
-    "text_chunking",
-    "grouped_map_normalize",
-    "pandas_udaf_weighted",
-    "sample_stratified_deterministic",
-    "multimodal_features",
-    "skew_salted_aggregation",
+    # --- 40 never-driver-checked (registration order of r2) ---
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit_adapted",
+    "q11_important_parts",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_orders",
+    "q22_inactive_rich_customers",
+    "window_rank_suite",
+    "json_functions",
+    "stats_aggregates_exact",
+    "null_safe_equality",
+    "events_value_anomalies",
+    "dedup_simhash_hamming",
+    "dedup_embedding_cosine",
+    "dedup_tf_cosine",
+    "dedup_clusters_minhash",
+    "similarity_ann_sq8",
+    "similarity_ann_ivf_sq8",
+    "similarity_ann_ivf_nprobe2",
+    "similarity_ann_ivf_kmeans",
+    "similarity_ann_pq",
+    "approx_distinct_stats",
+    "sample_weighted_poisson",
+    "vocab_top_tokens",
+    "tfidf_distinctive_terms",
+    "bigram_stats",
+    "text_winnowing_fingerprints",
+    "text_repetition_ratios",
+    "text_cdc_chunks",
+    "text_span_dup_stats",
+    "text_pii_scrub",
+    "crossmodal_doc_embedding_join",
+    "pipeline_training_prep",
+    # --- 10 canaries: driver-green in r1/r2, one per family ---
+    "flagship_revenue_by_nation_year",  # star join + agg + sort (S1/J2/A1/O1)
+    "pricing_summary",                  # grouped decimal aggregate (A1)
+    "events_sessionization",            # event-time window/session family
+    "dedup_exact",                      # exact dedup family
+    "dedup_minhash_lsh",                # MinHash+LSH banding family
+    "similarity_ann_ivf",               # ANN IVF family
+    "text_quality_stats",               # text-analysis family
+    "grouped_map_normalize",            # Pandas-UDF tier
+    "multimodal_features",              # multimodal binary plumbing
+    "skew_salted_aggregation",          # skew/salting family
 ]
 
 

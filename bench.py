@@ -47,7 +47,12 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             # drop persisted intermediates (dedup signatures/shingles) so
-            # one run's cache doesn't distort the next measurement
+            # one run's cache doesn't distort the next measurement; the
+            # tracked-persist registry is drained too so Python-side
+            # references don't pin JVM cache entries across queries
+            from sales_azure_data_engineer_project_spark.caching import release_caches
+
+            release_caches()
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
@@ -70,13 +75,27 @@ def main() -> None:
         )
         if k in timings
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Cross-round comparability (NOTES.md contract): alongside the
+    # full-suite total, report the total over exactly the query set that
+    # round 2 benchmarked (bench_baseline_r2.json, the recorded
+    # baseline) so later rounds that add queries don't inflate the
+    # headline number against a smaller-set baseline.
+    comparable_total = None
+    base_path = os.path.join(here, "bench_baseline_r2.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base_queries = set(json.load(f)["queries"])
+        common = [n for n in timings if n in base_queries]
+        if common:
+            comparable_total = round(sum(timings[n] for n in common), 3)
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(
             {"metric": "headline_queries_total",
              "value": round(sum(timings.values()), 3),
-             "unit": "sec", "queries": timings, "sf": sf_val},
+             "unit": "sec", "queries": timings, "sf": sf_val,
+             "r2_comparable_total": comparable_total},
             f, indent=1,
         )
     print(
@@ -87,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "sf": sf_val,
+                "r2_comparable_total": comparable_total,
             }
         )
     )

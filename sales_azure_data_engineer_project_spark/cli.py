@@ -41,7 +41,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--csv", help="raw sales CSV to load (pipeline mode)")
     ap.add_argument("--report", action="store_true", help="print quality report")
     ap.add_argument("--analysis", action="store_true", help="print units by branch/year")
-    ap.add_argument("--show", type=int, default=0, help="rows to print")
+    ap.add_argument("--show", type=int, default=None,
+                    help="rows to print (default: 20 in --run-query mode, "
+                         "0 i.e. nothing in pipeline mode)")
     ap.add_argument("--list-queries", action="store_true",
                     help="list every registered query name and exit")
     ap.add_argument("--run-query", metavar="NAME",
@@ -61,7 +63,15 @@ def main(argv: list[str] | None = None) -> int:
             ap.error(f"unknown query {args.run_query!r} (see --list-queries)")
         spark = get_spark("sales-query-cli")
         df = queries[args.run_query](spark, args.sf_dir)
-        df.show(args.show or 20, truncate=False)
+        show = 20 if args.show is None else args.show
+        if show:
+            df.show(show, truncate=False)
+        else:
+            # --show 0: execute without printing (timing / smoke use)
+            df.count()
+        from .caching import release_caches
+
+        release_caches()
         return 0
 
     if not args.root or not args.csv:

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import TOKEN_RE, fingerprint_md5
+from ..caching import tracked_persist
 
 __all__ = [
     "word_shingles",
@@ -100,7 +101,7 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     toks = df.select(F.col(id_col), F.split(F.col(text_col), TOKEN_RE).alias("toks"))
     return toks.select(
         F.col(id_col), shingles_from_tokens(F.col("toks"), n).alias("shingles")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(tracked_persist)
 
 
 def jaccard_pairs(
@@ -206,7 +207,7 @@ def _bands_from_shingled(
             F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
             for i in range(n_hashes)
         ]
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(tracked_persist)
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -270,7 +271,19 @@ def minhash_verified_pairs(
 
     Output: (id_a, id_b, common, jac_permille) — the same schema as
     ``jaccard_pairs``, so downstream clustering is drop-in.
+
+    ``id_col`` must be integral: candidate pairs come back from
+    ``lsh_candidate_pairs`` as BIGINT, and joining those back to a
+    string/decimal id column would silently coerce (dropping or
+    mismatching pairs).  Asserted here rather than discovered as an
+    empty result (ADVICE r2).
     """
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in {"byte", "short", "integer", "long"}:
+        raise TypeError(
+            f"minhash_verified_pairs requires an integral id column; "
+            f"{id_col!r} is {id_type} — hash or index it to BIGINT first"
+        )
     shingled = _shingled(df, id_col, text_col, shingle_n)
     bands = _bands_from_shingled(
         shingled, id_col, n_hashes=n_hashes, band_size=band_size
@@ -381,9 +394,7 @@ def simhash_hamming_pairs(
         raise ValueError("4-block pigeonhole guarantees recall only for hamming <= 3")
     from pyspark import StorageLevel
 
-    sig = _simhash64_blocks(df, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sig = _simhash64_blocks(df, id_col, text_col).transform(tracked_persist)
     blk = sig.select(
         F.col(id_col),
         F.explode(

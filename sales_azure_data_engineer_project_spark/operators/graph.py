@@ -133,4 +133,9 @@ def connected_components(
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+        # the returned labels are localCheckpoint-materialized (each
+        # round's collect forces them), so the edge cache is dead weight
+        # from here — free it instead of leaking one cached frame per
+        # clustering call (ADVICE r2).
+        sym.unpersist(blocking=False)
     return labels

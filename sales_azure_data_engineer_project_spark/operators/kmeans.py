@@ -19,7 +19,10 @@ Two assignment tiers: the built-in-function fold (oracle-exact,
 interpreted — higher-order lambdas skip codegen) and an Arrow-batched
 numpy pass that fuses assignment with the iteration's partial sums
 (~3× faster per pass on 64-dim vectors; used automatically in the fit
-loop when numpy imports).
+loop when numpy imports).  Both tiers accumulate distances in the SAME
+index order, so they are bitwise interchangeable — which is what lets
+a SQL oracle replay Arrow-trained codebooks exactly when the inputs
+are integer-valued (exact partial sums).
 """
 
 from __future__ import annotations
@@ -61,16 +64,32 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]], vec_col: str = 
     return df.withColumn("cluster", cluster.cast("int"))
 
 
+def _dists_fold_order(X, C):
+    """Squared-L2 distances accumulated dimension-by-dimension in index
+    order — each output element computes ``((0 + t0) + t1) + ...`` with
+    t_j = (x_j − c_j)², exactly the float64 rounding sequence of the SQL
+    fold in ``assign_clusters``.  (numpy's ``.sum(-1)`` uses an 8-way
+    unrolled pairwise reduction whose rounding differs in the last ulp —
+    enough to flip an argmin on a near-tie and break oracle
+    reproducibility; the loop below is still fully vectorized over
+    N×k, just sequential over d.)"""
+    import numpy as np
+
+    D = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for j in range(X.shape[1]):
+        diff = X[:, j, None] - C[None, :, j]
+        D += diff * diff
+    return D
+
+
 def assign_clusters_arrow(
     df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
     """Arrow-batched numpy assignment: same contract as
-    ``assign_clusters`` but the argmin runs vectorized over the whole
-    batch (N×k×d broadcasted subtract) instead of per-row interpreted
-    lambdas.  Summation order differs from the SQL fold, so exact
-    distance TIES may resolve differently — measure-zero on real
-    embeddings, which is why the SQL variant stays the oracle-exact
-    reference."""
+    ``assign_clusters``, with the argmin vectorized over the whole batch
+    instead of per-row interpreted lambdas.  Distances accumulate in
+    fold order (see ``_dists_fold_order``), so this tier is bitwise
+    identical to the SQL reference — ties included."""
     import numpy as np
     import pandas as pd
 
@@ -85,7 +104,7 @@ def assign_clusters_arrow(
             if not len(pdf):
                 continue
             X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
-            D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            D = _dists_fold_order(X, C)
             pdf = pdf.copy()
             pdf["cluster"] = D.argmin(1).astype("int32")
             yield pdf
@@ -110,7 +129,7 @@ def _iteration_sums_arrow(
             if not len(pdf):
                 continue
             X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
-            D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            D = _dists_fold_order(X, C)
             a = D.argmin(1)
             rows = [
                 (c, int((a == c).sum()), X[a == c].sum(axis=0).tolist())

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..caching import tracked_persist
 
 __all__ = [
     "as_double_vec",
@@ -111,7 +112,15 @@ def sq8_codes(
             F.lit(255),
             F.greatest(
                 F.lit(0),
-                F.floor((x - F.col("mn")) * F.lit(256.0) / (F.col("mx") - F.col("mn"))).cast("int"),
+                # greatest(range, ε) guards the degenerate all-equal
+                # corpus: mx == mn would otherwise divide by zero and
+                # silently yield NULL codes (ADVICE r2); with the guard
+                # every value maps to code 0 — a valid constant corpus.
+                F.floor(
+                    (x - F.col("mn"))
+                    * F.lit(256.0)
+                    / F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-12))
+                ).cast("int"),
             ),
         ),
     )
@@ -165,6 +174,7 @@ def pq_fit_codes(
     m: int = 4,
     k: int = 16,
     max_iter: int = 5,
+    tol: float = 0.0,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """Product quantization (FAISS ``PQ``): split each vector into ``m``
     subvectors, k-means each subspace to ``k`` centroids, store each
@@ -193,19 +203,21 @@ def pq_fit_codes(
     # iteration AND the final encode — unpersisted, each of the m×iters
     # scans would re-read parquet and re-run the double cast (measured
     # 8.2 s → 4.2 s at sf0.1 for m=4, k=16).
-    base = df.select(F.col(id_col), as_double_vec(vec_col).alias("_v")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    base = df.select(F.col(id_col), as_double_vec(vec_col).alias("_v")).transform(tracked_persist)
     coded = base
     codebooks: list[list[list[float]]] = []
     for j in range(m):
         sub = F.slice("_v", j * subdim + 1, subdim)
         seeds = [list(r["v"][j * subdim : (j + 1) * subdim]) for r in head]
+        # tol=0.0 default: movement < 0 is never true, so EXACTLY
+        # ``max_iter`` Lloyd updates run — a replayable iteration count
+        # is what lets an unrolled SQL oracle reproduce the codebooks
         cents, _ = kmeans_fit(
             base.select(F.col(id_col), sub.alias("sub")),
             k=k,
             vec_col="sub",
             max_iter=max_iter,
+            tol=tol,
             seeds=seeds,
             compute_inertia=False,
         )

@@ -26,6 +26,7 @@ from .operators import multimodal as M
 from .operators import similarity as S
 from .operators import text as X
 from .queries_core import register
+from .caching import tracked_persist
 
 # ---------------------------------------------------------------------------
 # Shared corpora
@@ -447,7 +448,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
         SELECT vec_id,
                list_transform(v, x -> least(255, greatest(0,
-                   CAST(floor((x - mn) * 256.0 / (mx - mn)) AS INTEGER)))) AS qv
+                   CAST(floor((x - mn) * 256.0 / greatest(mx - mn, 1e-12)) AS INTEGER)))) AS qv
         FROM e, mm
     ),
     scored AS (
@@ -500,7 +501,7 @@ def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes AS (
         SELECT vec_id,
                list_transform(v, x -> least(255, greatest(0,
-                   CAST(floor((x - mn) * 256.0 / (mx - mn)) AS INTEGER)))) AS qv
+                   CAST(floor((x - mn) * 256.0 / greatest(mx - mn, 1e-12)) AS INTEGER)))) AS qv
         FROM n, mm
     ),
     cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 61 = 0),
@@ -563,7 +564,7 @@ def similarity_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         assigned.join(codes, "vec_id")
         .select("vec_id", "cid", "codes")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     q = cells.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -901,7 +902,21 @@ def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-k — explode → count (map-side combined) →
-    tiny top-k; the frequency table driving BPE-style tokenizer builds."""
+    distributed top-k; the frequency table driving BPE-style tokenizer
+    builds.
+
+    Scale note: the top-30 is taken with ``orderBy().limit()`` which
+    plans as TakeOrderedAndProject (per-partition heap + driver merge of
+    30-row heads) — NOT a global-window sort.  At web-corpus scale the
+    vocabulary count table is 10⁷–10⁸ rows; a ``row_number`` over an
+    un-partitioned window would funnel all of it through one reducer
+    (the round-2 scale hazard).  The rank column is derived AFTER the
+    limit, over the 30 surviving rows only.  The partition key is
+    ``spark_partition_id()`` — constant 0 over the single-partition
+    limit result, but non-foldable, so Catalyst cannot strip it the way
+    it strips a ``lit()`` and WindowExec stays off its move-everything-
+    to-one-partition warning path (the input is ≤30 rows by
+    construction either way)."""
     from pyspark.sql import Window
 
     docs = load_testdata(spark, sf_dir, "documents")
@@ -910,10 +925,13 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    top = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(30)
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("n").desc(), F.col("tok")
+    )
     return (
-        counts.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 30)
+        top.withColumn("rk", F.row_number().over(w).cast("int"))
+        .select("tok", "n", "rk")
         .orderBy("rk")
     )
 
@@ -1228,7 +1246,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("crk", F.row_number().over(crk_w))
         .filter(F.col("crk") == 1)
         .select("vec_id", "v", "nrm", "cid")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     q = cells.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
@@ -1413,7 +1431,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — persist so the norm/bucket derivation runs once
     n = emb.select(
         "vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"), "bkt"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(tracked_persist)
     q = n.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"), F.col("bkt").alias("qbkt"),
@@ -1636,7 +1654,7 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     from pyspark import StorageLevel
 
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    tf = tf.transform(tracked_persist)
     norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("norm2"))
     b = tf.select(F.col("doc_id").alias("id_b"), "tok", F.col("tf").alias("tf_b"))
     dots = (
@@ -1722,7 +1740,7 @@ def similarity_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         n.crossJoin(F.broadcast(cents))
         .withColumn("crk", F.row_number().over(crk_w))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     cells = assigned.filter(F.col("crk") == 1).select("vec_id", "v", "nrm", "cid")
     probes = assigned.filter((F.col("crk") <= 2) & (F.col("vec_id") < 10)).select(
@@ -2273,7 +2291,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("stop_hits"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     q_pass = (F.col("n_tokens") >= 20) & (F.col("ttr") >= 300)
     l_pass = q_pass & (F.col("stop_hits") * 20 >= F.col("n_tokens"))
@@ -2285,7 +2303,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_id") == F.col("keep"))
         .drop("keep")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     bands = D.minhash_bands(ex, "doc_id", "text", n_hashes=8, band_size=4)
     drops = (
@@ -2293,9 +2311,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    nd = ex.join(F.broadcast(drops), "doc_id", "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    nd = ex.join(F.broadcast(drops), "doc_id", "left_anti").transform(tracked_persist)
     s_pass = (
         F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1) <= "c"
     )
@@ -2338,17 +2354,109 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s012.unionByName(s3).unionByName(s45).orderBy("stage_idx")
 
 
-@register("similarity_ann_ivf_kmeans", None)  # trained quantizer → rows-only
+def _ivf_kmeans_oracle_sql(k: int = 8, dim: int = 64, iters: int = 3) -> str:
+    """Unrolled-Lloyd DuckDB twin of ``similarity_ann_ivf_kmeans`` —
+    same replayability argument as ``_pq_oracle_sql``: the quantizer
+    trains on integer-valued SQ8 code vectors (exact partial sums, one
+    rounded division per centroid mean) with index-order distance folds
+    and a pinned iteration count, so cells match bitwise; in-cell
+    scoring is the full-precision cosine both engines compute with the
+    same fold."""
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+               FROM embeddings),
+    mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM (SELECT unnest(v) AS x FROM e)),
+    cv AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(least(255, greatest(0,
+                   CAST(floor((x - mn) * 256.0 / greatest(mx - mn, 1e-12)) AS INTEGER))) AS DOUBLE)) AS cvec
+        FROM e, mm
+    ),
+    cents0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS c,
+               cvec AS cent
+        FROM cv WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i}p AS (
+        SELECT s.vec_id, c.c,
+               list_transform(range(1,{dim + 1}), t -> s.cvec[t] - c.cent[t]) AS d
+        FROM cv s CROSS JOIN cents{i - 1} c
+    ),
+    a{i} AS (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY list_dot_product(d, d) ASC, c) AS rk
+        FROM a{i}p
+    ),
+    u{i} AS (
+        SELECT a.c, t.i AS pos, SUM(s.cvec[t.i]) AS sm, COUNT(*) AS n
+        FROM a{i} a
+        JOIN cv s ON s.vec_id = a.vec_id
+        CROSS JOIN (SELECT unnest(range(1,{dim + 1})) AS i) t
+        WHERE a.rk = 1
+        GROUP BY a.c, t.i
+    ),
+    m{i} AS (SELECT c, list(sm / n ORDER BY pos) AS cent FROM u{i} GROUP BY c),
+    cents{i} AS (
+        SELECT p.c, coalesce(mm.cent, p.cent) AS cent
+        FROM cents{i - 1} p LEFT JOIN m{i} mm ON mm.c = p.c
+    )""")
+    fin = iters + 1
+    parts.append(f""",
+    a{fin}p AS (
+        SELECT s.vec_id, c.c,
+               list_transform(range(1,{dim + 1}), t -> s.cvec[t] - c.cent[t]) AS d
+        FROM cv s CROSS JOIN cents{iters} c
+    ),
+    cells AS (
+        SELECT vec_id, c AS cluster FROM (
+            SELECT vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY list_dot_product(d, d) ASC, c) AS rk
+            FROM a{fin}p
+        ) WHERE rk = 1
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               list_dot_product(qe.v, n.v) / (qe.nrm * n.nrm) AS cos_raw
+        FROM cells q
+        JOIN e qe ON qe.vec_id = q.vec_id
+        JOIN cells kc ON kc.cluster = q.cluster AND kc.vec_id != q.vec_id
+        JOIN e n ON n.vec_id = kc.vec_id
+        WHERE q.vec_id < 10
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(CAST(ROUND(cos_raw, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """)
+    return "".join(parts)
+
+
+@register("similarity_ann_ivf_kmeans", _ivf_kmeans_oracle_sql())
 def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: Lloyd's k-means (k=8,
-    deterministic first-k seeding over vec_id order) fits the centroid
-    set, then the inverted file and probing work exactly like
-    ``similarity_ann_ivf``.  The fixed-stride variant exists so a DuckDB
-    oracle can replay the centroids; this one is the production path —
-    learned cells follow the data distribution, so cell populations
-    (and therefore probe cost) stay balanced where a stride quantizer
-    degrades.  Iterative centroid fit is not SQL-expressible → rows-only
-    driver check; ``tests/test_scale_ops.py`` covers k-means itself.
+    deterministic first-k seeding over vec_id order, 3 pinned
+    iterations) fits the centroid set, then the inverted file and
+    probing work exactly like ``similarity_ann_ivf``.  The quantizer
+    trains on the SQ8 code vectors — the production FAISS shape where
+    the coarse index lives in the compressed domain — which is also
+    what makes training SQL-replayable (integer-exact partial sums;
+    see ``_pq_oracle_sql``): this query graduated from rows-only to a
+    full DuckDB oracle in round 3.  In-cell scoring stays
+    full-precision cosine.
 
     Scale shape: per k-means iteration one narrow assignment pass
     (broadcast k×d centroids) + one (k·d)-row partial-sum shuffle —
@@ -2356,32 +2464,38 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a broadcast equi-join on the cell id, identical to the stride
     IVF.
     """
-    from pyspark import StorageLevel
-
     from .operators.kmeans import assign_clusters_arrow, kmeans_fit
 
     emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
     base = (
         emb.select("vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .join(
+            S.sq8_codes(
+                load_testdata(spark, sf_dir, "embeddings")
+            ).select(
+                "vec_id",
+                F.transform("codes", lambda x: x.cast("double")).alias("cvec"),
+            ),
+            "vec_id",
+        )
+        .transform(tracked_persist)
     )
     # deterministic seeds = lowest-k vec_ids, fetched once — sorting the
     # whole frame inside the fit would re-run the sort on every
     # iteration's scan
     seed_rows = (
-        base.filter(F.col("vec_id") < 8).orderBy("vec_id").select("v").collect()
+        base.filter(F.col("vec_id") < 8).orderBy("vec_id").select("cvec").collect()
     )
     centroids, _ = kmeans_fit(
         base,
         k=8,
-        vec_col="v",
+        vec_col="cvec",
         max_iter=3,
-        seeds=[list(r["v"]) for r in seed_rows],
+        tol=0.0,
+        seeds=[list(r["cvec"]) for r in seed_rows],
         compute_inertia=False,
     )
-    cells = assign_clusters_arrow(base, centroids, "v").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    cells = assign_clusters_arrow(base, centroids, "cvec").transform(tracked_persist)
     q = cells.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -2401,42 +2515,161 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("query_id").cast("bigint"),
             F.col("vec_id").cast("bigint").alias("neighbor_id"),
-            F.round("cos_raw", 6).cast("double").alias("cos_sim"),
+            F.round("cos_raw", 6)
+            .cast("decimal(10,6)")
+            .cast("double")
+            .alias("cos_sim"),
             "rk",
         )
         .orderBy("query_id", "rk")
     )
 
 
-@register("similarity_ann_pq", None)  # iterative codebook training → rows-only
+def _pq_oracle_sql(m: int = 4, k: int = 16, subdim: int = 16, iters: int = 3) -> str:
+    """Unrolled-Lloyd DuckDB twin of ``similarity_ann_pq``.
+
+    Replayable because every float op is order-pinned or exact:
+    - training inputs are SQ8 codes (integer-valued doubles), so the
+      per-cluster partial SUMs are exact in float64 regardless of
+      aggregation order, and each centroid mean is ONE correctly-rounded
+      division — bitwise identical to the Spark driver's ``s / count``;
+    - distances fold dimension-by-dimension in index order on BOTH
+      engines (``list_dot_product`` ≡ the Spark SQL fold ≡ the Arrow
+      tier's ``_dists_fold_order``), so argmins — ties included — agree;
+    - the iteration count is pinned (``tol=0.0`` → exactly ``iters``
+      updates), so the unrolled CTE chain replays training step-for-step.
+    """
+    js = ", ".join(str(j) for j in range(m))
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM (SELECT unnest(v) AS x FROM e)),
+    cv AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(least(255, greatest(0,
+                   CAST(floor((x - mn) * 256.0 / greatest(mx - mn, 1e-12)) AS INTEGER))) AS DOUBLE)) AS cvec
+        FROM e, mm
+    ),
+    sub AS (
+        SELECT vec_id, j, cvec[j*{subdim}+1 : j*{subdim}+{subdim}] AS sv
+        FROM cv, (SELECT unnest([{js}]) AS j)
+    ),
+    cents0 AS (
+        SELECT j,
+               CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) AS INTEGER) - 1 AS c,
+               sv AS cent
+        FROM sub
+        WHERE vec_id IN (SELECT vec_id FROM cv ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i}p AS (
+        SELECT s.vec_id, s.j, c.c,
+               list_transform(range(1,{subdim + 1}), t -> s.sv[t] - c.cent[t]) AS d
+        FROM sub s JOIN cents{i - 1} c ON c.j = s.j
+    ),
+    a{i} AS (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                   ORDER BY list_dot_product(d, d) ASC, c) AS rk
+        FROM a{i}p
+    ),
+    u{i} AS (
+        SELECT a.j, a.c, t.i AS pos, SUM(s.sv[t.i]) AS sm, COUNT(*) AS n
+        FROM a{i} a
+        JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
+        CROSS JOIN (SELECT unnest(range(1,{subdim + 1})) AS i) t
+        WHERE a.rk = 1
+        GROUP BY a.j, a.c, t.i
+    ),
+    m{i} AS (SELECT j, c, list(sm / n ORDER BY pos) AS cent FROM u{i} GROUP BY j, c),
+    cents{i} AS (
+        SELECT p.j, p.c, coalesce(mm.cent, p.cent) AS cent
+        FROM cents{i - 1} p LEFT JOIN m{i} mm ON mm.j = p.j AND mm.c = p.c
+    )""")
+    fin = iters + 1
+    parts.append(f""",
+    a{fin}p AS (
+        SELECT s.vec_id, s.j, c.c,
+               list_transform(range(1,{subdim + 1}), t -> s.sv[t] - c.cent[t]) AS d
+        FROM sub s JOIN cents{iters} c ON c.j = s.j
+    ),
+    codesf AS (
+        SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                       ORDER BY list_dot_product(d, d) ASC, c) AS rk
+            FROM a{fin}p
+        ) WHERE rk = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS qid, c.j, c.c, list_dot_product(q.sv, c.cent) AS ip
+        FROM sub q JOIN cents{iters} c ON c.j = q.j
+        WHERE q.vec_id < 10
+    ),
+    scored AS (
+        SELECT l.qid AS query_id, kk.vec_id AS neighbor_id,
+               MAX(CASE WHEN kk.j = 0 THEN l.ip END)
+             + MAX(CASE WHEN kk.j = 1 THEN l.ip END)
+             + MAX(CASE WHEN kk.j = 2 THEN l.ip END)
+             + MAX(CASE WHEN kk.j = 3 THEN l.ip END) AS approx_ip
+        FROM codesf kk
+        JOIN lut l ON l.j = kk.j AND l.c = kk.c AND kk.vec_id != l.qid
+        GROUP BY l.qid, kk.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, approx_ip,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY approx_ip DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(approx_ip AS DOUBLE) AS approx_ip, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """)
+    return "".join(parts)
+
+
+@register("similarity_ann_pq", _pq_oracle_sql())
 def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k — completes the FAISS quantization
     triad (IVF = partition, SQ8 = scalar compress, PQ = vector
-    compress): 64-dim floats → 4 codes of 4 bits-worth each (m=4
-    subspaces × k=16 codewords, 64× smaller than float32), queries stay
-    full-precision and score candidates through a broadcast
+    compress).  The pipeline is the production ``SQ8 → PQ`` composition:
+    vectors are first scalar-quantized to 8-bit codes (storage tier),
+    then the PQ codebooks are TRAINED ON THE CODE VECTORS (m=4 subspaces
+    × k=16 codewords × 3 Lloyd iterations, first-k-by-id seeding) and
+    each vector stored as 4 small codes.  Queries keep their (quantized)
+    full vector and score candidates through a broadcast
     (query × subspace × codeword) inner-product lookup table — m table
     reads + adds per candidate, never a d-dim scan.
 
-    Codebook training = m independent deterministic Lloyd's loops
-    (first-k-by-id seeding), not SQL-expressible → rows-only driver
-    check; ``tests/test_extensions.py`` pins code determinism and
-    cluster-structured retrieval."""
+    Training on integer-valued inputs is what makes this oracle-exact
+    (round-2 demand): cluster partial sums are exact in float64 (order-
+    independent), centroid means are one rounded division each, and
+    distance folds are index-order on both engines — so the DuckDB twin
+    (``_pq_oracle_sql``) replays training, encoding, and ADC scoring
+    bitwise.  ``tests/test_extensions.py`` additionally pins code
+    determinism and cluster-structured retrieval."""
     # no _fan_out: PQ's per-row work is tiny (16-dim argmin), so the
     # driver-loop job cost is TASK COUNT, not compute — training jobs
     # on the input's natural partitioning run 32× fewer tasks locally
     # (measured 6.5 → 4.1 s); at scale the input partitions naturally
     emb = load_testdata(spark, sf_dir, "embeddings")
-    codes, books = S.pq_fit_codes(emb, m=4, k=16, max_iter=3)
-    from pyspark import StorageLevel
-
-    codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
+    cvec = S.sq8_codes(emb).select(
+        "vec_id",
+        F.transform("codes", lambda x: x.cast("double")).alias("embedding"),
+    ).transform(tracked_persist)
+    codes, books = S.pq_fit_codes(cvec, m=4, k=16, max_iter=3)
+    codes = codes.transform(tracked_persist)
     out = S.pq_adc_topk(
-        codes, books, emb.filter(F.col("vec_id") < 10), k_neighbors=5
+        codes, books, cvec.filter(F.col("vec_id") < 10), k_neighbors=5
     )
     return out.select(
         F.col("query_id").cast("bigint"),
         F.col("neighbor_id").cast("bigint"),
-        F.round("approx_ip", 6).cast("double").alias("approx_ip"),
+        F.col("approx_ip").cast("double"),
         "rk",
     ).orderBy("query_id", "rk")

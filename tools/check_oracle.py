@@ -98,6 +98,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
+        finally:
+            # free query-builder persists (shingles, signatures, code
+            # tables) so a full-battery session doesn't accumulate cache
+            from sales_azure_data_engineer_project_spark.caching import release_caches
+
+            release_caches()
         if name not in oracles:
             print(
                 f"ok   {name}: rows-only ({len(spdf)} rows, no oracle) "
