@@ -96,8 +96,6 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     re-runs the regex tokenization + n-gram build per use — the
     dominant cost at any scale.  MEMORY_AND_DISK so big corpora spill
     instead of OOMing."""
-    from pyspark import StorageLevel
-
     toks = df.select(F.col(id_col), F.split(F.col(text_col), TOKEN_RE).alias("toks"))
     return toks.select(
         F.col(id_col), shingles_from_tokens(F.col("toks"), n).alias("shingles")
@@ -197,8 +195,6 @@ def _bands_from_shingled(
         "seed",
         F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")).cast("binary")).alias("h"),
     )
-    from pyspark import StorageLevel
-
     # persisted: each band projection + both sides of the candidate
     # self-join re-read the signatures — without this the whole
     # shingle→md5→min pipeline would re-run per consumer
@@ -392,8 +388,6 @@ def simhash_hamming_pairs(
     """
     if max_hamming > 3:
         raise ValueError("4-block pigeonhole guarantees recall only for hamming <= 3")
-    from pyspark import StorageLevel
-
     sig = _simhash64_blocks(df, id_col, text_col).transform(tracked_persist)
     blk = sig.select(
         F.col(id_col),

@@ -102,27 +102,32 @@ def connected_components(
             F.col(id_col).alias("id"), F.col(id_col).alias("component")
         ).localCheckpoint(eager=False)
 
-        for _ in range(max_iter):
+        def one_round(lbl: DataFrame) -> DataFrame:
             # tag the self row so the groupBy can recover the node's
             # previous label next to the min — the convergence scalar
             # rides the round's one aggregation for free
-            self_rows = labels.select(
+            self_rows = lbl.select(
                 "id", "component", F.lit(True).alias("is_self")
             )
-            neighbor_labels = sym.join(
-                labels, sym.d == labels.id, "inner"
-            ).select(
+            neighbor_labels = sym.join(lbl, sym.d == lbl.id, "inner").select(
                 F.col("s").alias("id"), "component", F.lit(False).alias("is_self")
             )
-            new_labels = (
+            return (
                 self_rows.unionByName(neighbor_labels)
                 .groupBy("id")
                 .agg(
                     F.min("component").alias("component"),
                     F.max(F.when(F.col("is_self"), F.col("component"))).alias("own"),
                 )
-                .localCheckpoint(eager=False)
             )
+
+        # One action per round (measured round 3: chaining TWO rounds
+        # per action halves driver round-trips but runs a redundant
+        # propagation round past the fixpoint — a wash locally and a
+        # strict loss at scale, where one extra full-shuffle round costs
+        # far more than one driver action; rejected).
+        for _ in range(max_iter):
+            new_labels = one_round(labels).localCheckpoint(eager=False)
             # one action per round: materializes the checkpoint AND
             # returns the convergence scalar
             changed = new_labels.agg(

@@ -184,14 +184,25 @@ def pq_fit_codes(
     quantizes scalars independently) because codewords capture
     subvector correlations.
 
-    Training is ``m`` independent Lloyd's loops over the subvector
-    columns (deterministic: seeds = subvectors of the first ``k``
-    vectors by id — TakeOrdered, no full sort); encoding is ``m``
-    argmin-assignment passes.  Returns (codes frame: (id, c0..c{m-1}),
+    Training is one FUSED Lloyd's loop: every iteration is a single
+    Arrow pass that assigns and partial-sums ALL ``m`` subspaces at
+    once (≤ m·k rows per batch reach the driver), instead of m
+    independent fits — m× fewer driver-loop jobs, the dominant cost of
+    iterative Spark at small-to-medium scale (measured 12 jobs → 3 for
+    m=4, iters=3).  Seeds = subvectors of the first ``k`` vectors by id
+    (TakeOrdered, no full sort); encoding is one chained
+    argmin-assignment plan over the SQL fold tier (bitwise equal to the
+    Arrow tier — see kmeans module docstring).  ``tol=0.0`` default:
+    movement < 0 is never true, so EXACTLY ``max_iter`` updates run — a
+    replayable iteration count is what lets an unrolled SQL oracle
+    reproduce the codebooks.  Returns (codes frame: (id, c0..c{m-1}),
     codebooks[m][k][subdim])."""
-    from pyspark import StorageLevel
+    import math
 
-    from .kmeans import assign_clusters, kmeans_fit
+    import numpy as np
+    import pandas as pd
+
+    from .kmeans import _dists_fold_order, assign_clusters
 
     head = df.orderBy(id_col).limit(k).select(as_double_vec(vec_col).alias("v")).collect()
     dim = len(head[0]["v"])
@@ -199,31 +210,56 @@ def pq_fit_codes(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     subdim = dim // m
 
-    # ONE persisted projection feeds every subspace fit's every Lloyd
-    # iteration AND the final encode — unpersisted, each of the m×iters
-    # scans would re-read parquet and re-run the double cast (measured
-    # 8.2 s → 4.2 s at sf0.1 for m=4, k=16).
+    # ONE persisted projection feeds every iteration AND the final
+    # encode — unpersisted, each scan would re-read parquet and re-run
+    # the double cast (measured 8.2 s → 4.2 s at sf0.1 for m=4, k=16).
     base = df.select(F.col(id_col), as_double_vec(vec_col).alias("_v")).transform(tracked_persist)
+    codebooks: list[list[list[float]]] = [
+        [list(r["v"][j * subdim : (j + 1) * subdim]) for r in head]
+        for j in range(m)
+    ]
+    for _ in range(max_iter):
+        C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+        def part(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["_v"].to_list(), dtype=np.float64)
+                rows = []
+                for j in range(m):
+                    Xj = X[:, j * subdim : (j + 1) * subdim]
+                    a = _dists_fold_order(Xj, C[j]).argmin(1)
+                    rows.extend(
+                        (j, c, int((a == c).sum()), Xj[a == c].sum(axis=0).tolist())
+                        for c in range(k)
+                        if (a == c).any()
+                    )
+                yield pd.DataFrame(rows, columns=["j", "c", "n", "s"])
+
+        counts = [[0] * k for _ in range(m)]
+        acc = [[[0.0] * subdim for _ in range(k)] for _ in range(m)]
+        for r in base.mapInPandas(
+            part, "j int, c int, n long, s array<double>"
+        ).collect():
+            j, c = r["j"], r["c"]
+            counts[j][c] += r["n"]
+            acc[j][c] = [a + x for a, x in zip(acc[j][c], r["s"])]
+        movement = 0.0
+        for j in range(m):
+            for c in range(k):
+                if counts[j][c]:
+                    new = [s / counts[j][c] for s in acc[j][c]]
+                    movement = max(movement, math.dist(codebooks[j][c], new))
+                    codebooks[j][c] = new
+        if movement < tol:
+            break
+
     coded = base
-    codebooks: list[list[list[float]]] = []
     for j in range(m):
         sub = F.slice("_v", j * subdim + 1, subdim)
-        seeds = [list(r["v"][j * subdim : (j + 1) * subdim]) for r in head]
-        # tol=0.0 default: movement < 0 is never true, so EXACTLY
-        # ``max_iter`` Lloyd updates run — a replayable iteration count
-        # is what lets an unrolled SQL oracle reproduce the codebooks
-        cents, _ = kmeans_fit(
-            base.select(F.col(id_col), sub.alias("sub")),
-            k=k,
-            vec_col="sub",
-            max_iter=max_iter,
-            tol=tol,
-            seeds=seeds,
-            compute_inertia=False,
-        )
-        codebooks.append(cents)
         coded = (
-            assign_clusters(coded.withColumn("_sub", sub), cents, vec_col="_sub")
+            assign_clusters(coded.withColumn("_sub", sub), codebooks[j], vec_col="_sub")
             .withColumnRenamed("cluster", f"c{j}")
             .drop("_sub")
         )

@@ -544,21 +544,20 @@ def similarity_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell's worth of candidates AND scans them at a quarter of the
     bytes; both reductions multiply.  Cell assignment and codes are
     each computed once (persisted inverted file carries the codes)."""
-    from pyspark import StorageLevel
-
     emb = _fan_out(load_testdata(spark, sf_dir, "embeddings"))
     n = emb.select("vec_id", S.as_double_vec("embedding").alias("v"))
     cents = n.filter(F.col("vec_id") % 61 == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    crk_w = Window.partitionBy("vec_id").orderBy(
-        S.dot(F.col("v"), F.col("cv")).desc(), F.col("cid")
-    )
+    # argmax-by-struct cell assignment (≡ row_number()=1 over d DESC,
+    # cid ASC): partial-aggregated groupBy, no full-corpus sort
+    # exchange, nothing wider than (vec_id, cid, d) shuffles
     assigned = (
         n.crossJoin(F.broadcast(cents))
-        .withColumn("crk", F.row_number().over(crk_w))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "cid")
+        .select("vec_id", "cid", S.dot(F.col("v"), F.col("cv")).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("d"), (-F.col("cid")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("cid"))
     )
     codes = S.sq8_codes(emb)
     cells = (
@@ -1233,19 +1232,26 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = n.filter(F.col("vec_id") % 61 == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    crk_w = Window.partitionBy("vec_id").orderBy(
-        S.dot(F.col("v"), F.col("cv")).desc(), F.col("cid")
-    )
-    from pyspark import StorageLevel
-
     # the cell assignment IS the inverted file: build it once (persist)
     # — unpersisted, the N×|cents| quantization crossJoin would run
-    # twice (query side + probe side), the dominant cost
+    # twice (query side + probe side), the dominant cost.  Assignment is
+    # argmax-by-struct in a partial-aggregated groupBy (max(struct(d,
+    # -cid)) ≡ row_number()=1 over (d DESC, cid ASC), ties included) —
+    # a map-side-combined HashAggregate instead of a full-corpus sort
+    # exchange; v/nrm ride along via first() (constant per group), so
+    # nothing recomputes and no join-back is needed.
     cells = (
         n.crossJoin(F.broadcast(cents))
-        .withColumn("crk", F.row_number().over(crk_w))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "v", "nrm", "cid")
+        .select(
+            "vec_id", "cid", S.dot(F.col("v"), F.col("cv")).alias("d"), "v", "nrm"
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("d"), (-F.col("cid")).alias("nc"))).alias("m"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", "v", "nrm", (-F.col("m.nc")).alias("cid"))
         .transform(tracked_persist)
     )
     q = cells.filter(F.col("vec_id") < 10).select(
@@ -1425,36 +1431,36 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings"))).withColumn(
         "bkt", S.sign_bucket("embedding", bits=4)
     )
-    from pyspark import StorageLevel
-
-    # n feeds the query set, the brute-force pass AND the bucketed pass
-    # — persist so the norm/bucket derivation runs once
+    # ONE scoring pass: a brute-top-5 pair (q, n) is an LSH candidate
+    # iff the two sign buckets are equal, so the "did the approximate
+    # index retrieve it" flag rides the exact-ranking join directly —
+    # no second N×|Q| scan, no cached intermediate, and no join-back
+    # (the round-2 version ran brute and bucketed passes separately off
+    # a persisted frame and left-joined them: half the fold work and a
+    # cache materialization saved).  Vectors are projected away before
+    # the ranking exchange — the window shuffles (ids, cos, hit) only.
     n = emb.select(
         "vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"), "bkt"
-    ).transform(tracked_persist)
+    )
     q = n.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"), F.col("bkt").alias("qbkt"),
     )
     cos = S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
-    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("vec_id"))
-    brute = (
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    pairs = (
         n.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cos.alias("cos"),
+            (F.col("qbkt") == F.col("bkt")).cast("int").alias("hit"),
+        )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    approx = (
-        n.join(
-            F.broadcast(q),
-            (F.col("qbkt") == F.col("bkt")) & (F.col("query_id") != F.col("vec_id")),
-        )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.lit(1).alias("hit"))
-    )
-    hits = (
-        brute.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hit"))
+    hits = pairs.groupBy("query_id").agg(
+        F.sum("hit").cast("bigint").alias("n_hit")
     )
     return hits.select(
         F.col("query_id").cast("bigint"),
@@ -1652,8 +1658,6 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.xxhash64("tok_raw").alias("tok")
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    from pyspark import StorageLevel
-
     tf = tf.transform(tracked_persist)
     norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("norm2"))
     b = tf.select(F.col("doc_id").alias("id_b"), "tok", F.col("tf").alias("tf_b"))
@@ -1730,23 +1734,39 @@ def similarity_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = n.filter(F.col("vec_id") % 61 == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    crk_w = Window.partitionBy("vec_id").orderBy(
-        S.dot(F.col("v"), F.col("cv")).desc(), F.col("cid")
+    # Cell assignment WITHOUT a ranking window: argmax-by-struct in a
+    # partial-aggregated groupBy.  max(struct(d, -cid)) picks the
+    # best-scoring cell with smallest-cid tie-break — identical
+    # semantics to row_number()=1 over (d DESC, cid ASC) — but plans as
+    # a map-side-combined HashAggregate over the broadcast-join output:
+    # no full-corpus sort exchange, and nothing wider than (vec_id,
+    # cid, d) ever shuffles (the round-2 regression shuffled and cached
+    # 64-dim vectors through the window).  The top-2 probe ranking DOES
+    # still use a window, but only over the |Q|·|cells| probe rows.
+    scored_cells = n.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", S.dot(F.col("v"), F.col("cv")).alias("d")
     )
-    from pyspark import StorageLevel
-
-    # assignment feeds both the inverted file (crk=1) and the probe
-    # list (crk<=2) — persist so quantization runs once
-    assigned = (
-        n.crossJoin(F.broadcast(cents))
+    cellmap = (
+        scored_cells.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("d"), (-F.col("cid")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).alias("cid"))
+    )
+    cells = cellmap.join(n, "vec_id")
+    crk_w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid"))
+    probes = (
+        n.filter(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", S.dot(F.col("v"), F.col("cv")).alias("d"))
         .withColumn("crk", F.row_number().over(crk_w))
-        .transform(tracked_persist)
+        .filter(F.col("crk") <= 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
     )
-    cells = assigned.filter(F.col("crk") == 1).select("vec_id", "v", "nrm", "cid")
-    probes = assigned.filter((F.col("crk") <= 2) & (F.col("vec_id") < 10)).select(
-        F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid")
+    # broadcast only the PROBING vectors (vec_id < 10), not the whole
+    # corpus — the round-2 version broadcast all N query-side rows with
+    # their vectors, which at scale is a full-corpus driver collect
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    q = n.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
     cand = cells.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
         F.col("nrm").alias("cn"), F.col("cid").alias("ccid"),
@@ -2273,8 +2293,6 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter never deserves its own scan.  Every boundary is a built-in
     function — no Python anywhere.
     """
-    from pyspark import StorageLevel
-
     corpus = _dedup_corpus(spark, sf_dir)
     # bind the token array ONCE before deriving from it: Spark does no
     # CSE through higher-order lambdas, so inlining split() into each
@@ -2658,10 +2676,14 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the input's natural partitioning run 32× fewer tasks locally
     # (measured 6.5 → 4.1 s); at scale the input partitions naturally
     emb = load_testdata(spark, sf_dir, "embeddings")
+    # not persisted here: pq_fit_codes persists its own projection of
+    # this frame (training + encode), and the query side below touches
+    # it once more with a pushed-down vec_id filter — one cheap rescan
+    # beats materializing the same 8-bit vectors into a second cache
     cvec = S.sq8_codes(emb).select(
         "vec_id",
         F.transform("codes", lambda x: x.cast("double")).alias("embedding"),
-    ).transform(tracked_persist)
+    )
     codes, books = S.pq_fit_codes(cvec, m=4, k=16, max_iter=3)
     codes = codes.transform(tracked_persist)
     out = S.pq_adc_topk(

@@ -1,0 +1,126 @@
+"""Empirical scaling check for the dedup/ANN headliners (round-3 task).
+
+The sandbox ships sf0.1 as the largest corpus, so the 100 TB claims
+(Σ bucket² posting joins, constant-size signatures, cell-restricted ANN
+probes) rest on plan analysis.  This tool builds synthetic 3× and 10×
+blow-ups of ``documents``/``embeddings`` and measures how the headline
+operators' wall-clock actually grows, recording the fitted scaling
+exponent α in t ≈ c·N^α (α ≈ 1 → linear, α ≈ 2 → the quadratic failure
+mode the designs are supposed to avoid).
+
+Blow-up construction keeps per-copy corpus STATISTICS stable instead of
+planting 10 clones of every document (which would measure in-cluster
+pair explosion, a different quantity):
+
+- documents: copy i prefixes every token with ``c{i}·`` — each copy
+  owns a disjoint shingle space, so shingle-bucket sizes stay constant
+  while bucket COUNT grows with N (the web-corpus growth model: more
+  text ≈ proportionally more distinct shingles).
+- embeddings: copy i adds a small deterministic per-copy offset to
+  every component — vectors stay in-distribution, no exact duplicates.
+
+Usage:  python tools/scale_experiment.py [base_sf_dir]
+Writes scaled corpora under /tmp/spark_scale_exp/ and prints a
+markdown-ready table (paste into NOTES.md).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = [1, 3, 10]
+QUERIES = ["dedup_minhash_lsh", "dedup_clusters_minhash", "similarity_ann_ivf_sq8"]
+WORK = "/tmp/spark_scale_exp"
+
+
+def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+
+    def doc_copy(i: int):
+        # closure-captured seed (NOTES pitfall: never seed a lambda via
+        # a default arg — a 2-param callable becomes a (value, index)
+        # lambda and the seed silently turns into a column repr)
+        prefix = F.lit(f"c{i}·")
+        toks = F.split(F.col("text"), r"\s+")
+        salted = F.concat_ws(" ", F.transform(toks, lambda t: F.concat(prefix, t)))
+        return docs.select(
+            (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+            (salted if i else F.col("text")).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+
+    def emb_copy(i: int):
+        off = F.lit(float(i) * 1e-3)
+        vec = F.transform(F.col("embedding"), lambda x: (x + off).cast("float"))
+        return emb.select(
+            (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+            (vec if i else F.col("embedding")).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+
+    d = doc_copy(0)
+    e = emb_copy(0)
+    for i in range(1, factor):
+        d = d.unionByName(doc_copy(i))
+        e = e.unionByName(emb_copy(i))
+    d.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    e.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    import __spark_entry__ as entry_mod
+    from sales_azure_data_engineer_project_spark.caching import release_caches
+    from sales_azure_data_engineer_project_spark.session import get_spark
+
+    spark = get_spark("scale-exp")
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    dirs = {}
+    for s in SCALES:
+        out = base if s == 1 else os.path.join(WORK, f"x{s}")
+        if s > 1:
+            print(f"building {s}x corpus at {out} ...", flush=True)
+            build_scaled(spark, base, s, out)
+        dirs[s] = out
+
+    qs = entry_mod.queries()
+    results: dict[str, dict[int, float]] = {}
+    for name in QUERIES:
+        results[name] = {}
+        for s in SCALES:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, dirs[s]).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                release_caches()
+                spark.catalog.clearCache()
+            results[name][s] = best
+            print(f"  {name} @ {s}x: {best:.2f}s", flush=True)
+
+    print("\n| query | 1x | 3x | 10x | exponent (1x->10x) |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        alpha = math.log(r[10] / r[1]) / math.log(10)
+        print(
+            f"| {name} | {r[1]:.2f}s | {r[3]:.2f}s | {r[10]:.2f}s "
+            f"| {alpha:.2f} |"
+        )
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
