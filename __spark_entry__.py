@@ -70,6 +70,7 @@ _PRIORITY = [
     "text_pii_scrub",
     "crossmodal_doc_embedding_join",
     "pipeline_training_prep",
+    "pipeline_decontaminate",  # new in r3 — benchmark-contamination check
     # --- 10 canaries: driver-green in r1/r2, one per family ---
     "flagship_revenue_by_nation_year",  # star join + agg + sort (S1/J2/A1/O1)
     "pricing_summary",                  # grouped decimal aggregate (A1)
@@ -78,7 +79,8 @@ _PRIORITY = [
     "dedup_minhash_lsh",                # MinHash+LSH banding family
     "similarity_ann_ivf",               # ANN IVF family
     "text_quality_stats",               # text-analysis family
-    "grouped_map_normalize",            # Pandas-UDF tier
+    # (grouped_map_normalize rotated out for pipeline_decontaminate:
+    # the Pandas-UDF tier keeps multimodal_features as its canary)
     "multimodal_features",              # multimodal binary plumbing
     "skew_salted_aggregation",          # skew/salting family
 ]

@@ -2081,6 +2081,66 @@ def text_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_decontaminate",
+    rf"""
+    WITH {_CORPUS_SQL},
+    t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
+    spans AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 8
+                 THEN list_transform(generate_series(1, len(toks)-7),
+                      i -> concat_ws(' ', {_SPAN8}))
+                 ELSE []::VARCHAR[] END)) AS span
+        FROM t
+    ),
+    ev AS (SELECT DISTINCT span FROM spans
+           WHERE doc_id % 10 = 0 AND doc_id < 100000),
+    hits AS (
+        SELECT s.doc_id, COUNT(*) AS n_shared_spans
+        FROM spans s JOIN ev ON ev.span = s.span
+        WHERE NOT (s.doc_id % 10 = 0 AND s.doc_id < 100000)
+        GROUP BY s.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_shared_spans AS BIGINT) AS n_shared_spans
+    FROM hits ORDER BY doc_id
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag every training document that
+    shares an 8-token span with the held-out evaluation set (here the
+    eval stand-in is the corpus docs with ``doc_id % 10 == 0``, whose
+    planted near/exact duplicates play the role of leaked eval text).
+    This is the n-gram-overlap contamination check LLM training runs
+    before training (GPT-3 used 13-gram overlap, Llama/FineWeb n-gram
+    dedup against eval suites): any doc returned here would be dropped
+    or span-redacted before the corpus ships.
+
+    Scale shape: the eval span set is BENCHMARK-sized (thousands of
+    docs), so it broadcasts; the training side is one linear scan whose
+    span stream semi-joins the broadcast set — only actual hits ever
+    shuffle, and nothing is quadratic in corpus size.  Span identity
+    travels as xxhash64 longs; the oracle joins raw strings, so a hash
+    collision would fail the sf0.01 gate."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+    sp = D.shingle_explode(corpus, "doc_id", "text", 8).select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    )
+    eval_spans = sp.filter(is_eval).select("h").distinct()
+    hits = (
+        sp.filter(~is_eval)
+        .join(F.broadcast(eval_spans), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+    return hits.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_shared_spans").cast("bigint"),
+    ).orderBy("doc_id")
+
+
+@register(
     "text_pii_scrub",
     r"""
     WITH seeded AS (

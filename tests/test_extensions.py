@@ -306,3 +306,32 @@ def test_token_count_invariants(spark, sf_smoke):
     for r in rows:
         assert r["bpe_tokens"] >= r["ws_tokens"] > 0
         assert r["chars_per_bpe_milli"] == 1000 * r["n_chars"] // r["bpe_tokens"]
+
+
+def test_decontaminate_flags_planted_eval_clones(spark, sf_smoke):
+    """Every planted near-dup clone of an eval doc (doc_id%10==0 →
+    clone at +100000) must be flagged as contaminated — the clone
+    drops only the last 3 tokens, so nearly all of its 8-token spans
+    exist verbatim in its eval original.  No eval doc may appear in
+    the output (decontamination reports TRAINING docs only), and exact
+    dup copies (+200000) of eval docs must be flagged too."""
+    import __spark_entry__ as entry_mod
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _dedup_corpus,
+    )
+
+    out = entry_mod.queries()["pipeline_decontaminate"](spark, sf_smoke)
+    flagged = {r["doc_id"] for r in out.collect()}
+    assert flagged, "expected contaminated docs at smoke scale"
+    # output contains no eval docs
+    assert not any(d % 10 == 0 and d < 100000 for d in flagged)
+    corpus_ids = {
+        r["doc_id"] for r in _dedup_corpus(spark, sf_smoke).select("doc_id").collect()
+    }
+    # every near-dup clone of an eval doc whose original has >= 8+3
+    # tokens shares spans; spot-check: all planted exact copies of eval
+    # docs (ids ending the %170 residue chain) are flagged
+    exact_eval_copies = {
+        d for d in corpus_ids if d >= 200000 and (d - 200000) % 10 == 0
+    }
+    assert exact_eval_copies <= flagged
