@@ -105,3 +105,33 @@ def test_load_testdata_self_defends_session_confs(spark, sf_smoke):
         assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_unity_path_catalog_three_level(spark, tmp_path):
+    """The reference's 3-part Unity calls translate 1:1:
+    CREATE CATALOG → create schema cat.gold → write → tableExists →
+    SQL-addressable view (`1_db_Notebook.py:8,24,29`,
+    `3(1)_Gold_dim_model.py:56,173-176`)."""
+    from sales_azure_data_engineer_project_spark.catalog import UnityPathCatalog
+
+    uc = UnityPathCatalog(spark, str(tmp_path))
+    uc.create_catalog("cars_catalog")
+    uc.create_schema("cars_catalog.silver")
+    uc.create_schema("cars_catalog.gold")
+
+    assert not uc.table_exists("cars_catalog.gold.dim_model")
+    df = spark.createDataFrame([(1, "BMW-M1"), (2, "KIA-K4")], ["k", "model"])
+    df.write.mode("overwrite").parquet(uc.path("cars_catalog.gold.dim_model"))
+    assert uc.table_exists("cars_catalog.gold.dim_model")
+    assert not uc.table_exists("other_catalog.gold.dim_model")
+
+    uc.register("cars_catalog.gold.dim_model")
+    got = spark.sql(
+        "select count(*) as n from cars_catalog_gold_dim_model"
+    ).first()["n"]
+    assert got == 2
+
+    # a fresh instance rediscovers catalogs from disk (cross-session)
+    uc2 = UnityPathCatalog(spark, str(tmp_path))
+    assert uc2.table_exists("cars_catalog.gold.dim_model")
+    assert uc2.read("cars_catalog.gold.dim_model").count() == 2
