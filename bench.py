@@ -34,6 +34,51 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # ...and the shared execution infrastructure the C2 JIT compiles
+    # lazily: hash-agg + sort exchanges, broadcast hash join, window
+    # exec, and the md5/xxhash64/higher-order-fold expression paths.
+    # Round-3 lesson: without these, whichever queries run FIRST absorb
+    # the compilation cost — rotating the registration order made
+    # untouched early queries look 2-4× slower and late ones 1.5×
+    # faster (order artifact, not plan changes).  A few seconds of
+    # untimed synthetic plans make per-query numbers order-independent.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _a = spark.range(100_000).select(
+        _F.col("id"),
+        (_F.col("id") % 97).alias("k"),
+        _F.md5(_F.col("id").cast("string").cast("binary")).alias("h"),
+        _F.xxhash64(_F.col("id").cast("string")).alias("x"),
+    )
+    _b = spark.range(97).select(_F.col("id").alias("k"), _F.lit("d").alias("v"))
+    (
+        _a.join(_F.broadcast(_b), "k")
+        .groupBy("k")
+        .agg(_F.count(_F.lit(1)).alias("n"), _F.min("h").alias("mh"))
+        .orderBy(_F.col("n").desc(), "k")
+        .write.format("noop").mode("overwrite").save()
+    )
+    (
+        _a.withColumn(
+            "rk", _F.row_number().over(_W.partitionBy("k").orderBy(_F.col("x")))
+        )
+        .filter(_F.col("rk") <= 3)
+        .write.format("noop").mode("overwrite").save()
+    )
+    (
+        spark.range(10_000)
+        .select(_F.array(*[_F.col("id").cast("double")] * 8).alias("v"))
+        .select(
+            _F.aggregate(
+                _F.zip_with(_F.col("v"), _F.col("v"), lambda p, q: p * q),
+                _F.lit(0.0),
+                lambda acc, p: acc + p,
+            ).alias("d")
+        )
+        .agg(_F.sum("d"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
