@@ -70,17 +70,19 @@ _PRIORITY = [
     "text_pii_scrub",
     "crossmodal_doc_embedding_join",
     "pipeline_training_prep",
-    "pipeline_decontaminate",  # new in r3 — benchmark-contamination check
-    # --- 10 canaries: driver-green in r1/r2, one per family ---
+    "pipeline_decontaminate",   # new in r3 — benchmark-contamination check
+    "pipeline_pack_sequences",  # new in r3 — fixed-length sequence packing
+    "sample_mixture_weighted",  # new in r3 — per-source mixture rates
+    # --- canaries: driver-green in r1/r2, one per family ---
+    # (grouped_map_normalize, dedup_exact and text_quality_stats
+    # rotated out for the three new round-3 queries above — each was
+    # green in BOTH prior rounds, and their families keep coverage via
+    # multimodal_features / dedup_minhash_lsh / the text suite)
     "flagship_revenue_by_nation_year",  # star join + agg + sort (S1/J2/A1/O1)
     "pricing_summary",                  # grouped decimal aggregate (A1)
     "events_sessionization",            # event-time window/session family
-    "dedup_exact",                      # exact dedup family
     "dedup_minhash_lsh",                # MinHash+LSH banding family
     "similarity_ann_ivf",               # ANN IVF family
-    "text_quality_stats",               # text-analysis family
-    # (grouped_map_normalize rotated out for pipeline_decontaminate:
-    # the Pandas-UDF tier keeps multimodal_features as its canary)
     "multimodal_features",              # multimodal binary plumbing
     "skew_salted_aggregation",          # skew/salting family
 ]

@@ -87,26 +87,12 @@ def cosine_topk(
     )
 
 
-def sq8_codes(
-    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """Scalar-quantize vectors to 8-bit codes over the global value range.
-
-    The compression tier of production ANN (FAISS's SQ8): each dimension
-    maps to ``floor((x − min) · 256 / (max − min))`` clamped to [0, 255]
-    — 4 bytes/float → 1 byte/dim, so a 100 TB float corpus scans as
-    25 TB and distance math runs in exact integer arithmetic (which is
-    also what makes a DuckDB oracle bit-exact; float SQ variants could
-    not be hash-compared).  The range statistic is ONE tiny aggregate
-    broadcast to the quantization map — no shuffle of the vectors.
-
-    Output: (id, codes array<int>).
-    """
-    v = as_double_vec(vec_col)
-    stats = df.select(
-        F.min(F.array_min(v)).alias("mn"), F.max(F.array_max(v)).alias("mx")
-    )
-    quant = F.transform(
+def sq8_quant_expr(v: Column) -> Column:
+    """The SQ8 quantization map as a reusable expression: requires
+    broadcast scalar columns ``mn``/``mx`` in scope (see ``sq8_codes``).
+    Shared by every consumer so the quantization arithmetic — and
+    therefore oracle parity — is defined in exactly one place."""
+    return F.transform(
         v,
         lambda x: F.least(
             F.lit(255),
@@ -124,8 +110,34 @@ def sq8_codes(
             ),
         ),
     )
-    return df.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col), quant.alias("codes")
+
+
+def sq8_stats(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Global (mn, mx) range aggregate for SQ8 — one tiny broadcastable
+    frame."""
+    v = as_double_vec(vec_col)
+    return df.select(
+        F.min(F.array_min(v)).alias("mn"), F.max(F.array_max(v)).alias("mx")
+    )
+
+
+def sq8_codes(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar-quantize vectors to 8-bit codes over the global value range.
+
+    The compression tier of production ANN (FAISS's SQ8): each dimension
+    maps to ``floor((x − min) · 256 / (max − min))`` clamped to [0, 255]
+    — 4 bytes/float → 1 byte/dim, so a 100 TB float corpus scans as
+    25 TB and distance math runs in exact integer arithmetic (which is
+    also what makes a DuckDB oracle bit-exact; float SQ variants could
+    not be hash-compared).  The range statistic is ONE tiny aggregate
+    broadcast to the quantization map — no shuffle of the vectors.
+
+    Output: (id, codes array<int>).
+    """
+    return df.crossJoin(F.broadcast(sq8_stats(df, vec_col=vec_col))).select(
+        F.col(id_col), sq8_quant_expr(as_double_vec(vec_col)).alias("codes")
     )
 
 

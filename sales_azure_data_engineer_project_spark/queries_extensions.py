@@ -888,6 +888,191 @@ def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_pack_sequences",
+    r"""
+    WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               len(string_split_regex(text, '\s+')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tok,
+               SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    ),
+    b AS (
+        SELECT shard, n_tok, cum,
+               (cum - n_tok) // 512 AS first_bin,
+               CASE WHEN n_tok > 0 THEN (cum - 1) // 512 ELSE (cum - n_tok) // 512 END AS last_bin
+        FROM c
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST((MAX(cum) + 511) // 512 AS BIGINT) AS n_sequences,
+           CAST(SUM(CASE WHEN n_tok > 0 AND first_bin != last_bin
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+           CAST((1000 * SUM(n_tok)) // (512 * ((MAX(cum) + 511) // 512)) AS BIGINT)
+               AS fill_permille
+    FROM b
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the step that turns a filtered corpus into
+    fixed-length training sequences: documents are concatenated in
+    deterministic order within hash shards and split every 512 tokens
+    (document-concatenation packing, the GPT/T5 default).  Reports the
+    packing profile per shard: sequence count, docs straddling a
+    sequence boundary (candidates for attention-mask resets), and fill
+    rate (how close packing gets to zero padding).
+
+    Scale shape: the cumulative count is a window PARTITIONED by shard
+    — at 100 TB each shard's running sum is independent, so the plan is
+    one hash Exchange(shard) + per-shard sort, never a global
+    single-partition window; everything after is a per-shard aggregate
+    over scalars (doc text itself is never shuffled — only token
+    counts)."""
+    from pyspark.sql import Window
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.col("text"), X.TOKEN_RE)).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    # div() truncates toward zero in Spark but DuckDB's // floors —
+    # identical on the non-negative operands here; the n_tok = 0 guard
+    # keeps (cum - 1) from ever going negative on a leading empty doc
+    b = c.select(
+        "shard",
+        "n_tok",
+        "cum",
+        F.expr("div(cum - n_tok, 512)").alias("first_bin"),
+        F.when(F.col("n_tok") > 0, F.expr("div(cum - 1, 512)"))
+        .otherwise(F.expr("div(cum - n_tok, 512)"))
+        .alias("last_bin"),
+    )
+    return (
+        b.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.expr("div(max(cum) + 511, 512)").cast("bigint").alias("n_sequences"),
+            F.sum(
+                F.when(
+                    (F.col("n_tok") > 0) & (F.col("first_bin") != F.col("last_bin")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_straddling"),
+            F.expr("div(1000 * sum(n_tok), 512 * div(max(cum) + 511, 512))")
+            .cast("bigint")
+            .alias("fill_permille"),
+        )
+        .select(
+            F.col("shard").cast("bigint"),
+            "n_docs",
+            "n_tokens",
+            "n_sequences",
+            "n_straddling",
+            "fill_permille",
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "sample_mixture_weighted",
+    f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % 5 AS source,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    rates(source, rate) AS (VALUES (0, 1000), (1, 800), (2, 600), (3, 400), (4, 200)),
+    keyed AS (
+        SELECT t.doc_id, t.source, r.rate,
+               {_HEX12} % 1000 AS u
+        FROM t JOIN rates r ON r.source = t.source
+    )
+    SELECT CAST(source AS BIGINT) AS source,
+           CAST(ANY_VALUE(rate) AS BIGINT) AS target_permille,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST((1000 * SUM(CASE WHEN u < rate THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+               AS realized_permille
+    FROM keyed
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling across sources — the per-corpus rate control of
+    training-data mixing (the Pile / DoReMi pattern: each source gets a
+    target inclusion rate; documents are kept by a deterministic hash
+    Bernoulli, so the mixture is reproducible and resumable with no RNG
+    state).  Source here is ``doc_id % 5`` as a 5-corpus stand-in;
+    rates 1000/800/600/400/200‰.  Output compares realized vs target
+    rate per source — the drift check a mixing job alerts on.
+
+    Scale shape: map-only keep decision (48-bit md5 prefix mod 1000 <
+    rate, broadcast rate table) + one per-source aggregate; nothing
+    shuffles but the counts."""
+    rates = spark.createDataFrame(
+        [(0, 1000), (1, 800), (2, 600), (3, 400), (4, 200)],
+        "source bigint, rate bigint",
+    )
+    docs = load_testdata(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    keyed = (
+        docs.select("doc_id", (F.col("doc_id") % 5).alias("source"), u.alias("u"))
+        .join(F.broadcast(rates), "source")
+    )
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.any_value("rate").cast("bigint").alias("target_permille"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.expr(
+                "div(1000 * sum(case when u < rate then 1 else 0 end), count(1))"
+            )
+            .cast("bigint")
+            .alias("realized_permille"),
+        )
+        .select(
+            F.col("source").cast("bigint"),
+            "target_permille",
+            "n_total",
+            "n_kept",
+            "realized_permille",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "vocab_top_tokens",
     r"""
     WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
@@ -2545,16 +2730,20 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.kmeans import assign_clusters_arrow, kmeans_fit
 
     emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
+    # ONE scan derives v, norm AND the SQ8 code vector (quantization
+    # stats broadcast in) — round-3 first cut joined a second
+    # sq8_codes scan back by vec_id, a whole extra pass for a column
+    # that is a pure projection of the one already in hand
+    stats = S.sq8_stats(load_testdata(spark, sf_dir, "embeddings"))
     base = (
-        emb.select("vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"))
-        .join(
-            S.sq8_codes(
-                load_testdata(spark, sf_dir, "embeddings")
-            ).select(
-                "vec_id",
-                F.transform("codes", lambda x: x.cast("double")).alias("cvec"),
-            ),
+        emb.crossJoin(F.broadcast(stats))
+        .select(
             "vec_id",
+            F.col("_v").alias("v"),
+            F.col("_norm").alias("nrm"),
+            F.transform(
+                S.sq8_quant_expr(F.col("_v")), lambda x: x.cast("double")
+            ).alias("cvec"),
         )
         .transform(tracked_persist)
     )

@@ -335,3 +335,32 @@ def test_decontaminate_flags_planted_eval_clones(spark, sf_smoke):
         d for d in corpus_ids if d >= 200000 and (d - 200000) % 10 == 0
     }
     assert exact_eval_copies <= flagged
+
+
+def test_pack_sequences_invariants(spark, sf_smoke):
+    """Packing arithmetic: sequences = ceil(tokens/512) per shard, fill
+    can never exceed 1000 permille, and straddling docs are bounded by
+    doc count."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["pipeline_pack_sequences"](spark, sf_smoke).collect()
+    assert rows, "expected shards"
+    for r in rows:
+        assert r["n_sequences"] == -(-r["n_tokens"] // 512)
+        assert 0 < r["fill_permille"] <= 1000
+        assert 0 <= r["n_straddling"] <= r["n_docs"]
+
+
+def test_mixture_weighted_tracks_targets(spark, sf_smoke):
+    """Deterministic hash-Bernoulli mixture: kept ⊆ total, and realized
+    rates track targets (loose bound — smoke corpus has ~100 docs per
+    source, so sampling noise is material)."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["sample_mixture_weighted"](spark, sf_smoke).collect()
+    assert [r["source"] for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        assert abs(r["realized_permille"] - r["target_permille"]) <= 250
+    # the full-rate source keeps everything
+    assert rows[0]["n_kept"] == rows[0]["n_total"]
