@@ -73,6 +73,7 @@ _PRIORITY = [
     "pipeline_decontaminate",   # new in r3 — benchmark-contamination check
     "pipeline_pack_sequences",  # new in r3 — fixed-length sequence packing
     "sample_mixture_weighted",  # new in r3 — per-source mixture rates
+    "dedup_incremental_batch",  # new in r3 — batch-vs-corpus near-dup
     # --- canaries: driver-green in r1/r2, one per family ---
     # (grouped_map_normalize, dedup_exact and text_quality_stats
     # rotated out for the three new round-3 queries above — each was
@@ -84,7 +85,6 @@ _PRIORITY = [
     "dedup_minhash_lsh",                # MinHash+LSH banding family
     "similarity_ann_ivf",               # ANN IVF family
     "multimodal_features",              # multimodal binary plumbing
-    "skew_salted_aggregation",          # skew/salting family
 ]
 
 

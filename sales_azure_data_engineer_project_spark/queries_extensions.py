@@ -220,6 +220,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_batch",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT n.doc_id AS new_id, o.doc_id AS match_id, COUNT(*) AS c
+        FROM sh n JOIN sh o ON n.sh = o.sh
+        WHERE n.doc_id >= 100000 AND o.doc_id < 100000
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT new_id, match_id, c,
+               (1000 * c) // (sn.sz + so.sz - c) AS jac_permille
+        FROM common
+        JOIN sizes sn ON sn.doc_id = new_id
+        JOIN sizes so ON so.doc_id = match_id
+        WHERE (1000 * c) // (sn.sz + so.sz - c) >= 300
+    ),
+    best AS (
+        SELECT new_id, match_id, c, jac_permille,
+               ROW_NUMBER() OVER (PARTITION BY new_id
+                   ORDER BY jac_permille DESC, match_id) AS rk
+        FROM scored
+    )
+    SELECT CAST(new_id AS BIGINT) AS new_id,
+           CAST(match_id AS BIGINT) AS match_id,
+           CAST(c AS BIGINT) AS common,
+           CAST(jac_permille AS BIGINT) AS jac_permille
+    FROM best WHERE rk = 1
+    ORDER BY new_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup matching — the form a
+    continuous-ingest pipeline actually runs: each new crawl batch
+    (here the planted copies, ``doc_id >= 100000``) is matched against
+    the EXISTING corpus (``doc_id < 100000``) only, never old × old.
+    Per-batch cost is Σ over shingle buckets of new·old — proportional
+    to the batch — and each new doc reports its best existing match,
+    the provenance row an ingest job logs before dropping the
+    duplicate.  See ``operators/dedup.py::incremental_jaccard_matches``
+    for the 100 TB layout (maintained posting-list table, bucket
+    pruning per batch)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    old = corpus.filter(F.col("doc_id") < 100000)
+    new = corpus.filter(F.col("doc_id") >= 100000)
+    return D.incremental_jaccard_matches(
+        old, new, "doc_id", "text", min_permille=300
+    ).orderBy("new_id")
+
+
+@register(
     "dedup_minhash_lsh",
     f"""
     WITH {_CORPUS_SQL}, {_SHINGLE_SQL},

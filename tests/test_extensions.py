@@ -364,3 +364,21 @@ def test_mixture_weighted_tracks_targets(spark, sf_smoke):
         assert abs(r["realized_permille"] - r["target_permille"]) <= 250
     # the full-rate source keeps everything
     assert rows[0]["n_kept"] == rows[0]["n_total"]
+
+
+def test_incremental_matches_planted_copies(spark, sf_smoke):
+    """Every planted EXACT copy (doc_id+200000) must match its original
+    at 1000 permille; near-dup clones (+100000) match their original
+    with high Jaccard; no new doc matches itself."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["dedup_incremental_batch"](spark, sf_smoke).collect()
+    assert rows
+    by_new = {r["new_id"]: r for r in rows}
+    for new_id, r in by_new.items():
+        assert new_id >= 100000 and r["match_id"] < 100000
+    exact = [r for r in rows if r["new_id"] >= 200000]
+    assert exact, "expected exact copies in the batch"
+    for r in exact:
+        assert r["jac_permille"] == 1000
+        assert r["match_id"] == r["new_id"] - 200000
