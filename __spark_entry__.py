@@ -74,6 +74,7 @@ _PRIORITY = [
     "pipeline_pack_sequences",  # new in r3 — fixed-length sequence packing
     "sample_mixture_weighted",  # new in r3 — per-source mixture rates
     "dedup_incremental_batch",  # new in r3 — batch-vs-corpus near-dup
+    "dedup_semantic_semdedup",  # new in r3 — SemDeDup cluster-scoped cosine
     # --- canaries: driver-green in r1/r2, one per family ---
     # (grouped_map_normalize, dedup_exact and text_quality_stats
     # rotated out for the three new round-3 queries above — each was
@@ -83,7 +84,9 @@ _PRIORITY = [
     "pricing_summary",                  # grouped decimal aggregate (A1)
     "events_sessionization",            # event-time window/session family
     "dedup_minhash_lsh",                # MinHash+LSH banding family
-    "similarity_ann_ivf",               # ANN IVF family
+    # (similarity_ann_ivf rotated out for dedup_semantic_semdedup —
+    #  the IVF family keeps 4 in-window representatives: SQ8, IVF×SQ8,
+    #  nprobe2, kmeans)
     "multimodal_features",              # multimodal binary plumbing
 ]
 

@@ -2669,14 +2669,60 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s012.unionByName(s3).unionByName(s45).orderBy("stage_idx")
 
 
-def _ivf_kmeans_oracle_sql(k: int = 8, dim: int = 64, iters: int = 3) -> str:
-    """Unrolled-Lloyd DuckDB twin of ``similarity_ann_ivf_kmeans`` —
-    same replayability argument as ``_pq_oracle_sql``: the quantizer
-    trains on integer-valued SQ8 code vectors (exact partial sums, one
-    rounded division per centroid mean) with index-order distance folds
-    and a pinned iteration count, so cells match bitwise; in-cell
-    scoring is the full-precision cosine both engines compute with the
-    same fold."""
+def _sq8_kmeans_cells(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3) -> DataFrame:
+    """Train the SQ8-domain k-means quantizer and assign every vector
+    to its cell: returns a persisted frame (vec_id, v, nrm, cvec,
+    cluster).  Shared by ``similarity_ann_ivf_kmeans`` (probe routing)
+    and ``dedup_semantic_semdedup`` (cluster-scoped dedup).
+
+    ONE scan derives v, norm AND the SQ8 code vector (quantization
+    stats broadcast in) — round-3's first cut joined a second
+    sq8_codes scan back by vec_id, a whole extra pass for a column
+    that is a pure projection of the one already in hand.  Per Lloyd
+    iteration: one narrow assignment pass (broadcast k×d centroids)
+    fused with the (k·d)-row partial-sum shuffle — only the centroid
+    matrix ever reaches the driver."""
+    from .operators.kmeans import assign_clusters_arrow, kmeans_fit
+
+    emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
+    stats = S.sq8_stats(load_testdata(spark, sf_dir, "embeddings"))
+    base = (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.col("_v").alias("v"),
+            F.col("_norm").alias("nrm"),
+            F.transform(
+                S.sq8_quant_expr(F.col("_v")), lambda x: x.cast("double")
+            ).alias("cvec"),
+        )
+        .transform(tracked_persist)
+    )
+    # deterministic seeds = lowest-k vec_ids, fetched once — sorting the
+    # whole frame inside the fit would re-run the sort on every
+    # iteration's scan
+    seed_rows = (
+        base.filter(F.col("vec_id") < k).orderBy("vec_id").select("cvec").collect()
+    )
+    centroids, _ = kmeans_fit(
+        base,
+        k=k,
+        vec_col="cvec",
+        max_iter=iters,
+        tol=0.0,
+        seeds=[list(r["cvec"]) for r in seed_rows],
+        compute_inertia=False,
+    )
+    return assign_clusters_arrow(base, centroids, "cvec").transform(tracked_persist)
+
+
+def _kmeans_cells_cte(k: int = 8, dim: int = 64, iters: int = 3) -> str:
+    """Shared unrolled-Lloyd CTE prefix: trains the SQ8-domain k-means
+    quantizer and ends at the ``cells`` CTE (vec_id → cluster), with
+    ``e`` (full-precision vectors + norms) still in scope.  Used by the
+    ``similarity_ann_ivf_kmeans`` and ``dedup_semantic_semdedup``
+    oracles — the replayability argument lives on
+    ``_ivf_kmeans_oracle_sql``."""
     parts = [
         f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -2735,7 +2781,19 @@ def _ivf_kmeans_oracle_sql(k: int = 8, dim: int = 64, iters: int = 3) -> str:
                        ORDER BY list_dot_product(d, d) ASC, c) AS rk
             FROM a{fin}p
         ) WHERE rk = 1
-    ),
+    )""")
+    return "".join(parts)
+
+
+def _ivf_kmeans_oracle_sql(k: int = 8, dim: int = 64, iters: int = 3) -> str:
+    """Unrolled-Lloyd DuckDB twin of ``similarity_ann_ivf_kmeans`` —
+    same replayability argument as ``_pq_oracle_sql``: the quantizer
+    trains on integer-valued SQ8 code vectors (exact partial sums, one
+    rounded division per centroid mean) with index-order distance folds
+    and a pinned iteration count, so cells match bitwise; in-cell
+    scoring is the full-precision cosine both engines compute with the
+    same fold."""
+    return _kmeans_cells_cte(k, dim, iters) + """,
     scored AS (
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                list_dot_product(qe.v, n.v) / (qe.nrm * n.nrm) AS cos_raw
@@ -2756,8 +2814,7 @@ def _ivf_kmeans_oracle_sql(k: int = 8, dim: int = 64, iters: int = 3) -> str:
            CAST(CAST(ROUND(cos_raw, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim, rk
     FROM ranked WHERE rk <= 5
     ORDER BY query_id, rk
-    """)
-    return "".join(parts)
+    """
 
 
 @register("similarity_ann_ivf_kmeans", _ivf_kmeans_oracle_sql())
@@ -2779,42 +2836,7 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a broadcast equi-join on the cell id, identical to the stride
     IVF.
     """
-    from .operators.kmeans import assign_clusters_arrow, kmeans_fit
-
-    emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
-    # ONE scan derives v, norm AND the SQ8 code vector (quantization
-    # stats broadcast in) — round-3 first cut joined a second
-    # sq8_codes scan back by vec_id, a whole extra pass for a column
-    # that is a pure projection of the one already in hand
-    stats = S.sq8_stats(load_testdata(spark, sf_dir, "embeddings"))
-    base = (
-        emb.crossJoin(F.broadcast(stats))
-        .select(
-            "vec_id",
-            F.col("_v").alias("v"),
-            F.col("_norm").alias("nrm"),
-            F.transform(
-                S.sq8_quant_expr(F.col("_v")), lambda x: x.cast("double")
-            ).alias("cvec"),
-        )
-        .transform(tracked_persist)
-    )
-    # deterministic seeds = lowest-k vec_ids, fetched once — sorting the
-    # whole frame inside the fit would re-run the sort on every
-    # iteration's scan
-    seed_rows = (
-        base.filter(F.col("vec_id") < 8).orderBy("vec_id").select("cvec").collect()
-    )
-    centroids, _ = kmeans_fit(
-        base,
-        k=8,
-        vec_col="cvec",
-        max_iter=3,
-        tol=0.0,
-        seeds=[list(r["cvec"]) for r in seed_rows],
-        compute_inertia=False,
-    )
-    cells = assign_clusters_arrow(base, centroids, "cvec").transform(tracked_persist)
+    cells = _sq8_kmeans_cells(spark, sf_dir, k=8, iters=3)
     q = cells.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -2841,6 +2863,87 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
         .orderBy("query_id", "rk")
+    )
+
+
+def _semdedup_oracle_sql(tau: float = 0.45) -> str:
+    """DuckDB twin of ``dedup_semantic_semdedup``: replays the SQ8
+    k-means training bitwise (see ``_ivf_kmeans_oracle_sql``), then the
+    within-cluster cosine pairs and the keep-lowest-id rule are plain
+    exact-fold SQL."""
+    return _kmeans_cells_cte() + f""",
+    sl AS (SELECT c.vec_id, c.cluster, e.v, e.nrm
+           FROM cells c JOIN e ON e.vec_id = c.vec_id),
+    pairs AS (
+        SELECT b.vec_id, b.cluster, a.vec_id AS id_a,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_raw
+        FROM sl a JOIN sl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {tau}
+    ),
+    reps AS (
+        SELECT vec_id, cluster, id_a, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY id_a) AS rk
+        FROM pairs
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INTEGER) AS cluster,
+           CAST(id_a AS BIGINT) AS rep_id,
+           CAST(CAST(ROUND(cos_raw, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_to_rep
+    FROM reps WHERE rk = 1
+    ORDER BY vec_id
+    """
+
+
+@register("dedup_semantic_semdedup", _semdedup_oracle_sql())
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication à la SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters the embedding space, then
+    near-duplicate pairs are searched ONLY within each cluster and
+    every vector that has a lower-id within-cluster neighbor at
+    cosine ≥ 0.45 is dropped, keeping the lowest id as the
+    representative.  Output = the drop list (vec_id, cluster, rep_id,
+    cos_to_rep) — the anti-join side of a training-data prep pipeline.
+
+    Scale shape: the quantizer is the shared SQ8-domain Lloyd fit
+    (broadcast centroids, partial-sum shuffle — see
+    ``_sq8_kmeans_cells``); the pair search is an EQUI-join on the
+    cluster id, so work is Σ|cluster|².  k is the knob that bounds it:
+    the paper's regime targets a roughly constant cluster size (k grows
+    ∝ N), making the join linear in N — k=8 here only pins the oracle's
+    unrolled-Lloyd replay at test scale.  Vectors are projected to
+    (vec_id, cluster, v, nrm) BEFORE the pair exchange so the code
+    vectors used in training never shuffle (round-3 ANN-regression
+    lesson)."""
+    cells = _sq8_kmeans_cells(spark, sf_dir, k=8, iters=3)
+    slim = cells.select("vec_id", "cluster", "v", "nrm")
+    a = slim.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").alias("cl_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    cos = S.dot(F.col("va"), F.col("v")) / (F.col("na") * F.col("nrm"))
+    pairs = (
+        slim.join(
+            a, (F.col("cl_a") == F.col("cluster")) & (F.col("id_a") < F.col("vec_id"))
+        )
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.45)
+        .select("vec_id", "cluster", "id_a", "cos_raw")
+    )
+    w = Window.partitionBy("vec_id").orderBy("id_a")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("vec_id").cast("bigint"),
+            F.col("cluster").cast("int"),
+            F.col("id_a").cast("bigint").alias("rep_id"),
+            F.round("cos_raw", 6)
+            .cast("decimal(10,6)")
+            .cast("double")
+            .alias("cos_to_rep"),
+        )
+        .orderBy("vec_id")
     )
 
 

@@ -382,3 +382,37 @@ def test_incremental_matches_planted_copies(spark, sf_smoke):
     for r in exact:
         assert r["jac_permille"] == 1000
         assert r["match_id"] == r["new_id"] - 200000
+
+
+def test_semdedup_drop_list_vs_brute(spark, sf_smoke):
+    """SemDeDup differential at sf0.001: the registered drop list must
+    equal the brute-force rule 'drop b iff some a<b in b's k-means cell
+    has cosine(a,b) >= 0.45, rep = lowest such a' computed directly
+    from the cell assignment — i.e. the pair join, threshold, and
+    keep-lowest-id window lose nothing."""
+    import itertools
+
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _sq8_kmeans_cells,
+    )
+
+    out = {
+        r["vec_id"]: (r["cluster"], r["rep_id"])
+        for r in entry_mod.queries()["dedup_semantic_semdedup"](spark, sf_smoke).collect()
+    }
+    cells = _sq8_kmeans_cells(spark, sf_smoke).select("vec_id", "cluster", "v").collect()
+    by_cluster: dict[int, list] = {}
+    for r in cells:
+        by_cluster.setdefault(r["cluster"], []).append((r["vec_id"], np.asarray(r["v"])))
+    expect = {}
+    for cl, members in by_cluster.items():
+        members.sort()
+        for (ia, va), (ib, vb) in itertools.combinations(members, 2):
+            cos = float(va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
+            if cos >= 0.45 and ib not in expect:
+                expect[ib] = (cl, ia)
+    assert out == expect
+    assert out, "expected a non-empty drop list on the smoke corpus"
