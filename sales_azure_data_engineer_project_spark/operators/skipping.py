@@ -1,0 +1,171 @@
+"""File-level data skipping + Z-order clustering over plain parquet.
+
+The lakehouse trick the reference's gold zone gets from Delta
+(`3(1)_Gold_dim_model.py` writes Delta tables, whose transaction log
+carries per-file column min/max that the reader uses to skip files):
+delta-spark is absent in this environment, so the same contract is
+built directly on parquet footers —
+
+- **manifest**: at commit time, read the just-written files' parquet
+  FOOTERS (no data pages) and record per-file min/max per column in a
+  ``_manifest.json`` inside the version directory.  This is exactly the
+  stats payload of a Delta ``add`` action; building it at write time
+  keeps the cost O(files-in-this-commit), not O(files-in-table).
+- **pruned read**: a range predicate consults the manifest and hands
+  Spark only the overlapping files.  The predicate is STILL applied to
+  the surviving rows — skipping is an optimization, never a semantics
+  change (and parquet row-group pushdown then prunes within files).
+- **Z-order**: multi-column locality so pruning works on EVERY listed
+  column, not just a lead sort key.  Each column is bucketed by its
+  approximate quantiles (rank space — robust to skew, unlike linear
+  min/max bucketing) and the bucket bits are interleaved into one
+  BIGINT z-value; ``repartitionByRange(z)`` + ``sortWithinPartitions``
+  gives every output file a small hyper-rectangle of the key space.
+
+Scale shape: quantile boundaries come from ``approxQuantile``
+(Greenwald-Khanna sketch, one pass, driver gets O(buckets) numbers);
+bucketing + bit interleave are pure JVM column expressions; the only
+shuffle is the range partition that the write needs anyway.  Footer
+reads touch KB-sized metadata per file.  Everything here is
+driver-coordinated metadata over executor-written data — the same
+division of labor as Delta's commit protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "write_manifest",
+    "read_manifest",
+    "pruned_files",
+    "read_pruned",
+    "zorder_frame",
+]
+
+_MANIFEST = "_manifest.json"
+
+
+def _footer_stats(path: str, columns: list[str]) -> dict:
+    """Per-column (min, max, null_count) for one parquet file, from the
+    footer only.  Columns with no usable stats map to None (reader must
+    keep the file)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {"rows": md.num_rows, "columns": {}}
+    for col in columns:
+        if col not in idx:
+            out["columns"][col] = None
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        out["columns"][col] = [lo, hi] if ok else None
+    return out
+
+
+def write_manifest(vdir: str, columns: list[str]) -> dict:
+    """Build ``_manifest.json`` for every data file in ``vdir``."""
+    files = sorted(
+        f for f in os.listdir(vdir) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    manifest = {
+        "stats_columns": list(columns),
+        "files": {f: _footer_stats(os.path.join(vdir, f), columns) for f in files},
+    }
+    tmp = os.path.join(vdir, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, default=str)
+    os.replace(tmp, os.path.join(vdir, _MANIFEST))
+    return manifest
+
+
+def read_manifest(vdir: str) -> dict | None:
+    try:
+        with open(os.path.join(vdir, _MANIFEST)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def pruned_files(vdir: str, col: str, lo, hi) -> tuple[list[str], int]:
+    """(surviving file paths, total file count) for range [lo, hi].
+
+    A file survives unless its recorded [min, max] provably misses the
+    range; missing stats keep the file (correctness over optimism)."""
+    manifest = read_manifest(vdir)
+    if manifest is None:
+        raise FileNotFoundError(f"no {_MANIFEST} under {vdir}")
+    keep = []
+    for fname, st in manifest["files"].items():
+        rng = (st.get("columns") or {}).get(col)
+        if rng is None or rng[0] is None:
+            keep.append(fname)
+        elif not (rng[1] < lo or rng[0] > hi):
+            keep.append(fname)
+    return [os.path.join(vdir, f) for f in keep], len(manifest["files"])
+
+
+def read_pruned(spark: SparkSession, vdir: str, col: str, lo, hi) -> DataFrame:
+    """Range scan that opens only manifest-surviving files.  The filter
+    is re-applied — skipping must never change semantics."""
+    files, _total = pruned_files(vdir, col, lo, hi)
+    if not files:
+        return spark.read.parquet(vdir).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(col).between(lo, hi))
+
+
+def _bucket_expr(col: str, boundaries: list[float]):
+    """Rank-space bucket id 0..len(boundaries): count of quantile
+    boundaries ≤ value — a branch-free JVM expression over a literal
+    array (no UDF, no join)."""
+    arr = F.array(*[F.lit(b) for b in boundaries])
+    return F.size(F.filter(arr, lambda b: b <= F.col(col).cast("double")))
+
+
+def zorder_frame(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 4,
+    num_files: int = 8,
+) -> DataFrame:
+    """Return ``df`` re-clustered on the interleaved z-value of ``cols``
+    (each bucketed into 2**bits rank-space buckets), partitioned into
+    ``num_files`` range slices and sorted within each — ready to write,
+    with every output file covering a tight min/max box on EVERY listed
+    column.
+
+    2 cols × 4 bits ⇒ an 8-bit z-value whose bit i alternates between
+    the columns: files slice the space into squares instead of stripes,
+    so a predicate on either column alone still skips ~(1 - 1/2**bits)
+    of the files (a lead-column linear sort skips nothing for the
+    second column)."""
+    n_buckets = 1 << bits
+    zval = F.lit(0).cast("bigint")
+    for ci, col in enumerate(cols):
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        boundaries = df.approxQuantile(col, qs, 0.001)
+        b = _bucket_expr(col, boundaries).cast("bigint")
+        for i in range(bits):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            zval = zval + F.shiftleft(bit, i * len(cols) + ci)
+    return (
+        df.withColumn("_z", zval)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )

@@ -64,7 +64,14 @@ class VersionedTable:
             return None
         return self.spark.read.parquet(self._vdir(v))
 
-    def _commit(self, df: DataFrame, *, base_version: int | None = None) -> int:
+    def _commit(
+        self,
+        df: DataFrame,
+        *,
+        base_version: int | None = None,
+        stats_columns: list[str] | None = None,
+        zorder: list[str] | None = None,
+    ) -> int:
         """Commit a new version.  ``base_version`` enables optimistic
         concurrency: if another writer committed since the caller read
         that version, raise instead of silently clobbering their commit
@@ -101,9 +108,21 @@ class VersionedTable:
         )
         new_v = max(cur, max_dir) + 1
         staged = tempfile.mkdtemp(dir=self.root, prefix="._staged_")
+        if zorder:
+            from .skipping import zorder_frame
+
+            df = zorder_frame(df, zorder)
+            stats_columns = list(dict.fromkeys([*(stats_columns or []), *zorder]))
         # Spark refuses to write into an existing dir without overwrite
         # mode; overwrite onto the fresh mkdtemp path is safe — we own it
         df.write.mode("overwrite").parquet(staged)
+        if stats_columns:
+            # footer-only stats for THIS commit's files, written inside
+            # the staged dir so the manifest publishes atomically with
+            # the data (the Delta add-action payload, O(commit) cost)
+            from .skipping import write_manifest
+
+            write_manifest(staged, stats_columns)
         try:
             os.rename(staged, self._vdir(new_v))
         except OSError as e:
@@ -125,8 +144,36 @@ class VersionedTable:
             os.replace(tmp, self._pointer)
         return new_v
 
-    def overwrite(self, df: DataFrame) -> int:
-        return self._commit(df)
+    def overwrite(
+        self,
+        df: DataFrame,
+        *,
+        stats_columns: list[str] | None = None,
+        zorder: list[str] | None = None,
+    ) -> int:
+        """Commit a full snapshot.  ``stats_columns`` records per-file
+        min/max in a version-local manifest (file-skipping reads via
+        ``read_where``); ``zorder`` additionally re-clusters the data on
+        the interleaved z-value of those columns first so skipping works
+        on every listed column."""
+        return self._commit(df, stats_columns=stats_columns, zorder=zorder)
+
+    def read_where(self, col: str, lo, hi, version: int | None = None) -> DataFrame | None:
+        """Range scan of a snapshot that opens only the files whose
+        manifest min/max overlap [lo, hi] (falls back to a full scan +
+        filter when the version has no manifest)."""
+        from pyspark.sql import functions as F
+
+        from .skipping import read_manifest, read_pruned
+
+        v = self.current_version() if version is None else version
+        if v <= 0 or not os.path.isdir(self._vdir(v)):
+            return None
+        if read_manifest(self._vdir(v)) is None:
+            return self.spark.read.parquet(self._vdir(v)).filter(
+                F.col(col).between(lo, hi)
+            )
+        return read_pruned(self.spark, self._vdir(v), col, lo, hi)
 
     def merge(self, source: DataFrame, keys: list[str], *, assert_unique: bool = True) -> int:
         """SCD-1 MERGE as a new committed version, with optimistic

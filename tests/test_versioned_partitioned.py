@@ -240,3 +240,64 @@ def test_versioned_staged_claim_loses_race(spark, tmp_path, monkeypatch):
     assert [r["k"] for r in vt.read().collect()] == [1]
     vt.vacuum(keep_last=10)
     assert [n for n in os.listdir(root) if n.startswith("._staged_")] == []
+
+
+def test_data_skipping_manifest_prunes_files(spark, tmp_path):
+    """Min/max manifests written at commit time let a range read open a
+    strict subset of files — and the pruned read returns exactly the
+    full-scan filter result (skipping is an optimization, never a
+    semantics change)."""
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+    from sales_azure_data_engineer_project_spark.operators.skipping import pruned_files
+
+    orders = load_testdata(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    lin = orders.repartitionByRange(8, "o_custkey").sortWithinPartitions("o_custkey")
+    v1 = vt.overwrite(lin, stats_columns=["o_custkey", "o_totalprice"])
+
+    keep, total = pruned_files(vt._vdir(v1), "o_custkey", 10, 20)
+    assert total == 8 and len(keep) < total, "lead sort column must prune files"
+    # the second column is uncorrelated with the sort → every file's
+    # price range spans the space and nothing can be skipped
+    keep_p, _ = pruned_files(vt._vdir(v1), "o_totalprice", 50_000, 90_000)
+    assert len(keep_p) == total
+
+    got = sorted(
+        r["o_orderkey"] for r in vt.read_where("o_custkey", 10, 20, version=v1).collect()
+    )
+    expect = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_custkey").between(10, 20)).collect()
+    )
+    assert got == expect and got
+
+
+def test_zorder_prunes_on_every_listed_column(spark, tmp_path):
+    """Z-order clustering gives every file a tight min/max box on BOTH
+    interleaved columns, so single-column range predicates skip files on
+    either — where the linear layout above only prunes its lead key."""
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+    from sales_azure_data_engineer_project_spark.operators.skipping import pruned_files
+
+    orders = load_testdata(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    v = vt.overwrite(orders, zorder=["o_custkey", "o_totalprice"])
+
+    keep_c, total = pruned_files(vt._vdir(v), "o_custkey", 10, 20)
+    keep_p, _ = pruned_files(vt._vdir(v), "o_totalprice", 50_000, 90_000)
+    assert len(keep_c) < total, "z-order must prune on the first column"
+    assert len(keep_p) < total, "z-order must prune on the second column"
+
+    got = sorted(
+        r["o_orderkey"]
+        for r in vt.read_where("o_totalprice", 50_000, 90_000, version=v).collect()
+    )
+    expect = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_totalprice").between(50_000, 90_000)).collect()
+    )
+    assert got == expect and got
