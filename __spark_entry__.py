@@ -75,6 +75,7 @@ _PRIORITY = [
     "sample_mixture_weighted",  # new in r3 — per-source mixture rates
     "dedup_incremental_batch",  # new in r3 — batch-vs-corpus near-dup
     "dedup_semantic_semdedup",  # new in r3 — SemDeDup cluster-scoped cosine
+    "text_trigram_lm_score",    # new in r3 — integer-exact LM familiarity
     # --- canaries: driver-green in r1/r2, one per family ---
     # (grouped_map_normalize, dedup_exact and text_quality_stats
     # rotated out for the three new round-3 queries above — each was
@@ -82,7 +83,8 @@ _PRIORITY = [
     # multimodal_features / dedup_minhash_lsh / the text suite)
     "flagship_revenue_by_nation_year",  # star join + agg + sort (S1/J2/A1/O1)
     "pricing_summary",                  # grouped decimal aggregate (A1)
-    "events_sessionization",            # event-time window/session family
+    # (events_sessionization rotated out for text_trigram_lm_score —
+    #  the events family keeps events_value_anomalies in-window)
     "dedup_minhash_lsh",                # MinHash+LSH banding family
     # (similarity_ann_ivf rotated out for dedup_semantic_semdedup —
     #  the IVF family keeps 4 in-window representatives: SQ8, IVF×SQ8,

@@ -3099,3 +3099,72 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_ip").cast("double"),
         "rk",
     ).orderBy("query_id", "rk")
+
+
+@register(
+    "text_trigram_lm_score",
+    r"""
+    WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+    pos AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(length(t) - 2, 0))) AS i
+        FROM lowered WHERE length(t) >= 3
+    ),
+    tg AS (SELECT doc_id, substr(t, i, 3) AS tg FROM pos),
+    counts AS (SELECT tg, COUNT(*) AS n FROM tg GROUP BY tg),
+    scored AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_trigrams,
+               SUM(length(format('{:b}', c.n)) - 1) AS bucket_sum
+        FROM tg g JOIN counts c ON c.tg = g.tg
+        GROUP BY g.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_trigrams AS BIGINT) AS n_trigrams,
+           CAST((1000 * bucket_sum) // n_trigrams AS BIGINT) AS familiarity_permille
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language-model familiarity score — the
+    integer-exact stand-in for CCNet's KenLM perplexity filter: a
+    document whose character trigrams are all corpus-frequent scores
+    high; gibberish / boilerplate-free rare text scores low.  Score =
+    per-doc mean of floor(log2(corpus_count(trigram))) in permille.
+
+    floor(log2 n) is computed as ``length(bin(n)) - 1`` — an INTEGER
+    derivation on both engines, because float log2 may round a hair
+    differently across libm implementations and flip a floor.
+
+    Scale shape: the trigram stream is generated INLINE in the explode
+    projection (NOTES explode pitfall) and never materialized; the
+    count table's key space is bounded by charset³ regardless of corpus
+    size, so it aggregates with map-side partial combine and BROADCASTS
+    back to the stream — per-doc scoring is then a map-side join + one
+    groupBy(doc_id) shuffle.  Nothing here grows faster than the token
+    stream itself."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    tg = docs.filter(F.char_length(F.col("text")) >= 3).select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(1, greatest(char_length(lower(text)) - 2, 1)),"
+            " i -> substring(lower(text), i, 3)))"
+        ).alias("tg"),
+    )
+    counts = tg.groupBy("tg").agg(F.count("*").alias("n"))
+    bucket = F.length(F.expr("bin(n)")) - 1
+    return (
+        tg.join(F.broadcast(counts), "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.sum(bucket).alias("bucket_sum"),
+        )
+        .select(
+            F.col("doc_id").cast("bigint"),
+            "n_trigrams",
+            F.expr("div(1000 * bucket_sum, n_trigrams)").alias("familiarity_permille"),
+        )
+        .orderBy("doc_id")
+    )
