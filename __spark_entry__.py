@@ -76,13 +76,15 @@ _PRIORITY = [
     "dedup_incremental_batch",  # new in r3 — batch-vs-corpus near-dup
     "dedup_semantic_semdedup",  # new in r3 — SemDeDup cluster-scoped cosine
     "text_trigram_lm_score",    # new in r3 — integer-exact LM familiarity
+    "vocab_bpe_merges",         # new in r3 — BPE tokenizer-merge induction
     # --- canaries: driver-green in r1/r2, one per family ---
     # (grouped_map_normalize, dedup_exact and text_quality_stats
     # rotated out for the three new round-3 queries above — each was
     # green in BOTH prior rounds, and their families keep coverage via
     # multimodal_features / dedup_minhash_lsh / the text suite)
     "flagship_revenue_by_nation_year",  # star join + agg + sort (S1/J2/A1/O1)
-    "pricing_summary",                  # grouped decimal aggregate (A1)
+    # (pricing_summary rotated out for vocab_bpe_merges — the grouped-
+    #  aggregate family keeps many in-window TPC-H representatives)
     # (events_sessionization rotated out for text_trigram_lm_score —
     #  the events family keeps events_value_anomalies in-window)
     "dedup_minhash_lsh",                # MinHash+LSH banding family

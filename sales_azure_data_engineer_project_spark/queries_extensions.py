@@ -3179,3 +3179,145 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _bpe_oracle_sql(rounds: int = 4, vocab: int = 2000) -> str:
+    """Unrolled DuckDB twin of ``vocab_bpe_merges``.  Each round: count
+    adjacent symbol pairs weighted by word frequency (two zipped
+    unnests), argmax with a (count DESC, lhs, rhs) tiebreak, then apply
+    the merge greedily left-to-right.  The greedy application is the
+    gaps-and-islands form: within every run of consecutive matching
+    positions (only possible when lhs = rhs), odd ranks merge and the
+    position after a merge is consumed — exactly the left-fold the
+    Spark side computes."""
+    parts = [rf"""
+    WITH wx AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+                FROM documents),
+    w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM wx
+           WHERE word <> '' GROUP BY word
+           ORDER BY freq DESC, word LIMIT {vocab}),
+    v0 AS (SELECT word, freq,
+                  list_append(list_transform(generate_series(1, length(word)),
+                                             i -> substr(word, i, 1)), '</w>') AS syms
+           FROM w0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    p{r} AS (
+        SELECT lhs, rhs, SUM(freq) AS cnt FROM (
+            SELECT freq, unnest(syms[1:len(syms)-1]) AS lhs,
+                   unnest(syms[2:len(syms)]) AS rhs
+            FROM v{r - 1}
+        ) GROUP BY lhs, rhs
+    ),
+    m{r} AS (SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    f{r} AS (
+        SELECT word, freq, i, syms[i] AS s,
+               (i < len(syms) AND syms[i] = (SELECT lhs FROM m{r})
+                AND syms[i+1] = (SELECT rhs FROM m{r})) AS m
+        FROM (SELECT word, freq, syms,
+                     unnest(generate_series(1, len(syms))) AS i FROM v{r - 1})
+    ),
+    g{r} AS (
+        SELECT word, freq, i, s, m,
+               (m AND ROW_NUMBER() OVER (PARTITION BY word, isl, m ORDER BY i) % 2 = 1) AS greedy
+        FROM (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY i) AS isl
+              FROM f{r})
+    ),
+    h{r} AS (
+        SELECT word, freq, i,
+               CASE WHEN greedy THEN (SELECT lhs || rhs FROM m{r})
+                    WHEN lag(greedy, 1, false) OVER (PARTITION BY word ORDER BY i)
+                         THEN NULL
+                    ELSE s END AS emit
+        FROM g{r}
+    ),
+    v{r} AS (
+        SELECT word, freq,
+               list(emit ORDER BY i) FILTER (WHERE emit IS NOT NULL) AS syms
+        FROM h{r} GROUP BY word, freq
+    )""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {r} AS rnd, lhs, rhs, lhs || rhs AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    SELECT * FROM (
+        {unions}
+    ) ORDER BY rnd
+    """)
+    return "".join(parts)
+
+
+@register("vocab_bpe_merges", _bpe_oracle_sql())
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge induction (Sennrich et al. 2016) — the
+    tokenizer-training step of an LLM data pipeline, run in-engine: 4
+    merge rounds over the corpus vocabulary, returning the learned
+    merge table (round, lhs, rhs, merged, weighted pair count).
+
+    The classic BPE scale trick does the heavy lifting: training
+    operates on the WORD-FREQUENCY table (top-2000 word forms by
+    frequency, deterministic tiebreak), never the token stream — the
+    corpus is scanned once to build it, after which every round touches
+    only ~2000 tiny symbol arrays.  Per round: pair counts via an
+    inline-generator explode (bounded: Σ word-length rows), one
+    map-side-combined groupBy, a 1-row argmax to the driver, and the
+    merge applied as an ``F.aggregate`` left fold per word (greedy
+    non-overlapping, ANSI-safe CaseWhen short-circuit guards the
+    empty-accumulator element_at).  DuckDB replays the fold as a
+    gaps-and-islands window program — two independent formulations of
+    the same greedy semantics."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(2000)
+    )
+    vdf = vocab.withColumn(
+        "syms",
+        F.expr(
+            "concat(slice(split(word, '(?!^)'), 1, size(split(word, '(?!^)')) - 1),"
+            " array('</w>'))"
+        ),
+    ).transform(tracked_persist)
+    merges = []
+    for rnd in range(1, 5):
+        pairs = vdf.select(
+            "freq",
+            F.expr(
+                "explode(transform(sequence(1, size(syms) - 1),"
+                " i -> struct(syms[i-1] AS lhs, syms[i] AS rhs)))"
+            ).alias("p"),
+        ).select("freq", "p.lhs", "p.rhs")
+        top = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .collect()[0]
+        )
+        x, y, cnt = top["lhs"], top["rhs"], int(top["cnt"])
+        merged_sym = x + y
+        new_syms = F.aggregate(
+            F.col("syms"),
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, s: F.when(
+                F.size(acc) == 0, F.concat(acc, F.array(s))
+            )
+            .when(
+                (F.element_at(acc, -1) == F.lit(top["lhs"])) & (s == F.lit(top["rhs"])),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(top["lhs"] + top["rhs"]))
+                ),
+            )
+            .otherwise(F.concat(acc, F.array(s))),
+        )
+        vdf = vdf.withColumn("syms", new_syms).transform(tracked_persist)
+        merges.append((rnd, x, y, merged_sym, cnt))
+    return spark.createDataFrame(
+        merges, schema="rnd int, lhs string, rhs string, merged string, pair_count bigint"
+    ).orderBy("rnd")

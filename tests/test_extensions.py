@@ -416,3 +416,45 @@ def test_semdedup_drop_list_vs_brute(spark, sf_smoke):
                 expect[ib] = (cl, ia)
     assert out == expect
     assert out, "expected a non-empty drop list on the smoke corpus"
+
+
+def test_bpe_merges_vs_python_reference(spark, sf_smoke):
+    """Third formulation cross-check: the registered BPE query (Spark
+    F.aggregate fold; DuckDB replays it as windows) must equal a plain
+    Python BPE trainer run on the same word-frequency table — greedy
+    left-to-right merge, (count DESC, lhs, rhs) argmax tiebreak."""
+    import re
+    from collections import Counter
+
+    import __spark_entry__ as entry_mod
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+
+    got = [
+        (r["rnd"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in entry_mod.queries()["vocab_bpe_merges"](spark, sf_smoke).collect()
+    ]
+
+    texts = [
+        r["text"] for r in load_testdata(spark, sf_smoke, "documents").select("text").collect()
+    ]
+    freq = Counter(w for t in texts for w in re.split(r"\s+", t.lower()) if w)
+    vocab = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:2000]
+    words = {w: [*w, "</w>"] for w, _ in vocab}
+    expect = []
+    for rnd in range(1, 5):
+        counts: Counter = Counter()
+        for w, n in vocab:
+            s = words[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += n
+        (x, y), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, _ in vocab:
+            s, out = words[w], []
+            for sym in s:
+                if out and out[-1] == x and sym == y:
+                    out[-1] = x + y
+                else:
+                    out.append(sym)
+            words[w] = out
+        expect.append((rnd, x, y, x + y, cnt))
+    assert got == expect
