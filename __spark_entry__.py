@@ -77,6 +77,7 @@ _PRIORITY = [
     "dedup_semantic_semdedup",  # new in r3 — SemDeDup cluster-scoped cosine
     "text_trigram_lm_score",    # new in r3 — integer-exact LM familiarity
     "vocab_bpe_merges",         # new in r3 — BPE tokenizer-merge induction
+    "text_lang_classifier_nb",  # new in r3 — trained NB language classifier
     # --- canaries: driver-green in r1/r2, one per family ---
     # (grouped_map_normalize, dedup_exact and text_quality_stats
     # rotated out for the three new round-3 queries above — each was
@@ -87,7 +88,9 @@ _PRIORITY = [
     #  aggregate family keeps many in-window TPC-H representatives)
     # (events_sessionization rotated out for text_trigram_lm_score —
     #  the events family keeps events_value_anomalies in-window)
-    "dedup_minhash_lsh",                # MinHash+LSH banding family
+    # (dedup_minhash_lsh rotated out for text_lang_classifier_nb — the
+    #  dedup family keeps simhash-hamming / clusters-minhash /
+    #  incremental / semdedup in-window)
     # (similarity_ann_ivf rotated out for dedup_semantic_semdedup —
     #  the IVF family keeps 4 in-window representatives: SQ8, IVF×SQ8,
     #  nprobe2, kmeans)

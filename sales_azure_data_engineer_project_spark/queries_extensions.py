@@ -3321,3 +3321,86 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, schema="rnd int, lhs string, rhs string, merged string, pair_count bigint"
     ).orderBy("rnd")
+
+
+@register(
+    "text_lang_classifier_nb",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE tok <> ''),
+    wt AS (
+        SELECT lang AS cls, tok,
+               CAST(length(format('{:b}', COUNT(*))) AS BIGINT) AS wt
+        FROM tok2 WHERE doc_id % 5 <> 0 GROUP BY lang, tok
+    ),
+    scored AS (
+        SELECT t.doc_id, t.lang, w.cls, SUM(w.wt) AS score
+        FROM tok2 t JOIN wt w ON w.tok = t.tok
+        WHERE t.doc_id % 5 = 0
+        GROUP BY t.doc_id, t.lang, w.cls
+    ),
+    pred AS (
+        SELECT doc_id, lang, cls,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, cls) AS rk
+        FROM scored
+    )
+    SELECT lang AS actual, cls AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rk = 1
+    GROUP BY lang, cls
+    ORDER BY actual, predicted
+    """,
+)
+def text_lang_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multinomial-Naive-Bayes-style language classifier — the
+    model-based tier of quality/language filtering (the fasttext
+    supervised classifier's role in CCNet/RefinedWeb pipelines),
+    expressed entirely in integer arithmetic so both engines agree
+    bitwise: per-class token weights are floor(log2(count))+1 =
+    ``length(bin(count))`` (the same libm-free derivation as
+    ``text_trigram_lm_score``), a doc's class score is the sum of its
+    tokens' class weights, argmax with a (score DESC, class ASC)
+    tiebreak.  Deterministic train/test split by doc_id % 5; output is
+    the test-set confusion matrix.
+
+    Scale shape: the weight table is bounded by vocab × classes and
+    BROADCASTS to the test-token stream (map-side join); scoring is one
+    groupBy(doc, class) with partial combine, and the per-doc argmax
+    window partitions on doc_id with ≤|classes| rows each.  Train and
+    test are disjoint filters over ONE persisted token stream, so the
+    corpus is tokenized once."""
+    toks = (
+        load_testdata(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .transform(tracked_persist)
+    )
+    wt = (
+        toks.filter(F.col("doc_id") % 5 != 0)
+        .groupBy(F.col("lang").alias("cls"), "tok")
+        .agg(F.count("*").alias("n"))
+        .select("cls", "tok", F.length(F.expr("bin(n)")).cast("bigint").alias("wt"))
+    )
+    scored = (
+        toks.filter(F.col("doc_id") % 5 == 0)
+        .join(F.broadcast(wt), "tok")
+        .groupBy("doc_id", "lang", "cls")
+        .agg(F.sum("wt").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cls")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy(F.col("lang").alias("actual"), F.col("cls").alias("predicted"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
