@@ -78,12 +78,15 @@ _PRIORITY = [
     "text_trigram_lm_score",    # new in r3 — integer-exact LM familiarity
     "vocab_bpe_merges",         # new in r3 — BPE tokenizer-merge induction
     "text_lang_classifier_nb",  # new in r3 — trained NB language classifier
+    "text_exact_substring_dedup",  # new in r3 — keep-first span removal
     # --- canaries: driver-green in r1/r2, one per family ---
     # (grouped_map_normalize, dedup_exact and text_quality_stats
     # rotated out for the three new round-3 queries above — each was
     # green in BOTH prior rounds, and their families keep coverage via
     # multimodal_features / dedup_minhash_lsh / the text suite)
-    "flagship_revenue_by_nation_year",  # star join + agg + sort (S1/J2/A1/O1)
+    # (flagship_revenue_by_nation_year rotated out for
+    #  text_exact_substring_dedup — entry() still smoke-runs the
+    #  flagship every round, and it was oracle-green in r1 AND r2)
     # (pricing_summary rotated out for vocab_bpe_merges — the grouped-
     #  aggregate family keeps many in-window TPC-H representatives)
     # (events_sessionization rotated out for text_trigram_lm_score —

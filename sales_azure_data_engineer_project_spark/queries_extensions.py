@@ -3404,3 +3404,125 @@ def text_lang_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+
+
+_SPAN8_POS = ", ".join(f"toks[pos+{j}]" for j in range(8))
+_SPAN8_SPARK = ",".join(f"toks[i+{j}]" for j in range(-1, 7))
+
+
+@register(
+    "text_exact_substring_dedup",
+    rf"""
+    WITH {_CORPUS_SQL},
+    t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
+    occ AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks)-7)) AS pos
+        FROM t WHERE len(toks) >= 8
+    ),
+    sp AS (SELECT doc_id, pos, concat_ws(' ', {_SPAN8_POS}) AS span FROM occ),
+    g AS (SELECT span, COUNT(*) AS n,
+                 MIN(doc_id * 100000 + pos) AS first_key
+          FROM sp GROUP BY span),
+    rem AS (
+        SELECT s.doc_id, s.pos FROM sp s JOIN g ON g.span = s.span
+        WHERE g.n >= 2 AND s.doc_id * 100000 + s.pos <> g.first_key
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM (SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM rem)
+    ),
+    iv AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e
+           FROM isl GROUP BY doc_id, island),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_iv, SUM(e - s + 1) AS n_rm
+                FROM iv GROUP BY doc_id)
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(p.n_iv, 0) AS BIGINT) AS n_remove_intervals,
+           CAST(coalesce(p.n_rm, 0) AS BIGINT) AS tokens_removed,
+           CAST(len(t2.toks) AS BIGINT) AS tokens_total,
+           CAST((1000 * (len(t2.toks) - coalesce(p.n_rm, 0))) // len(t2.toks)
+                AS BIGINT) AS kept_permille
+    FROM corpus c JOIN t t2 ON t2.doc_id = c.doc_id
+    LEFT JOIN per_doc p ON p.doc_id = c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication plan (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every 8-token span
+    occurrence that repeats anywhere in the corpus is REMOVED except the
+    globally first occurrence (min (doc_id, pos)), and per doc the
+    surviving removal positions merge into maximal intervals — the exact
+    token ranges a training pipeline would cut, with per-doc removal
+    stats.  Unlike ``text_span_dup_stats`` (a per-doc profile over
+    DISTINCT spans) this is position-level with keep-one semantics.
+
+    Spark-first shape: span occurrences stream out of one INLINE
+    generator explode (positions ride along); the span-frequency +
+    first-occurrence aggregate and the probe side share the identical
+    subtree, so Catalyst reuses one Exchange on the span hash.  The
+    interval merge exploits fixed-length spans: removal intervals sorted
+    by position have monotone ends, so one lag() compare (pos >
+    prev + 8) starts a new island and a running sum numbers them — two
+    narrow windows over only the REMOVED positions, partitioned by doc.
+    Span identity travels as xxhash64 longs; the oracle groups raw
+    strings, so a collision would fail the sf0.01 hash gate."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.split("text", X.TOKEN_RE).alias("toks")
+    )
+    sp = toks.filter(F.size("toks") >= 8).select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(1, size(toks) - 7),"
+            f" i -> struct(i AS pos, xxhash64(concat_ws(' ', {_SPAN8_SPARK})) AS h)))"
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.h")
+    key = (F.col("doc_id").cast("bigint") * 100000 + F.col("pos")).alias("k")
+    sp = sp.withColumn("k", key)
+    g = sp.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"), F.min("k").alias("first_key")
+    )
+    rem = (
+        sp.join(g, "h")
+        .filter((F.col("n") >= 2) & (F.col("k") != F.col("first_key")))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        rem.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + 8), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    iv = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + 7).alias("e")
+    )
+    per_doc = iv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_iv"), F.sum(F.col("e") - F.col("s") + 1).alias("n_rm")
+    )
+    return (
+        toks.select("doc_id", F.size("toks").alias("n_toks"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.coalesce("n_iv", F.lit(0)).cast("bigint").alias("n_remove_intervals"),
+            F.coalesce("n_rm", F.lit(0)).cast("bigint").alias("tokens_removed"),
+            F.col("n_toks").cast("bigint").alias("tokens_total"),
+            F.expr("div(1000 * (n_toks - coalesce(n_rm, 0)), n_toks)")
+            .cast("bigint")
+            .alias("kept_permille"),
+        )
+        .orderBy("doc_id")
+    )

@@ -458,3 +458,26 @@ def test_bpe_merges_vs_python_reference(spark, sf_smoke):
             words[w] = out
         expect.append((rnd, x, y, x + y, cnt))
     assert got == expect
+
+
+def test_exact_substring_dedup_removes_planted_copies(spark, sf_smoke):
+    """Keep-first semantics: a planted exact copy (doc_id+200000) has
+    every span occurrence preceded by its original, so its whole token
+    range (for docs >= 8 tokens) collapses into removal intervals; the
+    original keeps the first occurrences and must lose nothing to the
+    copy alone (it may still share spans with OTHER docs, so we assert
+    the copy side only)."""
+    import __spark_entry__ as entry_mod
+
+    rows = {
+        r["doc_id"]: r
+        for r in entry_mod.queries()["text_exact_substring_dedup"](
+            spark, sf_smoke
+        ).collect()
+    }
+    copies = [r for d, r in rows.items() if d >= 200000 and r["tokens_total"] >= 8]
+    assert copies, "expected planted exact copies"
+    for r in copies:
+        assert r["n_remove_intervals"] == 1
+        assert r["tokens_removed"] == r["tokens_total"]
+        assert r["kept_permille"] == 0
