@@ -3526,3 +3526,88 @@ def text_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "interval_overlap_sweep",
+    """
+    WITH iv0 AS (
+        SELECT l_suppkey AS s,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS st,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                    + 1 + CAST(l_quantity AS INTEGER) % 14 AS BIGINT) AS en
+        FROM lineitem
+    ),
+    -- pairing id must be unique PER ROW (the synthetic lineitem is not
+    -- unique on (orderkey, linenumber) — duplicate interval instances
+    -- are distinct intervals and their pairs count)
+    iv AS (SELECT s, st, en,
+                  ROW_NUMBER() OVER (PARTITION BY s ORDER BY st, en) AS rid
+           FROM iv0),
+    pairs AS (
+        SELECT a.s, COUNT(*) AS n_pairs
+        FROM iv a JOIN iv b
+          ON a.s = b.s AND a.rid < b.rid AND a.st < b.en AND b.st < a.en
+        GROUP BY a.s
+    ),
+    per AS (SELECT s, COUNT(*) AS n_intervals FROM iv GROUP BY s)
+    SELECT CAST(per.s AS BIGINT) AS suppkey,
+           CAST(per.n_intervals AS BIGINT) AS n_intervals,
+           CAST(coalesce(pairs.n_pairs, 0) AS BIGINT) AS n_overlapping_pairs
+    FROM per LEFT JOIN pairs ON pairs.s = per.s
+    ORDER BY suppkey
+    """,
+)
+def interval_overlap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap counting via a boundary SWEEP — the O(n log n)
+    distributed form of a problem users reach for an O(n²) non-equi
+    self-join to solve.  Shipment busy-intervals per supplier
+    ([shipdate, shipdate + 1 + quantity%14 days), half-open), counting
+    per supplier how many pairs of its shipments overlap in time.
+
+    Sweep formulation: each interval contributes a (+1 at start, −1 at
+    end) boundary row; within a supplier, boundaries sort by (t, delta)
+    so ends release before same-day starts (half-open semantics), and a
+    running sum gives the number of intervals active at each start —
+    summing (active − 1) over start events counts every overlapping
+    pair exactly once.  Tied starts see each other cumulatively, so the
+    per-supplier SUM is order-invariant under any tie order.  One
+    window per supplier over 2n rows replaces the Σ n² self-join the
+    ORACLE runs — the oracle being brute force is the point: two
+    formulations, one answer.  At 100 TB the sweep shuffles each fact
+    row twice (boundary explode) and sorts within supplier partitions —
+    linear-log work, no pair blowup."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_suppkey").alias("s"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("st"),
+        (
+            F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+            + 1
+            + F.col("l_quantity").cast("int") % 14
+        )
+        .cast("bigint")
+        .alias("en"),
+    )
+    bounds = iv.select(
+        "s", F.col("st").alias("t"), F.lit(1).alias("d")
+    ).unionByName(iv.select("s", F.col("en").alias("t"), F.lit(-1).alias("d")))
+    w = Window.partitionBy("s").orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = bounds.withColumn("running", F.sum("d").over(w))
+    pairs = (
+        swept.filter(F.col("d") == 1)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("running") - 1).alias("n_pairs"),
+        )
+    )
+    return pairs.select(
+        F.col("s").cast("bigint").alias("suppkey"),
+        F.col("n_intervals").cast("bigint"),
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_overlapping_pairs"),
+    ).orderBy("suppkey")
