@@ -2913,7 +2913,17 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, cluster, v, nrm) BEFORE the pair exchange so the code
     vectors used in training never shuffle (round-3 ANN-regression
     lesson)."""
-    cells = _sq8_kmeans_cells(spark, sf_dir, k=8, iters=3)
+    return semdedup_drops(spark, sf_dir, k=8, iters=3)
+
+
+def semdedup_drops(
+    spark: SparkSession, sf_dir: str, *, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Parameterized SemDeDup body — ``k`` is the scale knob (cluster
+    count grows ∝ N to hold cluster sizes, and thus the Σ|cluster|²
+    pair join, linear; see ``tools/scale_experiment.py`` which measures
+    both regimes)."""
+    cells = _sq8_kmeans_cells(spark, sf_dir, k=k, iters=iters)
     slim = cells.select("vec_id", "cluster", "v", "nrm")
     a = slim.select(
         F.col("vec_id").alias("id_a"),
