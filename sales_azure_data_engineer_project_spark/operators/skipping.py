@@ -155,6 +155,18 @@ def zorder_frame(
     of the files (a lead-column linear sort skips nothing for the
     second column)."""
     n_buckets = 1 << bits
+    numeric = {
+        f.name
+        for f in df.schema
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    bad = [c for c in cols if c not in numeric]
+    if bad:
+        raise TypeError(
+            f"zorder_frame needs numeric columns (approxQuantile bucketing); "
+            f"cast dates to epoch days / strings to hashes first: {bad}"
+        )
     zval = F.lit(0).cast("bigint")
     for ci, col in enumerate(cols):
         qs = [i / n_buckets for i in range(1, n_buckets)]

@@ -301,3 +301,15 @@ def test_zorder_prunes_on_every_listed_column(spark, tmp_path):
         for r in orders.filter(F.col("o_totalprice").between(50_000, 90_000)).collect()
     )
     assert got == expect and got
+
+
+def test_zorder_rejects_non_numeric_columns(spark):
+    """approxQuantile bucketing only exists for numerics — a string
+    z-column must fail loudly, not inside a Spark job."""
+    import pytest
+
+    from sales_azure_data_engineer_project_spark.operators.skipping import zorder_frame
+
+    df = spark.createDataFrame([(1, "a")], ["x", "s"])
+    with pytest.raises(TypeError, match="non|numeric|cast"):
+        zorder_frame(df, ["x", "s"])
