@@ -3621,3 +3621,100 @@ def interval_overlap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_intervals").cast("bigint"),
         F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_overlapping_pairs"),
     ).orderBy("suppkey")
+
+
+@register(
+    "tokens_heavy_hitters_cms",
+    r"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents
+    ),
+    tok2 AS (SELECT tok FROM tok WHERE tok <> ''),
+    exact AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok2 GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 20
+    ),
+    rows0 AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+    cells AS (
+        SELECT r.seed,
+               substr(md5(concat('cms', r.seed, ':', t.tok)), 1, 3) AS bucket,
+               COUNT(*) AS cnt
+        FROM tok2 t CROSS JOIN rows0 r
+        GROUP BY r.seed, substr(md5(concat('cms', r.seed, ':', t.tok)), 1, 3)
+    ),
+    est AS (
+        SELECT e.tok, e.n, MIN(c.cnt) AS cms_n
+        FROM exact e
+        JOIN rows0 r ON TRUE
+        JOIN cells c ON c.seed = r.seed
+                    AND c.bucket = substr(md5(concat('cms', r.seed, ':', e.tok)), 1, 3)
+        GROUP BY e.tok, e.n
+    )
+    SELECT tok, n, CAST(cms_n AS BIGINT) AS cms_n,
+           CAST(cms_n - n AS BIGINT) AS overcount
+    FROM est
+    ORDER BY n DESC, tok
+    """,
+)
+def tokens_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    the fixed-memory frequency sketch a streaming/telemetry pipeline
+    keeps instead of a full count table: d=4 hash rows × 4096 buckets
+    (md5-hex prefix buckets, portable across engines), point estimate =
+    min over rows, verified here against the exact top-20 token counts
+    (``overcount`` = cms_n − n ≥ 0 always; collisions only ever
+    overestimate).
+
+    Scale shape: the sketch build is ONE map-side-combined aggregate
+    over (seed, bucket) — at most d·4096 cells regardless of corpus
+    size (the whole point); the estimate probe broadcasts 20·d cell
+    keys.  Everything is deterministic (seeded md5), so the sketch is
+    exactly replayable by the oracle — an APPROXIMATE structure with an
+    EXACT differential gate, unlike ``approx_distinct_stats`` whose HLL
+    internals are engine-private (rows-only)."""
+    toks = (
+        load_testdata(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .transform(tracked_persist)
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+    seeds = spark.range(4).select(F.col("id").cast("int").alias("seed"))
+
+    def bucket(tok_col, seed_col):
+        return F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("cms"), seed_col.cast("string"), F.lit(":"), tok_col
+                ).cast("binary")
+            ),
+            1,
+            3,
+        )
+
+    cells = (
+        toks.crossJoin(F.broadcast(seeds))
+        .groupBy("seed", bucket(F.col("tok"), F.col("seed")).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = exact.crossJoin(F.broadcast(seeds)).select(
+        "tok", "n", "seed", bucket(F.col("tok"), F.col("seed")).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("cnt").alias("cms_n"))
+        .select(
+            "tok",
+            F.col("n").cast("bigint"),
+            F.col("cms_n").cast("bigint"),
+            (F.col("cms_n") - F.col("n")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("n"), "tok")
+    )

@@ -313,3 +313,68 @@ def stateful_signature_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_embedding_dedup(
+    stream: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 4,
+    max_per_bucket: int = 256,
+) -> DataFrame:
+    """Streaming SEMANTIC dedup: drop incoming vectors whose cosine to
+    any previously-kept vector in the same sign-LSH bucket reaches
+    ``threshold`` — the streaming counterpart of
+    ``dedup_semantic_semdedup`` (embedding near-dups arriving from a
+    live ingest, e.g. re-encoded re-crawls).
+
+    The bucket (``operators.similarity.sign_bucket``) is row-local, so
+    nothing shuffles before the stateful operator; state per bucket is
+    the NORMALIZED kept vectors, capped at ``max_per_bucket`` most
+    recent (a bucket that diverse is past the point where pairwise
+    state helps — the batch SemDeDup pass owns the long tail).  As with
+    sign-LSH generally, recall < 1 by design: near-dups straddling a
+    coordinate hyperplane land in different buckets and pass; exact
+    re-encodes always collide.  Within a micro-batch, later rows dedup
+    against earlier kept rows of the same batch (sequential scan per
+    bucket, numpy-vectorized against the kept matrix)."""
+    import numpy as np
+
+    from ..operators.similarity import sign_bucket
+
+    tagged = stream.withColumn("_bkt", sign_bucket(vec_col, bits))
+    out_schema = stream.schema
+    state_schema = T.StructType(
+        [T.StructField("vecs", T.ArrayType(T.ArrayType(T.DoubleType())), True)]
+    )
+    passthrough = [f.name for f in stream.schema]
+
+    def dedup_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        kept: list = [np.asarray(v, dtype=float) for v in (state.get[0] or [])] if state.exists else []
+        for pdf in pdfs:
+            keep_idx = []
+            for idx in pdf.index:
+                v = np.asarray(pdf.at[idx, vec_col], dtype=float)
+                n = float(np.linalg.norm(v))
+                if n == 0.0:
+                    keep_idx.append(idx)  # zero vectors never dedup
+                    continue
+                u = v / n
+                if kept and float(np.max(np.stack(kept) @ u)) >= threshold:
+                    continue
+                kept.append(u)
+                keep_idx.append(idx)
+            if keep_idx:
+                yield pdf.loc[keep_idx, passthrough]
+        state.update(([k.tolist() for k in kept[-max_per_bucket:]],))
+
+    return tagged.groupBy("_bkt").applyInPandasWithState(
+        dedup_group,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -475,3 +475,47 @@ def test_stream_incremental_merge_partitioned(spark, tmp_path):
     assert {
         (r["k"], r["pday"]): r["v"] for r in spark.read.parquet(tgt).collect()
     } == got
+
+
+def test_stateful_embedding_dedup(spark, tmp_path):
+    """Semantic streaming dedup: an exact re-encode in a later batch is
+    dropped (same sign bucket, cosine 1), a same-bucket near-dup above
+    threshold is dropped, and an orthogonal newcomer passes."""
+    from sales_azure_data_engineer_project_spark.streaming.stateful import (
+        stateful_embedding_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "vec_id long, embedding array<double>"
+
+    def run_drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful_embedding_dedup(stream, threshold=0.9)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    a = [1.0, 0.2, 0.1, 0.05]
+    b = [0.1, 1.0, 0.0, 0.0]          # same leading-sign bucket as a, low cosine
+    near_a = [1.0, 0.21, 0.1, 0.05]   # cosine(a, near_a) > 0.99
+    c = [-1.0, 0.5, 0.2, 0.1]         # different bucket
+    spark.createDataFrame([(1, a), (2, b)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_drain()
+    assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    spark.createDataFrame(
+        [(3, a), (4, near_a), (5, c)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_drain()
+    got = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 5}, f"replay/near-dup must drop, newcomer passes: {got}"
