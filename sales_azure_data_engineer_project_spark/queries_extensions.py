@@ -3718,3 +3718,97 @@ def tokens_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "tok")
     )
+
+
+@register(
+    "approx_distinct_kmv",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM pairs
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM hashed
+    ),
+    kth AS (SELECT event_type, h AS h64 FROM ranked WHERE rk = 64),
+    exact AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+              FROM pairs GROUP BY event_type)
+    SELECT e.event_type AS event_type, e.exact_distinct,
+           CAST(CASE WHEN k.h64 IS NULL THEN e.exact_distinct
+                ELSE (63 * 4294967296)
+                     // greatest(CAST(concat('0x', substr(k.h64, 1, 8)) AS BIGINT), 1)
+                END AS BIGINT) AS kmv_estimate,
+           CAST(CASE WHEN k.h64 IS NULL THEN 0
+                ELSE (1000 * abs((63 * 4294967296)
+                     // greatest(CAST(concat('0x', substr(k.h64, 1, 8)) AS BIGINT), 1)
+                     - e.exact_distinct)) // e.exact_distinct END AS BIGINT)
+               AS err_permille
+    FROM exact e LEFT JOIN kth k ON k.event_type = e.event_type
+    ORDER BY event_type
+    """,
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    — the deterministic cousin of HLL: hash every (event_type, user)
+    once, keep the k=64 smallest hashes per group, and estimate
+    |distinct| = (k−1) / h_(k) with h_(k) read as a 2³²-scaled integer
+    fraction of its first 8 md5 hex chars.  Groups with fewer than k
+    members fall back to the exact count (standard KMV).  Every step is
+    integer/md5-deterministic, so unlike ``approx_distinct_stats``
+    (HLL, engine-private internals, rows-only) this sketch has an EXACT
+    DuckDB oracle — the approximate-distinct family's differential
+    gate, with ``err_permille`` showing the sketch error against the
+    exact count it sits next to.
+
+    Scale shape: one distinct (shuffle on the pair), one md5 map, then
+    a per-group sort to rank the k smallest (fixed-width hex ⇒ lexical
+    = numeric order).  At 100 TB the refinement is partial top-k per
+    map task before the merge; the estimate itself only ever moves k
+    hashes per group."""
+    pairs = (
+        load_testdata(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .transform(tracked_persist)
+    )
+    hashed = pairs.select(
+        "event_type", F.md5(F.col("user_id").cast("string").cast("binary")).alias("h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 64)
+        .select("event_type", F.col("h").alias("h64"))
+    )
+    exact = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("exact_distinct")
+    )
+    hexval = F.greatest(
+        F.conv(F.substring("h64", 1, 8), 16, 10).cast("bigint"), F.lit(1)
+    )
+    # integer floor division via div() to match DuckDB's //
+    return (
+        exact.join(F.broadcast(kth), "event_type", "left")
+        .withColumn("hexval", hexval)
+        .withColumn(
+            "kmv_estimate",
+            F.when(F.col("h64").isNull(), F.col("exact_distinct")).otherwise(
+                F.expr("div(63 * 4294967296, hexval)")
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "err_permille",
+            F.when(F.col("h64").isNull(), F.lit(0)).otherwise(
+                F.expr(
+                    "div(1000 * abs(div(63 * 4294967296, hexval) - exact_distinct),"
+                    " exact_distinct)"
+                )
+            ).cast("bigint"),
+        )
+        .select("event_type", "exact_distinct", "kmv_estimate", "err_permille")
+        .orderBy("event_type")
+    )
