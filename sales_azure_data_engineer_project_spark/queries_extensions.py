@@ -3812,3 +3812,115 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "exact_distinct", "kmv_estimate", "err_permille")
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_distribution_drift",
+    """
+    WITH span AS (
+        SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+    ),
+    ev AS (
+        SELECT value, CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END AS win
+        FROM events, span
+    ),
+    bounds AS (
+        SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        FROM ev WHERE win = 0
+    ),
+    bucketed AS (
+        SELECT win, len(list_filter(bs, b -> b <= value)) AS bucket
+        FROM ev, bounds
+    ),
+    cnt AS (
+        SELECT bucket, win, COUNT(*) AS n FROM bucketed GROUP BY bucket, win
+    ),
+    tot AS (SELECT win, COUNT(*) AS t FROM bucketed GROUP BY win),
+    grid AS (SELECT unnest(range(0, 10)) AS bucket),
+    wide AS (
+        SELECT g.bucket,
+               coalesce(MAX(CASE WHEN c.win = 0 THEN c.n END), 0) AS n_a,
+               coalesce(MAX(CASE WHEN c.win = 1 THEN c.n END), 0) AS n_b
+        FROM grid g LEFT JOIN cnt c ON c.bucket = g.bucket
+        GROUP BY g.bucket
+    )
+    SELECT CAST(w.bucket AS INTEGER) AS bucket,
+           CAST(w.n_a AS BIGINT) AS n_a, CAST(w.n_b AS BIGINT) AS n_b,
+           CAST((1000 * w.n_a) // ta.t AS BIGINT) AS p_a_permille,
+           CAST((1000 * w.n_b) // tb.t AS BIGINT) AS p_b_permille,
+           CAST(abs((1000 * w.n_a) // ta.t - (1000 * w.n_b) // tb.t) AS BIGINT)
+               AS drift_permille
+    FROM wide w,
+         (SELECT t FROM tot WHERE win = 0) ta,
+         (SELECT t FROM tot WHERE win = 1) tb
+    ORDER BY bucket
+    """,
+)
+def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two time halves of the event
+    stream — the data-mixture drift check a training pipeline runs
+    between crawl snapshots (PSI's role, but as total-variation
+    distance in integer permille: PSI's ln() would hash-differ across
+    libm builds).  Reference window A = first half by event time;
+    deciles of A's value distribution (exact interpolating percentile —
+    the ``price_percentiles`` parity recipe) bucket BOTH windows, and
+    per-bucket share deltas expose where the distribution moved.
+
+    Scale shape: one scalar (min,max) aggregate broadcasts the time
+    midpoint; the decile boundary row broadcasts to the bucketing scan
+    (10-element literal-array filter per row, branch-free); histogram =
+    one map-side-combined groupBy over ≤ 20 (bucket, win) cells.  The
+    exact percentile over window A is the one sort — swap in
+    approx_percentile at 100 TB if boundary exactness stops mattering
+    before the sort does."""
+    ev0 = load_testdata(spark, sf_dir, "events").select("ts", "value")
+    span = ev0.agg(
+        F.expr("div(unix_micros(min(ts)) + unix_micros(max(ts)), 2)").alias("mid")
+    )
+    ev = (
+        ev0.crossJoin(F.broadcast(span))
+        .select(
+            "value",
+            F.when(F.expr("unix_micros(ts)") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("win"),
+        )
+        .transform(tracked_persist)
+    )
+    bounds = ev.filter(F.col("win") == 0).agg(
+        F.expr(
+            "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("bs")
+    )
+    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
+        "win",
+        F.size(F.filter(F.col("bs"), lambda b: b <= F.col("value"))).alias("bucket"),
+    )
+    cnt = bucketed.groupBy("bucket", "win").agg(F.count("*").alias("n"))
+    tot = bucketed.groupBy("win").agg(F.count("*").alias("t"))
+    grid = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    wide = (
+        grid.join(cnt, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.max(F.when(F.col("win") == 0, F.col("n"))), F.lit(0)).alias("n_a"),
+            F.coalesce(F.max(F.when(F.col("win") == 1, F.col("n"))), F.lit(0)).alias("n_b"),
+        )
+    )
+    ta = tot.filter(F.col("win") == 0).select(F.col("t").alias("ta"))
+    tb = tot.filter(F.col("win") == 1).select(F.col("t").alias("tb"))
+    return (
+        wide.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.col("bucket").cast("int"),
+            F.col("n_a").cast("bigint"),
+            F.col("n_b").cast("bigint"),
+            F.expr("div(1000 * n_a, ta)").cast("bigint").alias("p_a_permille"),
+            F.expr("div(1000 * n_b, tb)").cast("bigint").alias("p_b_permille"),
+            F.abs(F.expr("div(1000 * n_a, ta) - div(1000 * n_b, tb)"))
+            .cast("bigint")
+            .alias("drift_permille"),
+        )
+        .orderBy("bucket")
+    )
