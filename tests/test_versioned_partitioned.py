@@ -313,3 +313,54 @@ def test_zorder_rejects_non_numeric_columns(spark):
     df = spark.createDataFrame([(1, "a")], ["x", "s"])
     with pytest.raises(TypeError, match="non|numeric|cast"):
         zorder_frame(df, ["x", "s"])
+
+
+def test_lakehouse_maintenance_e2e(spark, tmp_path):
+    """Cross-feature integration: incremental MERGEs build versions, a
+    z-ordered stats commit makes range reads file-pruned, compaction
+    shrinks files and vacuum drops history — with the table's content
+    provably unchanged at every step."""
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+    from sales_azure_data_engineer_project_spark.operators.skipping import (
+        pruned_files,
+        read_manifest,
+    )
+
+    orders = load_testdata(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    vt = VersionedTable(spark, str(tmp_path / "gold"))
+    vt.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    vt.merge(orders.filter(F.col("o_orderkey") % 3 == 1), keys=["o_orderkey"])
+    vt.merge(orders.filter(F.col("o_orderkey") % 3 != 0), keys=["o_orderkey"])
+
+    def content(df):
+        return sorted(
+            (r["o_orderkey"], r["o_custkey"], float(r["o_totalprice"]))
+            for r in df.collect()
+        )
+
+    full = content(orders)
+    assert content(vt.read()) == full
+
+    v4 = vt.overwrite(vt.read(), zorder=["o_custkey", "o_totalprice"])
+    assert content(vt.read()) == full
+    assert read_manifest(vt._vdir(v4)) is not None
+    keep, total = pruned_files(vt._vdir(v4), "o_totalprice", 100_000, 150_000)
+    assert len(keep) < total
+    got = content(vt.read_where("o_totalprice", 100_000, 150_000))
+    expect = content(orders.filter(F.col("o_totalprice").between(100_000, 150_000)))
+    assert got == expect and got
+
+    import os
+
+    v5 = vt.compact(target_partitions=1)
+    assert content(vt.read()) == full
+    files = [
+        f for f in os.listdir(vt._vdir(v5)) if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+
+    dropped = vt.vacuum(keep_last=2)
+    assert dropped and max(dropped) <= v5 - 2
+    assert content(vt.read()) == full
