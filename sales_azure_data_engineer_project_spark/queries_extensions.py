@@ -3924,3 +3924,126 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "pipeline_split_train_val_test",
+    r"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 4))
+                    AS BIGINT) AS hv,
+               len(string_split_regex(text, '\s+')) AS n_toks
+        FROM documents
+    ),
+    tagged AS (
+        SELECT lang,
+               CASE WHEN hv < 58982 THEN 'train'
+                    WHEN hv < 62258 THEN 'val'
+                    ELSE 'test' END AS split,
+               n_toks
+        FROM d
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM tagged
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def pipeline_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split — hash-of-id
+    thresholds (md5 16-bit prefix: train < 0.9·2¹⁶ = 58982, val <
+    0.95·2¹⁶ = 62258), so membership is a pure function of doc_id:
+    stable under re-runs, additions, and repartitioning — the property
+    random() splits lack and the reason leakage audits can re-derive
+    any doc's split offline.  Output: per-(lang, split) doc/token
+    stats, the table you eyeball to confirm the split is stratified
+    enough before training.
+
+    Scale shape: one map-side hash + one bounded groupBy — nothing
+    else."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    tagged = docs.select(
+        "lang",
+        F.when(hv < 58982, "train").when(hv < 62258, "val").otherwise("test").alias("split"),
+        F.size(F.split("text", r"\s+")).alias("n_toks"),
+    )
+    return (
+        tagged.groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "sample_domain_quota",
+    r"""
+    WITH d AS (
+        SELECT doc_id, source,
+               md5(concat('quota:', doc_id)) AS pri,
+               len(string_split_regex(text, '\s+')) AS n_toks
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, n_toks,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rk
+        FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= 15 THEN n_toks ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (RefinedWeb §3.2 caps any single
+    domain's contribution): each source keeps at most 15 documents,
+    chosen by deterministic hash priority (md5, doc_id tiebreak) so the
+    survivors are a stable pseudo-random sample — re-running or
+    re-sharding the corpus keeps the same docs.  Output: per-source
+    total vs kept with kept token mass.
+
+    Scale shape: rank-within-group via a window partitioned on the
+    domain — the partition IS the bounded unit (a domain too large for
+    one task's sort is past any sane quota anyway, and WindowGroupLimit
+    pushes the rk ≤ quota cut into the per-partition sort)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")).cast("binary")).alias("pri"),
+        F.size(F.split("text", r"\s+")).alias("n_toks"),
+    )
+    w = Window.partitionBy("source").orderBy("pri", "doc_id")
+    ranked = d.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("rk") <= 15, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rk") <= 15, F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
