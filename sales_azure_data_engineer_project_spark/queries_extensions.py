@@ -4047,3 +4047,103 @@ def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "similarity_ann_lsh_multiprobe",
+    """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+               (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bkt
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id, v, nrm,
+               CASE WHEN i = 0 THEN bkt
+                    ELSE substr(bkt, 1, i - 1)
+                         || (CASE substr(bkt, i, 1) WHEN '1' THEN '0' ELSE '1' END)
+                         || substr(bkt, i + 1)
+               END AS pbkt
+        FROM n, (SELECT unnest([0, 1, 2, 3, 4]) AS i)
+        WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        FROM probes q JOIN n c ON q.pbkt = c.bkt AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(CAST(ROUND(cos_raw, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def similarity_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH (Lv et al. 2007): each query searches its
+    own bucket PLUS the four 1-bit-flip neighbor buckets — the standard
+    recall lever that costs probes, not index memory (the alternative,
+    more hash tables, multiplies stored signatures).  A near-dup that
+    straddles one coordinate hyperplane — the miss class of
+    ``similarity_ann_sign_lsh`` — is recovered here; only multi-bit
+    straddles remain unseen.
+
+    Scale shape: the probe set explodes QUERY-side only (5 rows per
+    query, broadcast); candidates stay an equi-join on the bucket id,
+    and the 5 probe buckets are distinct so no candidate is scored
+    twice.  Corpus-side cost is identical to single-probe."""
+    emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings"))).withColumn(
+        "bkt", S.sign_bucket("embedding", bits=4)
+    )
+
+    def flip(i: int):
+        return F.concat(
+            F.substring("qbkt", 1, i - 1),
+            F.when(F.substring("qbkt", i, 1) == "1", "0").otherwise("1"),
+            F.substring("qbkt", i + 1, 4 - i),
+        )
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"),
+        F.col("bkt").alias("qbkt"),
+    )
+    qp = q.select(
+        "query_id", "qv", "qn",
+        F.explode(F.array(F.col("qbkt"), *[flip(i) for i in range(1, 5)])).alias("pbkt"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"),
+        "bkt",
+    )
+    scored = c.join(
+        F.broadcast(qp),
+        (F.col("pbkt") == F.col("bkt")) & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn("cos_raw", S.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("neighbor_id").cast("bigint"),
+            F.round("cos_raw", 6).cast("decimal(10,6)").cast("double").alias("cos_sim"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )

@@ -481,3 +481,26 @@ def test_exact_substring_dedup_removes_planted_copies(spark, sf_smoke):
         assert r["n_remove_intervals"] == 1
         assert r["tokens_removed"] == r["tokens_total"]
         assert r["kept_permille"] == 0
+
+
+def test_multiprobe_dominates_single_probe(spark, sf_smoke):
+    """The 1-bit-flip probe set is a strict superset of the single
+    bucket, so per query the multiprobe rank-1 cosine can never be
+    worse than single-probe's — and some query should see strictly
+    more candidates on this corpus."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sp = {
+        r["query_id"]: r["cos_sim"]
+        for r in qs["similarity_ann_sign_lsh"](spark, sf_smoke).collect()
+        if r["rk"] == 1
+    }
+    mp_rows = qs["similarity_ann_lsh_multiprobe"](spark, sf_smoke).collect()
+    mp = {r["query_id"]: r["cos_sim"] for r in mp_rows if r["rk"] == 1}
+    assert set(sp) <= set(mp), "multiprobe must serve every single-probe query"
+    for qid, c in sp.items():
+        assert mp[qid] >= c - 1e-9
+    assert len(mp_rows) >= sum(
+        1 for r in qs["similarity_ann_sign_lsh"](spark, sf_smoke).collect()
+    )
