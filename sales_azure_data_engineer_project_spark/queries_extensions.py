@@ -3191,21 +3191,51 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(rounds: int = 4, vocab: int = 2000) -> str:
-    """Unrolled DuckDB twin of ``vocab_bpe_merges``.  Each round: count
-    adjacent symbol pairs weighted by word frequency (two zipped
-    unnests), argmax with a (count DESC, lhs, rhs) tiebreak, then apply
-    the merge greedily left-to-right.  The greedy application is the
-    gaps-and-islands form: within every run of consecutive matching
-    positions (only possible when lhs = rhs), odd ranks merge and the
-    position after a merge is consumed — exactly the left-fold the
-    Spark side computes."""
+def _bpe_apply_sql(src: str, dst: str, m: str, pre: str) -> str:
+    """One gaps-and-islands merge-application block: apply merge ``m``
+    to every symbol array in ``src``, emitting ``dst``.  Within every
+    run of consecutive matching positions (only possible when
+    lhs = rhs), odd ranks merge and the position after a merge is
+    consumed — exactly the left-fold the Spark side computes."""
+    return f""",
+    {pre}f AS (
+        SELECT word, freq, i, syms[i] AS s,
+               (i < len(syms) AND syms[i] = (SELECT lhs FROM {m})
+                AND syms[i+1] = (SELECT rhs FROM {m})) AS m
+        FROM (SELECT word, freq, syms,
+                     unnest(generate_series(1, len(syms))) AS i FROM {src})
+    ),
+    {pre}g AS (
+        SELECT word, freq, i, s, m,
+               (m AND ROW_NUMBER() OVER (PARTITION BY word, isl, m ORDER BY i) % 2 = 1) AS greedy
+        FROM (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY i) AS isl
+              FROM {pre}f)
+    ),
+    {pre}h AS (
+        SELECT word, freq, i,
+               CASE WHEN greedy THEN (SELECT lhs || rhs FROM {m})
+                    WHEN lag(greedy, 1, false) OVER (PARTITION BY word ORDER BY i)
+                         THEN NULL
+                    ELSE s END AS emit
+        FROM {pre}g
+    ),
+    {dst} AS (
+        SELECT word, freq,
+               list(emit ORDER BY i) FILTER (WHERE emit IS NOT NULL) AS syms
+        FROM {pre}h GROUP BY word, freq
+    )"""
+
+
+def _bpe_train_ctes(rounds: int, vocab: int) -> str:
+    """Shared CTE chain: word frequencies (wall), the top-``vocab``
+    training table (w0/v0), and per round the pair count (p{r}),
+    argmax merge (m{r}), and trained symbol table v{r}."""
     parts = [rf"""
     WITH wx AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
                 FROM documents),
-    w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM wx
-           WHERE word <> '' GROUP BY word
-           ORDER BY freq DESC, word LIMIT {vocab}),
+    wall AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM wx
+             WHERE word <> '' GROUP BY word),
+    w0 AS (SELECT word, freq FROM wall ORDER BY freq DESC, word LIMIT {vocab}),
     v0 AS (SELECT word, freq,
                   list_append(list_transform(generate_series(1, length(word)),
                                              i -> substr(word, i, 1)), '</w>') AS syms
@@ -3219,33 +3249,16 @@ def _bpe_oracle_sql(rounds: int = 4, vocab: int = 2000) -> str:
             FROM v{r - 1}
         ) GROUP BY lhs, rhs
     ),
-    m{r} AS (SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-    f{r} AS (
-        SELECT word, freq, i, syms[i] AS s,
-               (i < len(syms) AND syms[i] = (SELECT lhs FROM m{r})
-                AND syms[i+1] = (SELECT rhs FROM m{r})) AS m
-        FROM (SELECT word, freq, syms,
-                     unnest(generate_series(1, len(syms))) AS i FROM v{r - 1})
-    ),
-    g{r} AS (
-        SELECT word, freq, i, s, m,
-               (m AND ROW_NUMBER() OVER (PARTITION BY word, isl, m ORDER BY i) % 2 = 1) AS greedy
-        FROM (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY i) AS isl
-              FROM f{r})
-    ),
-    h{r} AS (
-        SELECT word, freq, i,
-               CASE WHEN greedy THEN (SELECT lhs || rhs FROM m{r})
-                    WHEN lag(greedy, 1, false) OVER (PARTITION BY word ORDER BY i)
-                         THEN NULL
-                    ELSE s END AS emit
-        FROM g{r}
-    ),
-    v{r} AS (
-        SELECT word, freq,
-               list(emit ORDER BY i) FILTER (WHERE emit IS NOT NULL) AS syms
-        FROM h{r} GROUP BY word, freq
-    )""")
+    m{r} AS (SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs, rhs LIMIT 1)"""
+        )
+        parts.append(_bpe_apply_sql(f"v{r - 1}", f"v{r}", f"m{r}", f"f{r}"))
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(rounds: int = 4, vocab: int = 2000) -> str:
+    """Unrolled DuckDB twin of ``vocab_bpe_merges``: the shared
+    training chain, outputting the merge table."""
+    parts = [_bpe_train_ctes(rounds, vocab)]
     unions = "\n        UNION ALL ".join(
         f"SELECT {r} AS rnd, lhs, rhs, lhs || rhs AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
         for r in range(1, rounds + 1)
@@ -3277,25 +3290,51 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty-accumulator element_at).  DuckDB replays the fold as a
     gaps-and-islands window program — two independent formulations of
     the same greedy semantics."""
-    docs = load_testdata(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
-    ).filter(F.col("word") != "")
+    return spark.createDataFrame(
+        _bpe_train(spark, sf_dir),
+        schema="rnd int, lhs string, rhs string, merged string, pair_count bigint",
+    ).orderBy("rnd")
+
+
+_BPE_SYMS0 = (
+    "concat(slice(split(word, '(?!^)'), 1, size(split(word, '(?!^)')) - 1),"
+    " array('</w>'))"
+)
+
+
+def _bpe_merge_fold(x: str, y: str):
+    """Greedy left-to-right application of merge (x, y) as an
+    ANSI-safe F.aggregate fold over a ``syms`` column (CaseWhen
+    short-circuit guards the empty-accumulator element_at)."""
+    return F.aggregate(
+        F.col("syms"),
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(F.size(acc) == 0, F.concat(acc, F.array(s)))
+        .when(
+            (F.element_at(acc, -1) == F.lit(x)) & (s == F.lit(y)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(x + y))),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 4):
+    """Train the merge table on the top-2000 word-frequency table;
+    returns [(rnd, lhs, rhs, merged, pair_count), ...]."""
+    words = (
+        load_testdata(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
     vocab = (
         words.groupBy("word")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), "word")
         .limit(2000)
     )
-    vdf = vocab.withColumn(
-        "syms",
-        F.expr(
-            "concat(slice(split(word, '(?!^)'), 1, size(split(word, '(?!^)')) - 1),"
-            " array('</w>'))"
-        ),
-    ).transform(tracked_persist)
+    vdf = vocab.withColumn("syms", F.expr(_BPE_SYMS0)).transform(tracked_persist)
     merges = []
-    for rnd in range(1, 5):
+    for rnd in range(1, rounds + 1):
         pairs = vdf.select(
             "freq",
             F.expr(
@@ -3311,26 +3350,9 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         x, y, cnt = top["lhs"], top["rhs"], int(top["cnt"])
-        merged_sym = x + y
-        new_syms = F.aggregate(
-            F.col("syms"),
-            F.expr("cast(array() as array<string>)"),
-            lambda acc, s: F.when(
-                F.size(acc) == 0, F.concat(acc, F.array(s))
-            )
-            .when(
-                (F.element_at(acc, -1) == F.lit(top["lhs"])) & (s == F.lit(top["rhs"])),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(top["lhs"] + top["rhs"]))
-                ),
-            )
-            .otherwise(F.concat(acc, F.array(s))),
-        )
-        vdf = vdf.withColumn("syms", new_syms).transform(tracked_persist)
-        merges.append((rnd, x, y, merged_sym, cnt))
-    return spark.createDataFrame(
-        merges, schema="rnd int, lhs string, rhs string, merged string, pair_count bigint"
-    ).orderBy("rnd")
+        vdf = vdf.withColumn("syms", _bpe_merge_fold(x, y)).transform(tracked_persist)
+        merges.append((rnd, x, y, x + y, cnt))
+    return merges
 
 
 @register(
@@ -4146,4 +4168,80 @@ def similarity_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
             "rk",
         )
         .orderBy("query_id", "rk")
+    )
+
+
+def _bpe_encode_oracle_sql(rounds: int = 4, vocab: int = 2000) -> str:
+    """DuckDB twin of ``vocab_bpe_encode``: the shared training chain,
+    then the SAME per-round apply blocks over ALL distinct words (u
+    chain) — training is frequency-capped, encoding is not — and
+    per-doc token accounting."""
+    parts = [_bpe_train_ctes(rounds, vocab)]
+    parts.append(""",
+    u0 AS (SELECT word, freq,
+                  list_append(list_transform(generate_series(1, length(word)),
+                                             i -> substr(word, i, 1)), '</w>') AS syms
+           FROM wall)""")
+    for r in range(1, rounds + 1):
+        parts.append(_bpe_apply_sql(f"u{r - 1}", f"u{r}", f"m{r}", f"uf{r}"))
+    parts.append(rf""",
+    enc AS (SELECT word, len(syms) AS n_syms FROM u{rounds}),
+    tokd AS (SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS word
+             FROM documents),
+    tokd2 AS (SELECT * FROM tokd WHERE word <> '')
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST((1000 * SUM(e.n_syms)) // COUNT(*) AS BIGINT)
+               AS bpe_per_word_permille
+    FROM tokd2 t JOIN enc e ON e.word = t.word
+    GROUP BY t.doc_id
+    ORDER BY doc_id
+    """)
+    return "".join(parts)
+
+
+@register("vocab_bpe_encode", _bpe_encode_oracle_sql())
+def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the corpus — the other half of
+    the tokenizer lifecycle (``vocab_bpe_merges`` trains; this
+    encodes): every DISTINCT word is folded through the 4 merges (train
+    is frequency-capped at 2000 forms, encoding is not — OOV forms
+    still merge wherever the learned pairs appear), then per document
+    the word stream joins the word→symbol-count table to give BPE token
+    counts and the tokens-per-word ratio a pipeline budgets context
+    length with.
+
+    Scale shape: encoding cost is the DISTINCT-WORD table (bounded,
+    Zipf), not the token stream — the stream only does a broadcast join
+    against word→count.  The per-word fold is the same ANSI-safe
+    F.aggregate as training."""
+    merges = _bpe_train(spark, sf_dir)
+    toks = (
+        load_testdata(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .transform(tracked_persist)
+    )
+    allwords = toks.select("word").distinct().withColumn("syms", F.expr(_BPE_SYMS0))
+    for _, x, y, _, _ in merges:
+        allwords = allwords.withColumn("syms", _bpe_merge_fold(x, y))
+    enc = allwords.select("word", F.size("syms").alias("n_syms"))
+    return (
+        toks.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            F.col("doc_id").cast("bigint"),
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("div(1000 * n_bpe_tokens, n_words)")
+            .cast("bigint")
+            .alias("bpe_per_word_permille"),
+        )
+        .orderBy("doc_id")
     )
