@@ -4245,3 +4245,101 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "market_basket_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_orders
+        FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+        GROUP BY a.part, b.part
+    )
+    SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: which part pairs co-occur in the most
+    orders.  The pair join is SELF-BOUNDED: it equi-joins on the order
+    key, so work is Σ basket² with baskets capped at ~7 lineitems — the
+    canonical "pair explosion that isn't" (contrast the unbounded
+    cross join this query replaces in naive form).  DISTINCT first so
+    duplicate part lines don't inflate counts; the top-25 is a
+    distributed TakeOrderedAndProject."""
+    items = (
+        load_testdata(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a = items.select("okey", F.col("part").alias("part_a"))
+    b = items.select(F.col("okey").alias("okey_b"), F.col("part").alias("part_b"))
+    return (
+        a.join(b, (F.col("okey") == F.col("okey_b")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.col("part_a").cast("bigint"),
+            F.col("part_b").cast("bigint"),
+            F.col("n_orders").cast("bigint"),
+        )
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    trans AS (
+        SELECT prev, event_type AS next, COUNT(*) AS n
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    ),
+    tot AS (SELECT prev, SUM(n) AS t FROM trans GROUP BY prev)
+    SELECT tr.prev AS prev, tr.next AS next, CAST(tr.n AS BIGINT) AS n,
+           CAST((1000 * tr.n) // tot.t AS BIGINT) AS p_permille
+    FROM trans tr JOIN tot ON tot.prev = tr.prev
+    ORDER BY tr.prev, tr.next
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the session-flow fingerprint (what follows a `view`?
+    how often does `error` repeat?).  One lag window per user (ties
+    broken by event_id so the sequence is deterministic), one bounded
+    groupBy (|event types|² cells), integer permille probabilities.
+
+    Scale shape: the window partitions on user_id — the natural
+    key-bounded unit — and everything after is a ≤25-row aggregate."""
+    ev = load_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").alias("n")
+    )
+    tot = trans.groupBy("prev").agg(F.sum("n").alias("t"))
+    return (
+        trans.join(tot, "prev")
+        .select(
+            "prev",
+            "next",
+            F.col("n").cast("bigint"),
+            F.expr("div(1000 * n, t)").cast("bigint").alias("p_permille"),
+        )
+        .orderBy("prev", "next")
+    )
