@@ -4343,3 +4343,151 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev", "next")
     )
+
+
+@register(
+    "dedup_lsh_recall",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+                     JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE (1000 * i.c) // (sa.n + sb.n - i.c) >= 500
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(concat_ws('|', h4, h5, h6, h7)) AS band_sig FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+            AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+        SELECT t.id_a FROM truth t JOIN cand c
+            ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+           CAST((1000 * (SELECT COUNT(*) FROM hit))
+                // greatest((SELECT COUNT(*) FROM truth), 1) AS BIGINT)
+               AS recall_permille
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate generator against exact
+    ground truth — the measurement a pipeline owner runs before
+    trusting banding parameters: ground truth = all pairs with exact
+    shingle Jaccard ≥ 0.5, candidates = the 2-band × 4-hash LSH pairs,
+    recall = |hit| / |truth| in permille (plus the candidate volume the
+    banding pays for that recall).
+
+    Scale shape: truth reuses the Σ bucket² posting-list join (the
+    expensive side — at 100 TB you'd sample truth, which changes this
+    into an estimator; the LSH side stays constant-size signatures).
+    One row out."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    truth = D.jaccard_pairs(corpus, "doc_id", "text", min_permille=500).select(
+        "id_a", "id_b"
+    )
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    cand = D.lsh_candidate_pairs(bands, "doc_id").select("id_a", "id_b").distinct()
+    hit = truth.join(cand, ["id_a", "id_b"])
+    counts = (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+    return counts.select(
+        F.col("n_truth").cast("bigint"),
+        F.col("n_candidates").cast("bigint"),
+        F.col("n_hit").cast("bigint"),
+        F.expr("div(1000 * n_hit, greatest(n_truth, 1))")
+        .cast("bigint")
+        .alias("recall_permille"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH ue AS (
+        SELECT user_id,
+               (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+        FROM events
+    ),
+    first_wk AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ue GROUP BY user_id),
+    active AS (SELECT DISTINCT u.user_id, f.cohort_wk, u.wk - f.cohort_wk AS offs
+               FROM ue u JOIN first_wk f ON f.user_id = u.user_id),
+    cohort_size AS (
+        SELECT cohort_wk, COUNT(*) AS n_cohort FROM first_wk GROUP BY cohort_wk
+    ),
+    ret AS (
+        SELECT cohort_wk, offs, COUNT(*) AS n_active
+        FROM active GROUP BY cohort_wk, offs
+    )
+    SELECT CAST(r.cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(r.offs AS BIGINT) AS week_offset,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST(cs.n_cohort AS BIGINT) AS n_cohort,
+           CAST((1000 * r.n_active) // cs.n_cohort AS BIGINT) AS retention_permille
+    FROM ret r JOIN cohort_size cs ON cs.cohort_wk = r.cohort_wk
+    ORDER BY cohort_wk, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by their first-activity
+    week, then per (cohort, week-offset) the share still active — the
+    standard growth-analytics triangle.  Weeks are epoch-day // 7
+    (integer, calendar-free, so both engines agree without timezone or
+    ISO-week semantics entering the picture).
+
+    Scale shape: first-activity via one groupBy(user) MIN; activity
+    grid via DISTINCT on (user, week); everything downstream is
+    cohort-cardinality-bounded.  The offset-0 row of every cohort is
+    1000 permille by construction — a built-in sanity check."""
+    ev = load_testdata(spark, sf_dir, "events")
+    ue = ev.select(
+        "user_id",
+        F.expr("div(datediff(to_date(ts), to_date('1970-01-01')), 7)").alias("wk"),
+    )
+    first_wk = ue.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = (
+        ue.join(first_wk, "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offs"))
+        .distinct()
+    )
+    cohort_size = first_wk.groupBy("cohort_wk").agg(F.count("*").alias("n_cohort"))
+    ret = active.groupBy("cohort_wk", "offs").agg(F.count("*").alias("n_active"))
+    return (
+        ret.join(cohort_size, "cohort_wk")
+        .select(
+            F.col("cohort_wk").cast("bigint"),
+            F.col("offs").cast("bigint").alias("week_offset"),
+            F.col("n_active").cast("bigint"),
+            F.col("n_cohort").cast("bigint"),
+            F.expr("div(1000 * n_active, n_cohort)")
+            .cast("bigint")
+            .alias("retention_permille"),
+        )
+        .orderBy("cohort_wk", "week_offset")
+    )
