@@ -4491,3 +4491,93 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "week_offset")
     )
+
+
+@register(
+    "parts_pareto_frontier",
+    """
+    WITH p AS (SELECT p_partkey, p_retailprice AS price, p_size AS sz FROM part)
+    SELECT CAST(a.p_partkey AS BIGINT) AS p_partkey,
+           CAST(a.price AS DOUBLE) AS price,
+           CAST(a.sz AS INTEGER) AS sz
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price <= a.price AND b.sz >= a.sz
+          AND (b.price < a.price OR b.sz > a.sz)
+    )
+    ORDER BY price, p_partkey
+    """,
+)
+def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (min price, max size) in ONE SWEEP —
+    the third entry in the sweeps-not-joins family (with
+    ``interval_overlap_sweep``): the oracle runs the textbook NOT
+    EXISTS anti-join, which is O(n²); the engine sorts once by price
+    and keeps a part iff it is the size-max of its price group AND its
+    size strictly exceeds the running size-max over all strictly
+    cheaper groups.  Identical (price, size) twins both survive — no
+    strictly-better part exists — which the grp_max equality handles
+    and the oracle's strictness clause mirrors.
+
+    Scale shape: one groupBy(price), then the prefix-max runs as a
+    TWO-PHASE distributed sweep — range-partition the price-domain
+    table, running max per partition via a window partitioned on
+    ``spark_partition_id()`` (NOT a global no-partition window, the
+    vocab_top_tokens scale hazard from round 2), and stitch partitions
+    with a driver-side prefix over ≤ #partitions boundary maxima
+    broadcast back.  A broadcast join returns to the part rows — no
+    pair join anywhere."""
+    p = load_testdata(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
+    )
+    grp = (
+        p.groupBy("price")
+        .agg(F.max("sz").alias("grp_max"))
+        .repartitionByRange(8, "price")
+        .sortWithinPartitions("price")
+        .withColumn("pid", F.spark_partition_id())
+        .transform(tracked_persist)
+    )
+    wloc = Window.partitionBy("pid").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = grp.withColumn("local_prev", F.max("grp_max").over(wloc))
+    # partition-boundary maxima: ≤ #partitions rows to the driver, then
+    # the exclusive prefix max per partition broadcasts back as a map
+    part_rows = sorted(
+        (r["pid"], r["mx"])
+        for r in grp.groupBy("pid").agg(F.max("grp_max").alias("mx")).collect()
+    )
+    sentinel = -(1 << 31)
+    prefix: dict[int, int] = {}
+    run = sentinel
+    for pid, mx in part_rows:
+        prefix[pid] = run
+        run = max(run, mx)
+    pref_col = F.create_map(
+        *[x for pid, mx in prefix.items() for x in (F.lit(pid), F.lit(mx))]
+    )
+    frontier_prices = (
+        local.withColumn(
+            "prev_max",
+            F.greatest(
+                F.coalesce(F.col("local_prev"), F.lit(sentinel)),
+                F.coalesce(pref_col.getItem(F.col("pid")), F.lit(sentinel)),
+            ),
+        )
+        .filter(F.col("grp_max") > F.col("prev_max"))
+        .select(F.col("price").alias("f_price"), F.col("grp_max").alias("f_max"))
+    )
+    return (
+        p.join(
+            F.broadcast(frontier_prices),
+            (F.col("price") == F.col("f_price")) & (F.col("sz") == F.col("f_max")),
+        )
+        .select(
+            F.col("p_partkey").cast("bigint"),
+            F.col("price").cast("double"),
+            F.col("sz").cast("int"),
+        )
+        .orderBy("price", "p_partkey")
+    )
