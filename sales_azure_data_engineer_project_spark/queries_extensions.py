@@ -4581,3 +4581,98 @@ def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price", "p_partkey")
     )
+
+
+@register(
+    "dedup_graph_triangles",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(concat_ws('|', h4, h5, h6, h7)) AS band_sig FROM sig
+    ),
+    e AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+            AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    ),
+    wedges AS (SELECT SUM(d * (d - 1) // 2) AS w FROM deg),
+    tri AS (
+        SELECT COUNT(*) AS t
+        FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3
+            ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT w FROM wedges) AS BIGINT) AS n_wedges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           CAST((3000 * (SELECT t FROM tri))
+                // greatest((SELECT w FROM wedges), 1) AS BIGINT)
+               AS clustering_permille
+    """,
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the near-dup
+    graph — the structural health check on a dedup candidate graph (a
+    high coefficient means candidates form tight clone clusters, as
+    duplication should look; a low one means the banding is stitching
+    unrelated docs).  Distributed shape: edges oriented low-id→high-id
+    so each triangle (a<b<c) is found exactly once by one wedge join
+    (e(a,b) ⋈ e(b,c)) closed by one edge probe (a,c) — the classic
+    MapReduce triangle algorithm (Suri & Vassilvitskii 2011), whose
+    cost is Σ deg² wedges, NOT all vertex triples; degree is bounded by
+    duplicate-cluster size here.  Wedge denominator Σ C(deg,2) comes
+    from one degree aggregate."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    e = (
+        D.lsh_candidate_pairs(bands, "doc_id")
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .distinct()
+        .transform(tracked_persist)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("div(d * (d - 1), 2)")).alias("w")
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count("*").alias("t"))
+    )
+    out = (
+        e.agg(F.count("*").alias("n_edges"))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+    )
+    return out.select(
+        F.col("n_edges").cast("bigint"),
+        F.col("w").cast("bigint").alias("n_wedges"),
+        F.col("t").cast("bigint").alias("n_triangles"),
+        F.expr("div(3000 * t, greatest(w, 1))")
+        .cast("bigint")
+        .alias("clustering_permille"),
+    )

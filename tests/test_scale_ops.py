@@ -323,6 +323,7 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "tokens_heavy_hitters_cms",  # 4-row seed grid broadcast (crossJoin by design)
         "events_distribution_drift",  # 1-row midpoint/boundaries/totals broadcasts
         "dedup_lsh_recall",  # three 1-row count aggregates crossJoined into one row
+        "dedup_graph_triangles",  # 1-row wedge/triangle aggregates crossJoined
         "ann_recall_at_k",
         "text_chunking",            # chunk-grid expansion
         "cross_join_region_priority",  # deliberate tiny-dim cross join
