@@ -3608,7 +3608,11 @@ def interval_overlap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE runs — the oracle being brute force is the point: two
     formulations, one answer.  At 100 TB the sweep shuffles each fact
     row twice (boundary explode) and sorts within supplier partitions —
-    linear-log work, no pair blowup."""
+    linear-log work, no pair blowup.  Algorithm lives in
+    ``operators.sweeps.interval_overlap_counts`` (property-tested
+    against Python brute force on random intervals)."""
+    from .operators.sweeps import interval_overlap_counts
+
     li = load_testdata(spark, sf_dir, "lineitem")
     iv = li.select(
         F.col("l_suppkey").alias("s"),
@@ -3623,26 +3627,15 @@ def interval_overlap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("en"),
     )
-    bounds = iv.select(
-        "s", F.col("st").alias("t"), F.lit(1).alias("d")
-    ).unionByName(iv.select("s", F.col("en").alias("t"), F.lit(-1).alias("d")))
-    w = Window.partitionBy("s").orderBy("t", "d").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    swept = bounds.withColumn("running", F.sum("d").over(w))
-    pairs = (
-        swept.filter(F.col("d") == 1)
-        .groupBy("s")
-        .agg(
-            F.count(F.lit(1)).alias("n_intervals"),
-            F.sum(F.col("running") - 1).alias("n_pairs"),
+    return (
+        interval_overlap_counts(iv, "s", "st", "en")
+        .select(
+            F.col("s").cast("bigint").alias("suppkey"),
+            F.col("n_intervals").cast("bigint"),
+            F.col("n_overlapping_pairs").cast("bigint"),
         )
+        .orderBy("suppkey")
     )
-    return pairs.select(
-        F.col("s").cast("bigint").alias("suppkey"),
-        F.col("n_intervals").cast("bigint"),
-        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_overlapping_pairs"),
-    ).orderBy("suppkey")
 
 
 @register(
@@ -4527,53 +4520,16 @@ def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab_top_tokens scale hazard from round 2), and stitch partitions
     with a driver-side prefix over ≤ #partitions boundary maxima
     broadcast back.  A broadcast join returns to the part rows — no
-    pair join anywhere."""
+    pair join anywhere.  Algorithm lives in
+    ``operators.sweeps.pareto_frontier`` (property-tested against
+    Python brute force on random point sets)."""
+    from .operators.sweeps import pareto_frontier
+
     p = load_testdata(spark, sf_dir, "part").select(
         "p_partkey", F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
     )
-    grp = (
-        p.groupBy("price")
-        .agg(F.max("sz").alias("grp_max"))
-        .repartitionByRange(8, "price")
-        .sortWithinPartitions("price")
-        .withColumn("pid", F.spark_partition_id())
-        .transform(tracked_persist)
-    )
-    wloc = Window.partitionBy("pid").orderBy("price").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    local = grp.withColumn("local_prev", F.max("grp_max").over(wloc))
-    # partition-boundary maxima: ≤ #partitions rows to the driver, then
-    # the exclusive prefix max per partition broadcasts back as a map
-    part_rows = sorted(
-        (r["pid"], r["mx"])
-        for r in grp.groupBy("pid").agg(F.max("grp_max").alias("mx")).collect()
-    )
-    sentinel = -(1 << 31)
-    prefix: dict[int, int] = {}
-    run = sentinel
-    for pid, mx in part_rows:
-        prefix[pid] = run
-        run = max(run, mx)
-    pref_col = F.create_map(
-        *[x for pid, mx in prefix.items() for x in (F.lit(pid), F.lit(mx))]
-    )
-    frontier_prices = (
-        local.withColumn(
-            "prev_max",
-            F.greatest(
-                F.coalesce(F.col("local_prev"), F.lit(sentinel)),
-                F.coalesce(pref_col.getItem(F.col("pid")), F.lit(sentinel)),
-            ),
-        )
-        .filter(F.col("grp_max") > F.col("prev_max"))
-        .select(F.col("price").alias("f_price"), F.col("grp_max").alias("f_max"))
-    )
     return (
-        p.join(
-            F.broadcast(frontier_prices),
-            (F.col("price") == F.col("f_price")) & (F.col("sz") == F.col("f_max")),
-        )
+        pareto_frontier(p, "price", "sz")
         .select(
             F.col("p_partkey").cast("bigint"),
             F.col("price").cast("double"),

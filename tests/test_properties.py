@@ -377,3 +377,63 @@ def test_q21_window_form_vs_reference(spark):
             r["s_name"]: r["numwait"] for r in q21_waiting_orders(spark, td).collect()
         }
     assert got == dict(expected)
+
+
+@SLOW
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 12), st.integers(1, 6)),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_interval_sweep_equals_brute(spark, ivs):
+    """Boundary-sweep overlap counting ≡ the O(n²) brute force on
+    random half-open intervals (key, start, start+len)."""
+    from sales_azure_data_engineer_project_spark.operators.sweeps import (
+        interval_overlap_counts,
+    )
+
+    rows = [(k, s, s + ln) for k, s, ln in ivs]
+    df = spark.createDataFrame(rows, "k int, st long, en long")
+    got = {
+        r["k"]: (r["n_intervals"], r["n_overlapping_pairs"])
+        for r in interval_overlap_counts(df, "k", "st", "en").collect()
+    }
+    expect: dict[int, list[int]] = {}
+    for k in {r[0] for r in rows}:
+        mine = [(s, e) for kk, s, e in rows if kk == k]
+        pairs = sum(
+            1
+            for i in range(len(mine))
+            for j in range(i + 1, len(mine))
+            if mine[i][0] < mine[j][1] and mine[j][0] < mine[i][1]
+        )
+        expect[k] = (len(mine), pairs)
+    assert got == expect
+
+
+@SLOW
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_pareto_frontier_equals_brute(spark, pts):
+    """Two-phase prefix-max skyline ≡ NOT-EXISTS brute force on random
+    (x, y) multisets, duplicates included."""
+    from sales_azure_data_engineer_project_spark.operators.sweeps import pareto_frontier
+
+    rows = [(i, float(x), y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id int, x double, y int")
+    got = sorted(r["id"] for r in pareto_frontier(df, "x", "y").collect())
+    expect = sorted(
+        i
+        for i, x, y in rows
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y)) for _, x2, y2 in rows
+        )
+    )
+    assert got == expect
