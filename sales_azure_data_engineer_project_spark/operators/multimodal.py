@@ -124,3 +124,59 @@ def extract_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
             )
 
     return df.select("doc_id", "content").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_raw_tensor(
+    payload: bytes, in_w: int, in_h: int, out_w: int, out_h: int, channels: int = 3
+) -> bytes:
+    """REAL nearest-neighbor resize of a raw HxWxC uint8 tensor — no
+    codec involved, so unlike ``resize_image`` (JPEG → needs PIL, stub)
+    this path is fully implemented: raw tensors are what a decode stage
+    hands downstream anyway, and resize/crop/normalize over them is
+    pure array math."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size != in_h * in_w * channels:
+        raise ValueError(
+            f"payload has {arr.size} bytes, expected {in_h}x{in_w}x{channels}"
+        )
+    t = arr.reshape(in_h, in_w, channels)
+    rows = (np.arange(out_h) * in_h) // out_h
+    cols = (np.arange(out_w) * in_w) // out_w
+    return t[rows][:, cols].tobytes()
+
+
+def resize_tensors(
+    df: DataFrame,
+    *,
+    out_w: int,
+    out_h: int,
+    channels: int = 3,
+) -> DataFrame:
+    """Arrow-batched raw-tensor resize: input (doc_id, content, width,
+    height) with ``content`` = HxWxC uint8 bytes; output (doc_id,
+    content, width, height) at the target size.  Memory per task is
+    bounded by the Arrow batch — tensors never materialize as Python
+    lists."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                resize_raw_tensor(
+                    bytes(c), int(w), int(h), out_w, out_h, channels
+                )
+                for c, w, h in zip(pdf["content"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": out,
+                    "width": [out_w] * len(pdf),
+                    "height": [out_h] * len(pdf),
+                }
+            )
+
+    return df.select("doc_id", "content", "width", "height").mapInPandas(
+        batches, "doc_id bigint, content binary, width int, height int"
+    )

@@ -88,3 +88,32 @@ def test_union_by_name_order_insensitive(spark):
     b = spark.createDataFrame([("y", 2)], ["v", "k"])
     out = a.unionByName(b).collect()
     assert {(r["k"], r["v"]) for r in out} == {(1, "x"), (2, "y")}
+
+
+def test_resize_raw_tensor_exact(spark):
+    """Nearest-neighbor raw-tensor resize is exact array math (no
+    codec): a 2x2 RGB tensor upsampled to 4x4 replicates each pixel
+    into a 2x2 block, and the Spark mapInPandas wrapper returns the
+    identical bytes."""
+    import numpy as np
+
+    from sales_azure_data_engineer_project_spark.operators.multimodal import (
+        resize_raw_tensor,
+        resize_tensors,
+    )
+
+    t = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    up = resize_raw_tensor(t.tobytes(), 2, 2, 4, 4)
+    expect = t.repeat(2, axis=0).repeat(2, axis=1).tobytes()
+    assert up == expect
+
+    df = spark.createDataFrame(
+        [(1, bytearray(t.tobytes()), 2, 2)], "doc_id long, content binary, width int, height int"
+    )
+    rows = resize_tensors(df, out_w=4, out_h=4).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["content"]) == expect
+    assert (rows[0]["width"], rows[0]["height"]) == (4, 4)
+
+    down = resize_raw_tensor(expect, 4, 4, 2, 2)
+    assert down == t.tobytes()
