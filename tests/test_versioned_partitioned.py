@@ -364,3 +364,23 @@ def test_lakehouse_maintenance_e2e(spark, tmp_path):
     dropped = vt.vacuum(keep_last=2)
     assert dropped and max(dropped) <= v5 - 2
     assert content(vt.read()) == full
+
+
+def test_read_where_falls_back_without_manifest(spark, tmp_path):
+    """A version committed WITHOUT stats_columns has no manifest;
+    read_where must degrade to full-scan + filter, not fail."""
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+
+    orders = load_testdata(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(orders)
+    got = sorted(
+        r["o_orderkey"] for r in vt.read_where("o_custkey", 10, 20).collect()
+    )
+    expect = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_custkey").between(10, 20)).collect()
+    )
+    assert got == expect and got
