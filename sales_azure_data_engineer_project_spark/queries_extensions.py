@@ -4632,3 +4632,137 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("clustering_permille"),
     )
+
+
+_PROFILE_COLS = ["l_orderkey", "l_suppkey", "l_quantity", "l_returnflag", "l_shipdate"]
+
+
+@register(
+    "profile_lineitem_columns",
+    "\n    UNION ALL ".join(
+        f"""SELECT '{c}' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {"strftime(MIN(" + c + "), '%Y-%m-%d %H:%M:%S')" if c == "l_shipdate" else "CAST(MIN(" + c + ") AS VARCHAR)"} AS min_val,
+           {"strftime(MAX(" + c + "), '%Y-%m-%d %H:%M:%S')" if c == "l_shipdate" else "CAST(MAX(" + c + ") AS VARCHAR)"} AS max_val
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    + "\n    ORDER BY col",
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling table (the Deequ/Great-Expectations profile
+    stage): per column — row count, nulls, distinct count, min/max
+    stringified — the summary a pipeline records before accepting a new
+    data drop.  One aggregate pass PER COLUMN over a cached scan; at
+    100 TB you'd fuse them into one pass with approx_count_distinct,
+    trading exactness for a single scan (the exact distinct forces one
+    shuffle per column — that cost is the point of recording it here).
+
+    Timestamp min/max are stringified through a fixed format on both
+    engines so the hash gate stays timezone-proof."""
+    li = load_testdata(spark, sf_dir, "lineitem").transform(tracked_persist)
+    def stringify(agg, c):
+        if c == "l_shipdate":
+            return F.date_format(agg, "yyyy-MM-dd HH:mm:ss")
+        return agg.cast("string")
+
+    outs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        outs.append(
+            li.agg(
+                F.lit(c).alias("col"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                (F.count("*") - F.count(col)).cast("bigint").alias("n_null"),
+                F.countDistinct(col).cast("bigint").alias("n_distinct"),
+                stringify(F.min(col), c).alias("min_val"),
+                stringify(F.max(col), c).alias("max_val"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col")
+
+
+@register(
+    "quality_functional_dependencies",
+    """
+    WITH fd1 AS (
+        SELECT CAST(n_nationkey AS VARCHAR) AS lhs_v,
+               CAST(n_regionkey AS VARCHAR) AS rhs_v FROM nation
+    ),
+    fd2 AS (
+        SELECT CAST(o_custkey AS VARCHAR), CAST(o_orderpriority AS VARCHAR)
+        FROM orders
+    ),
+    fd3 AS (
+        SELECT CAST(l_orderkey AS VARCHAR), CAST(l_shipdate AS VARCHAR)
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT 'nation: nationkey->regionkey' AS fd,
+               COUNT(*) AS n_lhs,
+               SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating
+        FROM (SELECT lhs_v, COUNT(DISTINCT rhs_v) AS d FROM fd1 GROUP BY lhs_v)
+        UNION ALL
+        SELECT 'orders: custkey->orderpriority',
+               COUNT(*), SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+        FROM (SELECT lhs_v, COUNT(DISTINCT rhs_v) AS d FROM fd2 t(lhs_v, rhs_v) GROUP BY lhs_v)
+        UNION ALL
+        SELECT 'lineitem: orderkey->shipdate',
+               COUNT(*), SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+        FROM (SELECT lhs_v, COUNT(DISTINCT rhs_v) AS d FROM fd3 t(lhs_v, rhs_v) GROUP BY lhs_v)
+    )
+    SELECT fd, CAST(n_lhs AS BIGINT) AS n_lhs,
+           CAST(n_violating AS BIGINT) AS n_violating,
+           CAST((1000 * n_violating) // n_lhs AS BIGINT) AS violation_permille
+    FROM stats
+    ORDER BY fd
+    """,
+)
+def quality_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency conformance check (the data-profiling /
+    Deequ `hasUniqueness`-style rule): for each declared A→B, count
+    left-hand values mapping to more than one distinct B.  nationkey→
+    regionkey should hold exactly (a real FK); custkey→orderpriority
+    and orderkey→shipdate are deliberately non-FDs whose violation
+    rates profile the data's shape.
+
+    Scale shape: per FD one groupBy(lhs) with a distinct-count — the
+    same cost class as any distinct aggregate, with map-side partial
+    aggregation; no joins."""
+
+    def fd(df, name, lhs, rhs):
+        g = (
+            df.select(
+                F.col(lhs).cast("string").alias("lhs_v"),
+                F.col(rhs).cast("string").alias("rhs_v"),
+            )
+            .groupBy("lhs_v")
+            .agg(F.countDistinct("rhs_v").alias("d"))
+        )
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").cast("bigint").alias("n_lhs"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+        )
+
+    nation = load_testdata(spark, sf_dir, "nation")
+    orders = load_testdata(spark, sf_dir, "orders")
+    li = load_testdata(spark, sf_dir, "lineitem")
+    out = (
+        fd(nation, "nation: nationkey->regionkey", "n_nationkey", "n_regionkey")
+        .unionByName(fd(orders, "orders: custkey->orderpriority", "o_custkey", "o_orderpriority"))
+        .unionByName(fd(li, "lineitem: orderkey->shipdate", "l_orderkey", "l_shipdate"))
+    )
+    return out.select(
+        "fd",
+        "n_lhs",
+        "n_violating",
+        F.expr("div(1000 * n_violating, n_lhs)").cast("bigint").alias("violation_permille"),
+    ).orderBy("fd")
