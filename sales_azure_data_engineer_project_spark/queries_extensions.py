@@ -4766,3 +4766,161 @@ def quality_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFra
         "n_violating",
         F.expr("div(1000 * n_violating, n_lhs)").cast("bigint").alias("violation_permille"),
     ).orderBy("fd")
+
+
+@register(
+    "spatial_neighbor_pairs",
+    """
+    WITH pts AS (
+        SELECT user_id,
+               CAST(concat('0x', substr(md5(concat('x:', user_id)), 1, 4)) AS BIGINT)
+                   % 1024 AS x,
+               CAST(concat('0x', substr(md5(concat('y:', user_id)), 1, 4)) AS BIGINT)
+                   % 1024 AS y
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT CAST(a.user_id AS BIGINT) AS id_a, CAST(b.user_id AS BIGINT) AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT)
+               AS dist2
+    FROM pts a JOIN pts b ON a.user_id < b.user_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1024
+    ORDER BY id_a, id_b
+    """,
+)
+def spatial_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor pairs (distance ≤ 32 on a 1024² integer grid)
+    via GRID-CELL bucketing — the 2-D instance of the bucket-join
+    pattern every dedup tier here uses: assign each point its 32×32
+    cell, explode ONE side to its 3×3 cell neighborhood, equi-join on
+    the cell id, verify exact integer distance.  A true neighbor pair
+    is never missed (r = cell size ⇒ the partner is in the 3×3 box)
+    and never duplicated (the partner's cell appears once in the
+    neighborhood).  The ORACLE runs the O(n²) distance join this
+    replaces.  Coordinates are md5-derived integers, so both engines
+    compute identical points and exact distances.
+
+    Scale shape: Σ cell² work like every banding join — cell size is
+    the skew knob; never an all-pairs comparison."""
+    users = (
+        load_testdata(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+    )
+
+    def coord(axis):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(axis + ":"), F.col("user_id").cast("string")).cast("binary")),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint") % 1024
+
+    pts = users.select(
+        "user_id", coord("x").alias("x"), coord("y").alias("y")
+    ).transform(tracked_persist)
+    a = pts.select(
+        F.col("user_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.expr(
+            "explode(flatten(transform(sequence(-1, 1), dx ->"
+            " transform(sequence(-1, 1), dy ->"
+            " named_struct('cx', div(x, 32) + dx, 'cy', div(y, 32) + dy)))))"
+        ).alias("c"),
+    ).select("id_a", "xa", "ya", "c.cx", "c.cy")
+    b = pts.select(
+        F.col("user_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr("div(x, 32)").alias("cxb"),
+        F.expr("div(y, 32)").alias("cyb"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(
+            b,
+            (F.col("cx") == F.col("cxb"))
+            & (F.col("cy") == F.col("cyb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("dist2", d2)
+        .filter(F.col("dist2") <= 1024)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.col("dist2").cast("bigint"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "fuzzy_name_pairs_symspell",
+    """
+    WITH n AS (SELECT c_custkey AS id, c_name AS nm FROM customer)
+    SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_distance
+    FROM n a JOIN n b ON a.id < b.id
+    WHERE levenshtein(a.nm, b.nm) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def fuzzy_name_pairs_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance ≤ 1 record pairs via SYMMETRIC DELETE (SymSpell):
+    each name generates itself plus every single-character deletion;
+    two names within edit distance 1 MUST share a variant (substitution
+    ⇒ both delete the differing position; insert/delete ⇒ one's
+    deletion equals the other), so candidates come from an EQUI-join on
+    the variant string and only candidates pay a ``levenshtein``
+    verification.  The ORACLE runs the O(n²) levenshtein join this
+    replaces — the fuzzy-matching member of the never-all-pairs family.
+
+    Scale shape: variants multiply rows by (len+1) — constant per
+    record — and the variant join is Σ bucket² like every banding
+    join; variant identity travels as an xxhash64 LONG and the join
+    sides carry bare ids (names rejoin via broadcast only for the
+    candidate set — shuffling the strings themselves measured 5.6 s vs
+    3.9 s at sf0.1; the remaining cost is genuine candidate volume,
+    ~200k true distance-1 pairs among sequential names).  Both engines
+    implement the same standard
+    Levenshtein, so the verified distances hash-match."""
+    names = (
+        load_testdata(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("nm"))
+        .transform(tracked_persist)
+    )
+    variants = names.select(
+        "id",
+        F.expr(
+            "explode(array_union(array(xxhash64(nm)), transform(sequence(1, char_length(nm)),"
+            " i -> xxhash64(concat(substring(nm, 1, i - 1),"
+            " substring(nm, i + 1, char_length(nm) - i))))))"
+        ).alias("h"),
+    )
+    a = variants.select(F.col("id").alias("id_a"), "h")
+    b = variants.select(F.col("id").alias("id_b"), "h")
+    cand = (
+        a.join(b, ["h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    na = names.select(F.col("id").alias("id_a"), F.col("nm").alias("nm_a"))
+    nb = names.select(F.col("id").alias("id_b"), F.col("nm").alias("nm_b"))
+    return (
+        cand.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("edit_distance", F.levenshtein("nm_a", "nm_b"))
+        .filter(F.col("edit_distance") <= 1)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.col("edit_distance").cast("bigint"),
+        )
+        .orderBy("id_a", "id_b")
+    )
