@@ -50,10 +50,37 @@ __all__ = [
 _MANIFEST = "_manifest.json"
 
 
+def _norm_stat(v):
+    """Normalize a stat (or query bound) to a JSON-native, totally-
+    ordered primitive so manifest values written by ``write_manifest``
+    and bounds passed to ``pruned_files`` always compare in the SAME
+    domain: numbers stay numbers, strings stay strings (lexicographic
+    pruning is correct for string columns), date/datetime collapse to
+    epoch days/microseconds, Decimal to float.  Anything else (bytes,
+    exotic logical types) returns None → stats unusable → file kept."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, bool):
+        return None if v is None else int(v)
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return None
+
+
 def _footer_stats(path: str, columns: list[str]) -> dict:
     """Per-column (min, max, null_count) for one parquet file, from the
     footer only.  Columns with no usable stats map to None (reader must
-    keep the file)."""
+    keep the file).  Stats are normalized via ``_norm_stat`` — a value
+    that doesn't normalize invalidates the column's range for this file
+    (correctness over optimism)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -70,7 +97,10 @@ def _footer_stats(path: str, columns: list[str]) -> dict:
             if st is None or not st.has_min_max:
                 ok = False
                 break
-            mn, mx = st.min, st.max
+            mn, mx = _norm_stat(st.min), _norm_stat(st.max)
+            if mn is None or mx is None:
+                ok = False
+                break
             lo = mn if lo is None or mn < lo else lo
             hi = mx if hi is None or mx > hi else hi
         out["columns"][col] = [lo, hi] if ok else None
@@ -105,16 +135,23 @@ def pruned_files(vdir: str, col: str, lo, hi) -> tuple[list[str], int]:
     """(surviving file paths, total file count) for range [lo, hi].
 
     A file survives unless its recorded [min, max] provably misses the
-    range; missing stats keep the file (correctness over optimism)."""
+    range; missing stats keep the file (correctness over optimism).
+    Bounds are normalized like the stored stats (dates/datetimes →
+    epoch integers), so callers may pass the column's natural types;
+    bounds that normalize into a different domain than the stats (e.g.
+    a string bound against numeric stats) keep every file."""
     manifest = read_manifest(vdir)
     if manifest is None:
         raise FileNotFoundError(f"no {_MANIFEST} under {vdir}")
+    nlo, nhi = _norm_stat(lo), _norm_stat(hi)
     keep = []
     for fname, st in manifest["files"].items():
         rng = (st.get("columns") or {}).get(col)
-        if rng is None or rng[0] is None:
+        if rng is None or rng[0] is None or nlo is None or nhi is None:
             keep.append(fname)
-        elif not (rng[1] < lo or rng[0] > hi):
+            continue
+        comparable = isinstance(rng[0], str) == isinstance(nlo, str)
+        if not comparable or not (rng[1] < nlo or rng[0] > nhi):
             keep.append(fname)
     return [os.path.join(vdir, f) for f in keep], len(manifest["files"])
 
@@ -155,6 +192,7 @@ def zorder_frame(
     of the files (a lead-column linear sort skips nothing for the
     second column)."""
     n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
     numeric = {
         f.name
         for f in df.schema
@@ -167,10 +205,12 @@ def zorder_frame(
             f"zorder_frame needs numeric columns (approxQuantile bucketing); "
             f"cast dates to epoch days / strings to hashes first: {bad}"
         )
+    # ONE multi-column approxQuantile call — per-column calls re-run the
+    # whole upstream plan once per z-column (review finding)
+    all_bounds = df.approxQuantile(list(cols), qs, 0.001)
     zval = F.lit(0).cast("bigint")
     for ci, col in enumerate(cols):
-        qs = [i / n_buckets for i in range(1, n_buckets)]
-        boundaries = df.approxQuantile(col, qs, 0.001)
+        boundaries = all_bounds[ci]
         b = _bucket_expr(col, boundaries).cast("bigint")
         for i in range(bits):
             bit = F.shiftright(b, i).bitwiseAND(F.lit(1))

@@ -37,21 +37,31 @@ def interval_overlap_counts(
         F.col(start_col).cast("bigint").alias("_st"),
         F.col(end_col).cast("bigint").alias("_en"),
     )
-    bounds = iv.select(
+    # EMPTY half-open intervals (start == end) overlap nothing, but
+    # their -1 end event would sort before their own +1 start and push
+    # a (running - 1) of -1 into the sum — exclude them from the sweep
+    # while still counting them as intervals
+    nonempty = iv.filter(F.col("_st") < F.col("_en"))
+    bounds = nonempty.select(
         "_k", F.col("_st").alias("_t"), F.lit(1).alias("_d")
-    ).unionByName(iv.select("_k", F.col("_en").alias("_t"), F.lit(-1).alias("_d")))
+    ).unionByName(nonempty.select("_k", F.col("_en").alias("_t"), F.lit(-1).alias("_d")))
     w = Window.partitionBy("_k").orderBy("_t", "_d").rowsBetween(
         Window.unboundedPreceding, 0
     )
     swept = bounds.withColumn("_running", F.sum("_d").over(w))
-    return (
+    pairs = (
         swept.filter(F.col("_d") == 1)
         .groupBy("_k")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
-            F.sum(F.col("_running") - 1).cast("bigint").alias("n_overlapping_pairs"),
+        .agg(F.sum(F.col("_running") - 1).cast("bigint").alias("n_overlapping_pairs"))
+    )
+    counts = iv.groupBy("_k").agg(F.count(F.lit(1)).cast("bigint").alias("n_intervals"))
+    return (
+        counts.join(pairs, "_k", "left")
+        .select(
+            F.col("_k").alias(key_col),
+            "n_intervals",
+            F.coalesce("n_overlapping_pairs", F.lit(0)).cast("bigint").alias("n_overlapping_pairs"),
         )
-        .withColumnRenamed("_k", key_col)
     )
 
 
@@ -60,10 +70,14 @@ def pareto_frontier(
 ) -> DataFrame:
     """Rows of ``df`` on the (minimize ``x_col``, maximize ``y_col``)
     Pareto frontier: no other row has (x ≤, y ≥) with one strict.
-    Identical (x, y) twins all survive.  Output columns = input
+    Identical (x, y) twins all survive; rows with NULL in either
+    objective are excluded (incomparable).  Output columns = input
     columns."""
+    # NULL y rows are incomparable — they can never dominate nor sit on
+    # a max-y frontier; NULL x rows have no position on the x axis.
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     grp = (
-        df.groupBy(F.col(x_col).alias("_x"))
+        base.groupBy(F.col(x_col).alias("_x"))
         .agg(F.max(F.col(y_col)).alias("_gmax"))
         .repartitionByRange(num_partitions, "_x")
         .sortWithinPartitions("_x")
@@ -78,31 +92,35 @@ def pareto_frontier(
         (r["_pid"], r["_mx"])
         for r in grp.groupBy("_pid").agg(F.max("_gmax").alias("_mx")).collect()
     )
-    sentinel = float("-inf")
-    prefix: dict[int, float] = {}
-    run = sentinel
+    # exclusive prefix max per partition, kept in the COLUMN's own type
+    # (a float sentinel would collapse bigints above 2^53); partitions
+    # with no predecessor simply have no map entry -> NULL
+    prefix: dict[int, object] = {}
+    run = None
     for pid, mx in part_rows:
-        prefix[pid] = run
-        run = max(run, mx)
-    pref_col = F.create_map(
-        *[
-            x
-            for pid, mx in prefix.items()
-            for x in (F.lit(pid), F.lit(float(mx)))
-        ]
-    )
-    frontier = (
-        local.withColumn(
-            "_prev",
-            F.greatest(
-                F.coalesce(F.col("_lprev").cast("double"), F.lit(sentinel)),
-                F.coalesce(pref_col.getItem(F.col("_pid")), F.lit(sentinel)),
-            ),
+        if run is not None:
+            prefix[pid] = run
+        run = mx if run is None or mx > run else run
+    if prefix:
+        pref_col = F.create_map(
+            *[x for pid, mx in prefix.items() for x in (F.lit(pid), F.lit(mx))]
         )
-        .filter(F.col("_gmax").cast("double") > F.col("_prev"))
+    else:
+        pref_col = None
+    gprev = F.col("_lprev")
+    if pref_col is not None:
+        pglobal = pref_col.getItem(F.col("_pid"))
+        gprev = (
+            F.when(gprev.isNull(), pglobal)
+            .when(pglobal.isNull(), gprev)
+            .otherwise(F.greatest(gprev, pglobal))
+        )
+    frontier = (
+        local.withColumn("_prev", gprev)
+        .filter(F.col("_prev").isNull() | (F.col("_gmax") > F.col("_prev")))
         .select(F.col("_x"), F.col("_gmax"))
     )
-    out = df.join(
+    out = base.join(
         F.broadcast(frontier),
         (F.col(x_col) == F.col("_x")) & (F.col(y_col) == F.col("_gmax")),
     ).select(*df.columns)

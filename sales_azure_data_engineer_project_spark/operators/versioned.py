@@ -114,7 +114,13 @@ class VersionedTable:
             df = zorder_frame(df, zorder)
             stats_columns = list(dict.fromkeys([*(stats_columns or []), *zorder]))
         # Spark refuses to write into an existing dir without overwrite
-        # mode; overwrite onto the fresh mkdtemp path is safe — we own it
+        # mode; overwrite onto the fresh mkdtemp path is safe — we own it.
+        # Force the statistics-bearing timestamp format even on vanilla
+        # sessions: legacy INT96 has no min/max, which would silently
+        # turn timestamp manifests into keep-every-file.
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         df.write.mode("overwrite").parquet(staged)
         if stats_columns:
             # footer-only stats for THIS commit's files, written inside

@@ -3158,9 +3158,12 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc scoring is then a map-side join + one groupBy(doc_id)
     shuffle.  Nothing here grows faster than the char stream itself."""
     docs = load_testdata(spark, sf_dir, "documents")
+    # length filter runs on the LOWERED text (size(cs) counts it) so it
+    # agrees with the oracle's WHERE length(lower(text)) even for
+    # Unicode chars whose lowercase expands (e.g. U+0130)
     chars = (
-        docs.filter(F.char_length(F.col("text")) >= 3)
-        .select("doc_id", F.split(F.lower("text"), "(?!^)").alias("cs"))
+        docs.select("doc_id", F.split(F.lower("text"), "(?!^)").alias("cs"))
+        .filter(F.size("cs") >= 4)
         .transform(tracked_persist)
     )
     tg = chars.select(
@@ -3318,14 +3321,20 @@ def _bpe_merge_fold(x: str, y: str):
     )
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 4):
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, rounds: int = 4, words: DataFrame | None = None
+):
     """Train the merge table on the top-2000 word-frequency table;
-    returns [(rnd, lhs, rhs, merged, pair_count), ...]."""
-    words = (
-        load_testdata(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
-    )
+    returns [(rnd, lhs, rhs, merged, pair_count), ...].  Pass ``words``
+    (a one-column token stream) to reuse an already-tokenized corpus —
+    ``vocab_bpe_encode`` shares its persisted stream this way instead
+    of paying a second scan+split pass (review finding)."""
+    if words is None:
+        words = (
+            load_testdata(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+            .filter(F.col("word") != "")
+        )
     vocab = (
         words.groupBy("word")
         .agg(F.count("*").alias("freq"))
@@ -3453,11 +3462,11 @@ _SPAN8_SPARK = ",".join(f"toks[i+{j}]" for j in range(-1, 7))
     ),
     sp AS (SELECT doc_id, pos, concat_ws(' ', {_SPAN8_POS}) AS span FROM occ),
     g AS (SELECT span, COUNT(*) AS n,
-                 MIN(doc_id * 100000 + pos) AS first_key
+                 MIN(struct_pack(d := doc_id, p := pos)) AS fk
           FROM sp GROUP BY span),
     rem AS (
         SELECT s.doc_id, s.pos FROM sp s JOIN g ON g.span = s.span
-        WHERE g.n >= 2 AND s.doc_id * 100000 + s.pos <> g.first_key
+        WHERE g.n >= 2 AND NOT (s.doc_id = g.fk.d AND s.pos = g.fk.p)
     ),
     isl AS (
         SELECT doc_id, pos,
@@ -3514,14 +3523,19 @@ def text_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" i -> struct(i AS pos, xxhash64(concat_ws(' ', {_SPAN8_SPARK})) AS h)))"
         ).alias("s"),
     ).select("doc_id", "s.pos", "s.h")
-    key = (F.col("doc_id").cast("bigint") * 100000 + F.col("pos")).alias("k")
-    sp = sp.withColumn("k", key)
+    # first occurrence = lexicographic MIN over (doc_id, pos) structs —
+    # collision-free for any doc length, unlike an arithmetic
+    # doc_id*K + pos encoding (review finding: K bounds token count)
     g = sp.groupBy("h").agg(
-        F.count(F.lit(1)).alias("n"), F.min("k").alias("first_key")
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("fk"),
     )
     rem = (
         sp.join(g, "h")
-        .filter((F.col("n") >= 2) & (F.col("k") != F.col("first_key")))
+        .filter(
+            (F.col("n") >= 2)
+            & ~((F.col("doc_id") == F.col("fk.doc_id")) & (F.col("pos") == F.col("fk.pos")))
+        )
         .select("doc_id", "pos")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -4210,13 +4224,13 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf), not the token stream — the stream only does a broadcast join
     against word→count.  The per-word fold is the same ANSI-safe
     F.aggregate as training."""
-    merges = _bpe_train(spark, sf_dir)
     toks = (
         load_testdata(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
         .transform(tracked_persist)
     )
+    merges = _bpe_train(spark, sf_dir, words=toks.select("word"))
     allwords = toks.select("word").distinct().withColumn("syms", F.expr(_BPE_SYMS0))
     for _, x, y, _, _ in merges:
         allwords = allwords.withColumn("syms", _bpe_merge_fold(x, y))

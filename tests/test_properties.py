@@ -382,14 +382,17 @@ def test_q21_window_form_vs_reference(spark):
 @SLOW
 @given(
     ivs=st.lists(
-        st.tuples(st.integers(0, 1), st.integers(0, 12), st.integers(1, 6)),
+        st.tuples(st.integers(0, 1), st.integers(0, 12), st.integers(0, 6)),
         min_size=1,
         max_size=14,
     )
 )
 def test_interval_sweep_equals_brute(spark, ivs):
     """Boundary-sweep overlap counting ≡ the O(n²) brute force on
-    random half-open intervals (key, start, start+len)."""
+    random half-open intervals (key, start, start+len) — INCLUDING
+    zero-length intervals, which are empty SETS and overlap nothing
+    (intersection semantics, documented on the operator; review
+    finding: the sweep must not emit −1 for them either)."""
     from sales_azure_data_engineer_project_spark.operators.sweeps import (
         interval_overlap_counts,
     )
@@ -407,7 +410,10 @@ def test_interval_sweep_equals_brute(spark, ivs):
             1
             for i in range(len(mine))
             for j in range(i + 1, len(mine))
-            if mine[i][0] < mine[j][1] and mine[j][0] < mine[i][1]
+            if mine[i][0] < mine[i][1]  # empty sets intersect nothing
+            and mine[j][0] < mine[j][1]
+            and mine[i][0] < mine[j][1]
+            and mine[j][0] < mine[i][1]
         )
         expect[k] = (len(mine), pairs)
     assert got == expect

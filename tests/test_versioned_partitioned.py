@@ -384,3 +384,33 @@ def test_read_where_falls_back_without_manifest(spark, tmp_path):
         for r in orders.filter(F.col("o_custkey").between(10, 20)).collect()
     )
     assert got == expect and got
+
+
+def test_data_skipping_on_timestamp_column(spark, tmp_path):
+    """Manifest stats for temporal columns are normalized to epoch
+    integers (review finding: raw stringified datetime stats made
+    range bounds compare str-vs-datetime).  A time-sorted layout must
+    prune files for a datetime range and still return the exact
+    filter result."""
+    import datetime
+
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+    from sales_azure_data_engineer_project_spark.operators.skipping import pruned_files
+
+    ev = load_testdata(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts"
+    )
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    v = vt.overwrite(
+        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts"),
+        stats_columns=["ts"],
+    )
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 12)
+    keep, total = pruned_files(vt._vdir(v), "ts", lo, hi)
+    assert len(keep) < total, "time-sorted files must prune on a ts range"
+    got = sorted(r["event_id"] for r in vt.read_where("ts", lo, hi, version=v).collect())
+    expect = sorted(
+        r["event_id"] for r in ev.filter(F.col("ts").between(lo, hi)).collect()
+    )
+    assert got == expect and got
