@@ -18,86 +18,71 @@ from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: 
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# The driver verifies the FIRST 50 registered queries.  Rounds 1+2
-# together drove 70 of the 110 registered queries green
-# (CORRECTNESS_r01 ∪ CORRECTNESS_r02); this round-3 order front-loads
-# the 40 queries NEVER driver-checked (all round-2 additions: adapted
-# TPC-H Q2/Q4/Q7/Q8/Q9/Q11/Q13/Q14/Q15/Q17/Q18/Q20/Q21/Q22, the
-# window-rank/json/stats/null-safe suites, the SimHash-Hamming /
-# TF-cosine / SQ8 / IVF×SQ8 / PQ / kmeans ANN tiers, CDC chunks,
-# span-dup, repetition ratios, PII scrub, weighted sampling, vocab,
-# funnel, crossmodal) followed by 10 cross-round canaries — one per
-# proven family — so regressions in already-green code still surface.
+# The driver verifies the FIRST 50 registered queries.  After round 3,
+# 119 of the 137 registered queries have driver CORRECTNESS rows
+# (CORRECTNESS_r01 ∪ r02 ∪ r03); this round-4 order front-loads the 18
+# queries the driver has NEVER checked (all late round-3 additions —
+# each already passed the judge's independent re-run of the
+# driver-faithful DuckDB gate, VERDICT.md r3), followed by 32 canaries
+# chosen one-per-family from multiply-proven queries so regressions in
+# already-green code still surface.  Two canaries are deliberately
+# queries whose implementation CHANGES this round and therefore needs a
+# fresh driver row: dim_dense_keys (two-phase surrogate keys replace
+# the single-reducer global window) and approx_distinct_stats
+# (graduating from rows-only to a bounded-error oracle).
 _PRIORITY = [
-    # --- 40 never-driver-checked (registration order of r2) ---
-    "q2_min_cost_supplier",
-    "q4_order_priority_check",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit_adapted",
-    "q11_important_parts",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_orders",
-    "q22_inactive_rich_customers",
-    "window_rank_suite",
-    "json_functions",
-    "stats_aggregates_exact",
-    "null_safe_equality",
-    "events_value_anomalies",
-    "dedup_simhash_hamming",
-    "dedup_embedding_cosine",
-    "dedup_tf_cosine",
-    "dedup_clusters_minhash",
-    "similarity_ann_sq8",
-    "similarity_ann_ivf_sq8",
-    "similarity_ann_ivf_nprobe2",
-    "similarity_ann_ivf_kmeans",
-    "similarity_ann_pq",
-    "approx_distinct_stats",
-    "sample_weighted_poisson",
-    "vocab_top_tokens",
-    "tfidf_distinctive_terms",
-    "bigram_stats",
-    "text_winnowing_fingerprints",
-    "text_repetition_ratios",
-    "text_cdc_chunks",
-    "text_span_dup_stats",
-    "text_pii_scrub",
-    "crossmodal_doc_embedding_join",
-    "pipeline_training_prep",
-    "pipeline_decontaminate",   # new in r3 — benchmark-contamination check
-    "pipeline_pack_sequences",  # new in r3 — fixed-length sequence packing
-    "sample_mixture_weighted",  # new in r3 — per-source mixture rates
-    "dedup_incremental_batch",  # new in r3 — batch-vs-corpus near-dup
-    "dedup_semantic_semdedup",  # new in r3 — SemDeDup cluster-scoped cosine
-    "text_trigram_lm_score",    # new in r3 — integer-exact LM familiarity
-    "vocab_bpe_merges",         # new in r3 — BPE tokenizer-merge induction
-    "text_lang_classifier_nb",  # new in r3 — trained NB language classifier
-    "text_exact_substring_dedup",  # new in r3 — keep-first span removal
-    # --- canaries: driver-green in r1/r2, one per family ---
-    # (grouped_map_normalize, dedup_exact and text_quality_stats
-    # rotated out for the three new round-3 queries above — each was
-    # green in BOTH prior rounds, and their families keep coverage via
-    # multimodal_features / dedup_minhash_lsh / the text suite)
-    # (flagship_revenue_by_nation_year rotated out for
-    #  text_exact_substring_dedup — entry() still smoke-runs the
-    #  flagship every round, and it was oracle-green in r1 AND r2)
-    # (pricing_summary rotated out for vocab_bpe_merges — the grouped-
-    #  aggregate family keeps many in-window TPC-H representatives)
-    # (events_sessionization rotated out for text_trigram_lm_score —
-    #  the events family keeps events_value_anomalies in-window)
-    # (dedup_minhash_lsh rotated out for text_lang_classifier_nb — the
-    #  dedup family keeps simhash-hamming / clusters-minhash /
-    #  incremental / semdedup in-window)
-    # (similarity_ann_ivf rotated out for dedup_semantic_semdedup —
-    #  the IVF family keeps 4 in-window representatives: SQ8, IVF×SQ8,
-    #  nprobe2, kmeans)
+    # --- 18 never-driver-checked (late round-3 additions) ---
+    "approx_distinct_kmv",
+    "dedup_graph_triangles",
+    "dedup_lsh_recall",
+    "events_cohort_retention",
+    "events_distribution_drift",
+    "events_transition_matrix",
+    "fuzzy_name_pairs_symspell",
+    "interval_overlap_sweep",
+    "market_basket_pairs",
+    "parts_pareto_frontier",
+    "pipeline_split_train_val_test",
+    "profile_lineitem_columns",
+    "quality_functional_dependencies",
+    "sample_domain_quota",
+    "similarity_ann_lsh_multiprobe",
+    "spatial_neighbor_pairs",
+    "tokens_heavy_hitters_cms",
+    "vocab_bpe_encode",
+    # --- 32 canaries: one per proven family (all r1/r2/r3 green) ---
+    "flagship_revenue_by_nation_year",  # star join + agg (also entry())
+    "pricing_summary",                  # grouped sum family
+    "customers_with_orders",            # semi/anti-join family
+    "union_segments",                   # union family
+    "max_order_key",                    # scalar-agg family
+    "derived_columns",                  # derive/cast family
+    "top_orders",                       # multi-key sort family
+    "dim_dense_keys",                   # CHANGED r4: two-phase surrogate keys
+    "window_rank_suite",                # window-function suite
+    "q3_shipping_priority",             # TPC-H core
+    "q5_supplier_volume_by_region",     # TPC-H 6-way join
+    "q19_disjunctive_predicates",       # TPC-H disjunctive pushdown
+    "grouping_sets_revenue",            # grouping sets/rollup family
+    "pivot_returnflag_status",          # pivot family
+    "json_functions",                   # json family
+    "stats_aggregates_exact",           # stats-agg family
+    "null_safe_equality",               # null-semantics family
+    "events_sessionization",            # events window family
+    "events_asof_last_purchase",        # as-of join family
+    "events_funnel",                    # funnel family
+    "text_quality_stats",               # text-quality family
+    "text_span_dup_stats",              # span-dedup family
+    "text_trigram_lm_score",            # LM-score family
+    "dedup_exact",                      # exact-dedup family
+    "dedup_minhash_lsh",                # MinHash-LSH family
+    "dedup_semantic_semdedup",          # semantic-dedup family
+    "similarity_ann_ivf_kmeans",        # IVF-ANN family
+    "similarity_ann_pq",                # PQ-ANN family
     "multimodal_features",              # multimodal binary plumbing
+    "pipeline_decontaminate",           # train-prep pipeline family
+    "vocab_bpe_merges",                 # tokenizer family
+    "approx_distinct_stats",            # CHANGED r4: bounded-error oracle
 ]
 
 
