@@ -19,8 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import tracked_persist
-
 __all__ = ["interval_overlap_counts", "pareto_frontier"]
 
 
@@ -76,13 +74,19 @@ def pareto_frontier(
     # NULL y rows are incomparable — they can never dominate nor sit on
     # a max-y frontier; NULL x rows have no position on the x axis.
     base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    # localCheckpoint, NOT persist (ADVICE r3): the collected per-
+    # partition prefix maxima below are keyed by spark_partition_id —
+    # if a persisted frame were evicted and recomputed, range-partition
+    # sampling could assign different partition ids than the collected
+    # prefix map and silently corrupt the frontier.  A checkpointed
+    # block that is lost fails the job loudly instead of recomputing.
     grp = (
         base.groupBy(F.col(x_col).alias("_x"))
         .agg(F.max(F.col(y_col)).alias("_gmax"))
         .repartitionByRange(num_partitions, "_x")
         .sortWithinPartitions("_x")
         .withColumn("_pid", F.spark_partition_id())
-        .transform(tracked_persist)
+        .localCheckpoint(eager=True)
     )
     wloc = Window.partitionBy("_pid").orderBy("_x").rowsBetween(
         Window.unboundedPreceding, -1
@@ -109,7 +113,7 @@ def pareto_frontier(
         pref_col = None
     gprev = F.col("_lprev")
     if pref_col is not None:
-        pglobal = pref_col.getItem(F.col("_pid"))
+        pglobal = F.element_at(pref_col, F.col("_pid"))
         gprev = (
             F.when(gprev.isNull(), pglobal)
             .when(pglobal.isNull(), gprev)

@@ -378,17 +378,18 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dim_dense_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 dense keys via the two-phase ``dense_surrogate_key`` (round-4:
+    replaces the raw un-partitioned ``row_number`` window — same global
+    ``ROW_NUMBER() OVER (ORDER BY p_brand)`` result, but P parallel
+    reducers instead of one, so the same code path survives an
+    initial-load-sized dimension)."""
+    from .functions.scalar import dense_surrogate_key
+
     part = load_testdata(spark, sf_dir, "part")
-    w = Window.orderBy("p_brand")
-    return (
-        part.select("p_brand")
-        .distinct()
-        .select(
-            F.row_number().over(w).cast("bigint").alias("dim_brand_key"),
-            "p_brand",
-        )
-        .orderBy("dim_brand_key")
-    )
+    keyed = dense_surrogate_key(part.select("p_brand").distinct(), "dim_brand_key", ["p_brand"])
+    return keyed.select(
+        F.col("dim_brand_key").cast("bigint"), "p_brand"
+    ).orderBy("dim_brand_key")
 
 
 # ---------------------------------------------------------------------------
