@@ -1405,18 +1405,57 @@ def pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_stats", None)  # approximate by design → rows-only check
+@register(
+    "approx_distinct_stats",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_within_3rsd,
+           TRUE AS median_within_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch surface: HyperLogLog distinct + approximate quantiles.
-    Deliberately NOT oracle-checked (approximation error is
-    implementation-specific); the exact twins are `max_order_key`
-    (countDistinct) and `price_percentiles`."""
+    """Sketch surface: HyperLogLog distinct + approximate median — now
+    with a BOUNDED-ERROR oracle (round-4, VERDICT r3 "Next" #4; the
+    pattern ``approx_distinct_kmv`` established).  The raw sketch
+    values are engine-private (Spark's HLL++ and GK-quantile internals
+    have no DuckDB twin), so the query emits the EXACT aggregates plus
+    two booleans asserting each sketch landed inside its documented
+    accuracy contract; the oracle computes the exact columns and claims
+    ``TRUE`` for the bounds.  A sketch drifting outside its bound flips
+    the boolean and fails the driver's hash — a real gate, not
+    rows-only.
+
+    Bounds: ``approx_count_distinct`` default rsd = 0.05 ⇒ 3·rsd = 15%
+    (≈3σ; floor of 5 absolute for tiny groups where HLL sparse mode is
+    exact anyway).  ``percentile_approx`` default accuracy 10⁴ ⇒ rank
+    error ≤ n/10⁴, far inside the exact 49th–51st percentile band it is
+    checked against."""
     li = load_testdata(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.count(F.lit(1)).alias("n"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("_hll"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_amed"),
+        F.expr("percentile(l_extendedprice, 0.49)").alias("_lo"),
+        F.expr("percentile(l_extendedprice, 0.51)").alias("_hi"),
     )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "exact_parts",
+        (
+            F.abs(F.col("_hll") - F.col("exact_parts"))
+            <= F.greatest(F.ceil(F.col("exact_parts") * 0.15), F.lit(5))
+        ).alias("hll_within_3rsd"),
+        ((F.col("_amed") >= F.col("_lo")) & (F.col("_amed") <= F.col("_hi"))).alias(
+            "median_within_band"
+        ),
+    ).orderBy("l_returnflag")
 
 
 @register(
