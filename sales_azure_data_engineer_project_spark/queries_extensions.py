@@ -4474,6 +4474,111 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_recall_sampled",
+    f"""
+    WITH {_CORPUS_SQL},
+    samp AS (
+        SELECT * FROM corpus
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    ssh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks)-2),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                 ELSE []::VARCHAR[] END)) AS sh
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM samp)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+                     JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE (1000 * i.c) // (sa.n + sb.n - i.c) >= 500
+    ),
+    {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(concat_ws('|', h4, h5, h6, h7)) AS band_sig FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+            AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+        SELECT t.id_a FROM truth t JOIN cand c
+            ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS n_docs_sampled,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth_sampled,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit_sampled,
+           CAST((1000 * (SELECT COUNT(*) FROM hit))
+                // greatest((SELECT COUNT(*) FROM truth), 1) AS BIGINT)
+               AS recall_est_permille
+    """,
+)
+def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED-truth LSH recall estimator — the scale path
+    ``dedup_lsh_recall``'s docstring promises.  Ground truth there is
+    an exact all-pairs shingle-Jaccard join (Σ bucket², the expensive
+    side); here truth is computed only over a deterministic ~25% doc
+    sample (first md5 hex nibble of doc_id ∈ {0..3}), so the truth join
+    cost drops ~p² ≈ 16× while the LSH candidate side still runs over
+    the FULL corpus exactly as production would.  Recall of the banding
+    is then estimated as |sampled truth ∩ candidates| / |sampled truth|
+    — unbiased because banding hits are independent of the doc-id hash
+    used for sampling.  Run next to ``dedup_lsh_recall`` at sf0.01 the
+    estimator lands within a few permille of the exact recall (NOTES.md
+    records the delta).
+
+    Scale shape: sampling is a pushed-down filter on the truth side
+    only; at 100 TB this is the difference between an impossible
+    all-pairs join and a bounded audit job."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    samp = corpus.filter(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+        ).isin("0", "1", "2", "3")
+    )
+    truth = D.jaccard_pairs(samp, "doc_id", "text", min_permille=500).select(
+        "id_a", "id_b"
+    )
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    cand = D.lsh_candidate_pairs(bands, "doc_id").select("id_a", "id_b").distinct()
+    hit = truth.join(cand, ["id_a", "id_b"])
+    counts = (
+        samp.agg(F.count("*").alias("n_docs_sampled"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth_sampled")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit_sampled")))
+    )
+    return counts.select(
+        F.col("n_docs_sampled").cast("bigint"),
+        F.col("n_truth_sampled").cast("bigint"),
+        F.col("n_hit_sampled").cast("bigint"),
+        F.expr("div(1000 * n_hit_sampled, greatest(n_truth_sampled, 1))")
+        .cast("bigint")
+        .alias("recall_est_permille"),
+    )
+
+
+@register(
     "events_cohort_retention",
     """
     WITH ue AS (
