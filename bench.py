@@ -80,17 +80,21 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # median-of-3 (round-4, VERDICT r3 "Next" #6): round 3's single-shot
+    # numbers were unusable for regression triage under ambient
+    # co-tenant load (the same code measured 84.5 s and 104.2 s
+    # comparable within an hour).  Three executions per query; the
+    # median discards both the codegen-compile-laden first run and any
+    # one load spike.
+    _MEDIAN_OF = 3
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        # best-of-2: first execution includes codegen compile and is
-        # noise-prone under ambient load; the min approximates
-        # steady-state per-query latency
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(_MEDIAN_OF):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             # drop persisted intermediates (dedup signatures/shingles) so
             # one run's cache doesn't distort the next measurement; the
             # tracked-persist registry is drained too so Python-side
@@ -99,7 +103,7 @@ def main() -> None:
 
             release_caches()
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -126,21 +130,25 @@ def main() -> None:
     # round 2 benchmarked (bench_baseline_r2.json, the recorded
     # baseline) so later rounds that add queries don't inflate the
     # headline number against a smaller-set baseline.
-    comparable_total = None
-    base_path = os.path.join(here, "bench_baseline_r2.json")
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            base_queries = set(json.load(f)["queries"])
-        common = [n for n in timings if n in base_queries]
-        if common:
-            comparable_total = round(sum(timings[n] for n in common), 3)
+    comparables = {}
+    for rn in ("r2", "r3"):
+        base_path = os.path.join(here, f"bench_baseline_{rn}.json")
+        if os.path.exists(base_path):
+            with open(base_path) as f:
+                base_queries = set(json.load(f)["queries"])
+            common = [n for n in timings if n in base_queries]
+            if common:
+                comparables[f"{rn}_comparable_total"] = round(
+                    sum(timings[n] for n in common), 3
+                )
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(
             {"metric": "headline_queries_total",
              "value": round(sum(timings.values()), 3),
              "unit": "sec", "queries": timings, "sf": sf_val,
-             "r2_comparable_total": comparable_total},
+             "median_of": _MEDIAN_OF,
+             **comparables},
             f, indent=1,
         )
     print(
@@ -151,7 +159,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "sf": sf_val,
-                "r2_comparable_total": comparable_total,
+                "median_of": _MEDIAN_OF,
+                **comparables,
             }
         )
     )
