@@ -51,36 +51,49 @@ _MANIFEST = "_manifest.json"
 
 
 def _norm_stat(v):
-    """Normalize a stat (or query bound) to a JSON-native, totally-
-    ordered primitive so manifest values written by ``write_manifest``
-    and bounds passed to ``pruned_files`` always compare in the SAME
-    domain: numbers stay numbers, strings stay strings (lexicographic
-    pruning is correct for string columns), date/datetime collapse to
-    epoch days/microseconds, Decimal to float.  Anything else (bytes,
-    exotic logical types) returns None → stats unusable → file kept."""
+    """Normalize a stat (or query bound) to ``(value, domain)`` —
+    JSON-native, totally-ordered primitive plus a domain TAG so
+    manifest values written by ``write_manifest`` and bounds passed to
+    ``pruned_files`` only ever compare within the SAME domain (ADVICE
+    r3 medium: date→epoch-days and datetime→epoch-micros are both
+    integers; without the tag a datetime bound against a date column
+    compared mismatched units and could silently prune matching files).
+
+    Domains: ``num`` (int/float/bool/Decimal), ``str`` (lexicographic
+    pruning is correct for strings), ``date`` (epoch days),
+    ``timestamp`` (epoch microseconds).  Anything else (bytes, exotic
+    logical types) returns ``(None, None)`` → stats unusable → file
+    kept."""
     import datetime
     import decimal
 
-    if v is None or isinstance(v, bool):
-        return None if v is None else int(v)
-    if isinstance(v, (int, float, str)):
-        return v
+    if v is None:
+        return None, None
+    if isinstance(v, bool):
+        return int(v), "num"
+    if isinstance(v, (int, float)):
+        return v, "num"
+    if isinstance(v, str):
+        return v, "str"
     if isinstance(v, datetime.datetime):
         epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return int((v - epoch).total_seconds() * 1_000_000)
+        return int((v - epoch).total_seconds() * 1_000_000), "timestamp"
     if isinstance(v, datetime.date):
-        return (v - datetime.date(1970, 1, 1)).days
+        return (v - datetime.date(1970, 1, 1)).days, "date"
     if isinstance(v, decimal.Decimal):
-        return float(v)
-    return None
+        return float(v), "num"
+    return None, None
 
 
 def _footer_stats(path: str, columns: list[str]) -> dict:
-    """Per-column (min, max, null_count) for one parquet file, from the
-    footer only.  Columns with no usable stats map to None (reader must
-    keep the file).  Stats are normalized via ``_norm_stat`` — a value
-    that doesn't normalize invalidates the column's range for this file
-    (correctness over optimism)."""
+    """Per-column ``{"range": [min, max], "domain": tag,
+    "null_count": n}`` for one parquet file, from the footer only.
+    Columns with no usable stats map to None (reader must keep the
+    file); ``null_count`` is None when any row group omits it.  Stats
+    are normalized via ``_norm_stat`` — a value that doesn't normalize,
+    or row groups whose values normalize into different domains,
+    invalidate the column's range for this file (correctness over
+    optimism)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -90,20 +103,28 @@ def _footer_stats(path: str, columns: list[str]) -> dict:
         if col not in idx:
             out["columns"][col] = None
             continue
-        lo = hi = None
+        lo = hi = dom = None
+        nulls: int | None = 0
         ok = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[col]).statistics
             if st is None or not st.has_min_max:
                 ok = False
                 break
-            mn, mx = _norm_stat(st.min), _norm_stat(st.max)
-            if mn is None or mx is None:
+            (mn, dmn), (mx, dmx) = _norm_stat(st.min), _norm_stat(st.max)
+            if mn is None or mx is None or dmn != dmx or (dom and dmn != dom):
                 ok = False
                 break
+            dom = dmn
             lo = mn if lo is None or mn < lo else lo
             hi = mx if hi is None or mx > hi else hi
-        out["columns"][col] = [lo, hi] if ok else None
+            if nulls is not None:
+                nulls = nulls + st.null_count if st.has_null_count else None
+        out["columns"][col] = (
+            {"range": [lo, hi], "domain": dom, "null_count": nulls if ok else None}
+            if ok
+            else None
+        )
     return out
 
 
@@ -137,21 +158,32 @@ def pruned_files(vdir: str, col: str, lo, hi) -> tuple[list[str], int]:
     A file survives unless its recorded [min, max] provably misses the
     range; missing stats keep the file (correctness over optimism).
     Bounds are normalized like the stored stats (dates/datetimes →
-    epoch integers), so callers may pass the column's natural types;
-    bounds that normalize into a different domain than the stats (e.g.
-    a string bound against numeric stats) keep every file."""
+    epoch integers) and carry the same domain TAG, so callers may pass
+    the column's natural types; a bound whose domain differs from the
+    stats' recorded domain — a string bound against numeric stats, or a
+    datetime bound against a date column (epoch MICROS vs epoch DAYS:
+    both integers, incomparable units — ADVICE r3) — keeps every
+    file."""
     manifest = read_manifest(vdir)
     if manifest is None:
         raise FileNotFoundError(f"no {_MANIFEST} under {vdir}")
-    nlo, nhi = _norm_stat(lo), _norm_stat(hi)
+    (nlo, dlo), (nhi, dhi) = _norm_stat(lo), _norm_stat(hi)
     keep = []
     for fname, st in manifest["files"].items():
-        rng = (st.get("columns") or {}).get(col)
-        if rng is None or rng[0] is None or nlo is None or nhi is None:
+        entry = (st.get("columns") or {}).get(col)
+        rng = entry.get("range") if isinstance(entry, dict) else None
+        dom = entry.get("domain") if isinstance(entry, dict) else None
+        if (
+            rng is None
+            or rng[0] is None
+            or nlo is None
+            or nhi is None
+            or dlo != dhi
+            or dom != dlo
+        ):
             keep.append(fname)
             continue
-        comparable = isinstance(rng[0], str) == isinstance(nlo, str)
-        if not comparable or not (rng[1] < nlo or rng[0] > nhi):
+        if not (rng[1] < nlo or rng[0] > nhi):
             keep.append(fname)
     return [os.path.join(vdir, f) for f in keep], len(manifest["files"])
 

@@ -107,28 +107,48 @@ class VersionedTable:
             default=0,
         )
         new_v = max(cur, max_dir) + 1
-        staged = tempfile.mkdtemp(dir=self.root, prefix="._staged_")
+        # z-order plan construction (and its TypeError on non-numeric
+        # columns) runs BEFORE the staging dir exists, so a rejected
+        # frame can't leak an orphan ._staged_ dir (ADVICE r3)
         if zorder:
             from .skipping import zorder_frame
 
             df = zorder_frame(df, zorder)
             stats_columns = list(dict.fromkeys([*(stats_columns or []), *zorder]))
-        # Spark refuses to write into an existing dir without overwrite
-        # mode; overwrite onto the fresh mkdtemp path is safe — we own it.
-        # Force the statistics-bearing timestamp format even on vanilla
-        # sessions: legacy INT96 has no min/max, which would silently
-        # turn timestamp manifests into keep-every-file.
-        self.spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-        df.write.mode("overwrite").parquet(staged)
-        if stats_columns:
-            # footer-only stats for THIS commit's files, written inside
-            # the staged dir so the manifest publishes atomically with
-            # the data (the Delta add-action payload, O(commit) cost)
-            from .skipping import write_manifest
+        staged = tempfile.mkdtemp(dir=self.root, prefix="._staged_")
+        try:
+            # Spark refuses to write into an existing dir without
+            # overwrite mode; overwrite onto the fresh mkdtemp path is
+            # safe — we own it.  Force the statistics-bearing timestamp
+            # format even on vanilla sessions: legacy INT96 has no
+            # min/max, which would silently turn timestamp manifests
+            # into keep-every-file.  The session conf is restored after
+            # the write — a commit must not permanently change the
+            # write behavior of unrelated code sharing the session
+            # (ADVICE r3).
+            tt_key = "spark.sql.parquet.outputTimestampType"
+            prev_tt = self.spark.conf.get(tt_key, None)
+            self.spark.conf.set(tt_key, "TIMESTAMP_MICROS")
+            try:
+                df.write.mode("overwrite").parquet(staged)
+            finally:
+                if prev_tt is None:
+                    self.spark.conf.unset(tt_key)
+                else:
+                    self.spark.conf.set(tt_key, prev_tt)
+            if stats_columns:
+                # footer-only stats for THIS commit's files, written
+                # inside the staged dir so the manifest publishes
+                # atomically with the data (the Delta add-action
+                # payload, O(commit) cost)
+                from .skipping import write_manifest
 
-            write_manifest(staged, stats_columns)
+                write_manifest(staged, stats_columns)
+        except BaseException:
+            import shutil
+
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
         try:
             os.rename(staged, self._vdir(new_v))
         except OSError as e:

@@ -414,3 +414,68 @@ def test_data_skipping_on_timestamp_column(spark, tmp_path):
         r["event_id"] for r in ev.filter(F.col("ts").between(lo, hi)).collect()
     )
     assert got == expect and got
+
+
+def test_domain_mismatched_bounds_keep_every_file(spark, tmp_path):
+    """ADVICE r4: a datetime bound against a DATE column normalizes to
+    epoch MICROS while the stats are epoch DAYS — both integers, so the
+    old str-vs-nonstr guard compared mismatched units and could silently
+    prune matching files.  The manifest now carries a per-column domain
+    tag; any domain mismatch must keep EVERY file (and so must a string
+    bound against numeric stats)."""
+    import datetime
+
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+    from sales_azure_data_engineer_project_spark.operators.skipping import pruned_files
+
+    ev = (
+        load_testdata(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", F.to_date("ts").alias("d"), "value")
+    )
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    v = vt.overwrite(
+        ev.repartitionByRange(8, "d").sortWithinPartitions("d"),
+        stats_columns=["d", "value"],
+    )
+    # sanity: matching-domain bounds do prune
+    keep_date, total = pruned_files(
+        vt._vdir(v), "d", datetime.date(2024, 1, 10), datetime.date(2024, 1, 12)
+    )
+    assert len(keep_date) < total
+    # datetime bounds against the date column: epoch-micros >> epoch-days
+    # would prune everything under the old guard — must keep all files
+    keep_dt, _ = pruned_files(
+        vt._vdir(v),
+        "d",
+        datetime.datetime(2024, 1, 10),
+        datetime.datetime(2024, 1, 12),
+    )
+    assert len(keep_dt) == total, "domain mismatch must disable pruning"
+    # string bounds against a numeric column likewise keep every file
+    keep_str, _ = pruned_files(vt._vdir(v), "value", "10", "20")
+    assert len(keep_str) == total
+
+
+def test_commit_restores_timestamp_conf_and_cleans_failed_staging(spark, tmp_path):
+    """ADVICE r4: _commit must not permanently mutate
+    spark.sql.parquet.outputTimestampType, and a zorder TypeError must
+    not leak an orphan ._staged_ dir."""
+    import os
+
+    import pytest as _pytest
+
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+
+    key = "spark.sql.parquet.outputTimestampType"
+    before = spark.conf.get(key, None)
+    ev = load_testdata(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type"
+    )
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(ev, stats_columns=["ts"])
+    assert spark.conf.get(key, None) == before, "commit leaked session conf"
+    # zorder on a non-numeric column raises BEFORE any staging dir exists
+    with _pytest.raises(TypeError):
+        vt.overwrite(ev, zorder=["event_type"])
+    staged = [n for n in os.listdir(vt.root) if n.startswith("._staged_")]
+    assert staged == [], f"orphan staging dirs leaked: {staged}"
