@@ -2996,6 +2996,312 @@ def semdedup_drops(
     )
 
 
+def _full_train_prep_oracle_sql() -> str:
+    """DuckDB twin of ``pipeline_full_train_prep`` — the composed
+    funnel.  Assembled from the proven fragments: the unrolled-Lloyd
+    k-means cells (``_kmeans_cells_cte``), the corpus + quality/lang/
+    exact/minhash chain (``pipeline_training_prep``'s oracle), the
+    SemDeDup pair CTEs, the 8-token decontamination spans, the packing
+    window, and the hash split."""
+    sig_cols = ", ".join(
+        f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8)
+    )
+    return _kmeans_cells_cte() + f""",
+    {_CORPUS_SQL},
+    tk AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
+           FROM corpus),
+    scored AS (
+        SELECT doc_id, text, toks,
+               len(toks) AS n_tokens,
+               (1000 * len(list_distinct(toks))) // len(toks) AS ttr,
+               len(list_filter(toks, x -> x IN
+                   ('the','a','an','of','and','to','is','in','it','for')))
+                   AS stop_hits
+        FROM tk
+    ),
+    quality AS (SELECT * FROM scored WHERE n_tokens >= 20 AND ttr >= 300),
+    lang AS (SELECT * FROM quality WHERE stop_hits * 20 >= n_tokens),
+    exd AS (SELECT * FROM lang
+           QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+    exsh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks)-2),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                 ELSE []::VARCHAR[] END)) AS sh
+        FROM exd
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM exsh CROSS JOIN seeds
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(concat_ws('|', h4, h5, h6, h7)) AS band_sig FROM sig
+    ),
+    lsh_drops AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+    ),
+    nd AS (SELECT * FROM exd WHERE doc_id NOT IN (SELECT doc_id FROM lsh_drops)),
+    sl AS (SELECT c.vec_id, c.cluster, e.v, e.nrm
+           FROM cells c JOIN e ON e.vec_id = c.vec_id),
+    sem_pairs AS (
+        SELECT b.vec_id
+        FROM sl a JOIN sl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+    ),
+    sd AS (SELECT * FROM nd
+           WHERE doc_id NOT IN (SELECT DISTINCT vec_id FROM sem_pairs)),
+    evtk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus
+             WHERE doc_id % 10 = 0 AND doc_id < 100000),
+    evspans AS (
+        SELECT DISTINCT unnest(list_distinct(
+            CASE WHEN len(toks) >= 8
+                 THEN list_transform(generate_series(1, len(toks)-7),
+                      i -> concat_ws(' ', {_SPAN8}))
+                 ELSE []::VARCHAR[] END)) AS span
+        FROM evtk
+    ),
+    sdspans AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 8
+                 THEN list_transform(generate_series(1, len(toks)-7),
+                      i -> concat_ws(' ', {_SPAN8}))
+                 ELSE []::VARCHAR[] END)) AS span
+        FROM (SELECT doc_id, toks FROM sd
+              WHERE NOT (doc_id % 10 = 0 AND doc_id < 100000))
+    ),
+    contam AS (SELECT DISTINCT s.doc_id
+               FROM sdspans s JOIN evspans e ON e.span = s.span),
+    dc AS (SELECT * FROM sd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    pkc AS (
+        SELECT doc_id, doc_id % 8 AS shard, n_tokens AS n_tok,
+               SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM dc
+    ),
+    pk AS (
+        SELECT COALESCE(SUM(ns), 0) AS n_units, COALESCE(SUM(nt), 0) AS n_tokens
+        FROM (SELECT shard, (MAX(cum) + 511) // 512 AS ns, SUM(n_tok) AS nt
+              FROM pkc GROUP BY shard)
+    ),
+    sp AS (
+        SELECT CASE WHEN hv < 58982 THEN 'train'
+                    WHEN hv < 62258 THEN 'val' ELSE 'test' END AS split,
+               n_tokens
+        FROM (SELECT CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 4))
+                          AS BIGINT) AS hv,
+                     n_tokens
+              FROM dc)
+    ),
+    funnel AS (
+        SELECT 0 AS stage_idx, 'raw' AS stage, COUNT(*) AS n_units,
+               COALESCE(SUM(n_tokens), 0) AS n_tokens FROM scored
+        UNION ALL SELECT 1, 'quality', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM quality
+        UNION ALL SELECT 2, 'lang', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM lang
+        UNION ALL SELECT 3, 'exact_dedup', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM exd
+        UNION ALL SELECT 4, 'near_dedup', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM nd
+        UNION ALL SELECT 5, 'semantic_dedup', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM sd
+        UNION ALL SELECT 6, 'decontaminate', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM dc
+        UNION ALL SELECT 7, 'pack', n_units, n_tokens FROM pk
+        UNION ALL SELECT 8 + CASE split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END,
+               'split_' || split, COUNT(*), COALESCE(SUM(n_tokens), 0)
+        FROM sp GROUP BY split
+    )
+    SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+           CAST(n_units AS BIGINT) AS n_units,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM funnel ORDER BY stage_idx
+    """
+
+
+@register("pipeline_full_train_prep", _full_train_prep_oracle_sql())
+def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composed pipeline (round-4, VERDICT r3 "Next" #8):
+    every major train-prep operator family chained over ONE corpus pass
+    with per-stage survivor counts — quality filter → language filter →
+    exact dedup → MinHash-LSH near-dedup → SemDeDup semantic dedup
+    (embedding k-means cells, cos ≥ 0.45 to a lower-id neighbor) →
+    8-token-span decontamination against the eval stand-in → 512-token
+    sequence packing → deterministic 90/5/5 split.  Output: one row per
+    stage (``n_units`` = surviving docs, or packed sequences for the
+    ``pack`` row; token totals alongside) — the end-to-end funnel a
+    data-prep owner reads before shipping a corpus.
+
+    Composition semantics: each stage consumes the previous stage's
+    survivors.  Semantic dedup drops survivors whose embedding
+    (vec_id = doc_id) has a lower-id same-cluster neighbor at
+    cosine ≥ 0.45; docs without embeddings (the planted dup ids) pass
+    through.  Decontamination drops non-eval survivors sharing any
+    8-token span with the eval set.  Packing and the split both run on
+    the final cleaned set.
+
+    Scale shape: every stage reuses the proven scale pattern of its
+    standalone query — one persisted scored scan feeds stages 0-3, the
+    LSH drop set is banded (never all-pairs), SemDeDup's pair join is
+    cluster-equi-join Σ|cluster|² with k ∝ N, eval spans broadcast,
+    packing windows are per-shard, and the split is a map-side hash.
+    Stage counts come from per-frame aggregates, not re-scans."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    tk = corpus.select(
+        "doc_id", "text", F.split(F.col("text"), X.TOKEN_RE).alias("toks")
+    )
+    base = tk.select(
+        "doc_id",
+        "text",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr("div(1000 * size(array_distinct(toks)), size(toks))").alias("ttr"),
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(*X.EN_STOPWORDS)))
+        .cast("bigint")
+        .alias("stop_hits"),
+    ).transform(tracked_persist)
+    q_pass = (F.col("n_tokens") >= 20) & (F.col("ttr") >= 300)
+    l_pass = q_pass & (F.col("stop_hits") * 20 >= F.col("n_tokens"))
+    lang = base.filter(l_pass)
+    ex = (
+        lang.withColumn(
+            "keep",
+            F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text").cast("binary")))),
+        )
+        .filter(F.col("doc_id") == F.col("keep"))
+        .drop("keep")
+        .transform(tracked_persist)
+    )
+    bands = D.minhash_bands(ex, "doc_id", "text", n_hashes=8, band_size=4)
+    lsh_drops = (
+        D.lsh_candidate_pairs(bands, "doc_id")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = ex.join(F.broadcast(lsh_drops), "doc_id", "left_anti").transform(
+        tracked_persist
+    )
+    sem_drops = semdedup_drops(spark, sf_dir, k=8, iters=3).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    sd = nd.join(F.broadcast(sem_drops), "doc_id", "left_anti").transform(
+        tracked_persist
+    )
+    is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+    ev_spans = (
+        D.shingle_explode(corpus.filter(is_eval), "doc_id", "text", 8)
+        .select(F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
+    contam = (
+        D.shingle_explode(sd.filter(~is_eval), "doc_id", "text", 8)
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+        .join(F.broadcast(ev_spans), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    dc = sd.join(F.broadcast(contam), "doc_id", "left_anti").transform(tracked_persist)
+    wsh = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pkc = dc.select(
+        "doc_id", (F.col("doc_id") % 8).alias("shard"), F.col("n_tokens").alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(wsh))
+    pack = (
+        pkc.groupBy("shard")
+        .agg(
+            F.expr("div(max(cum) + 511, 512)").alias("ns"),
+            F.sum("n_tok").alias("nt"),
+        )
+        .agg(
+            F.coalesce(F.sum("ns"), F.lit(0)).cast("bigint").alias("n_units"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.lit(7).cast("int").alias("stage_idx"),
+            F.lit("pack").alias("stage"),
+            "n_units",
+            "n_tokens",
+        )
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sp = dc.select(
+        F.when(hv < 58982, "train").when(hv < 62258, "val").otherwise("test").alias(
+            "split"
+        ),
+        "n_tokens",
+    )
+    splits = sp.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+    ).select(
+        (
+            F.lit(8)
+            + F.when(F.col("split") == "train", 0)
+            .when(F.col("split") == "val", 1)
+            .otherwise(2)
+        )
+        .cast("int")
+        .alias("stage_idx"),
+        F.concat(F.lit("split_"), F.col("split")).alias("stage"),
+        "n_units",
+        "n_tokens",
+    )
+
+    def _cnt(flag):
+        return F.count(F.when(flag, F.lit(1))).cast("bigint")
+
+    def _tok(flag):
+        return F.coalesce(F.sum(F.when(flag, F.col("n_tokens"))), F.lit(0)).cast(
+            "bigint"
+        )
+
+    def _row(idx: int, name: str, c, t):
+        return F.struct(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            c.alias("n_units"),
+            t.alias("n_tokens"),
+        )
+
+    true = F.lit(True)
+    s012 = base.agg(
+        F.inline(
+            F.array(
+                _row(0, "raw", _cnt(true), _tok(true)),
+                _row(1, "quality", _cnt(q_pass), _tok(q_pass)),
+                _row(2, "lang", _cnt(l_pass), _tok(l_pass)),
+            )
+        )
+    )
+    s3 = ex.agg(F.inline(F.array(_row(3, "exact_dedup", _cnt(true), _tok(true)))))
+    s4 = nd.agg(F.inline(F.array(_row(4, "near_dedup", _cnt(true), _tok(true)))))
+    s5 = sd.agg(F.inline(F.array(_row(5, "semantic_dedup", _cnt(true), _tok(true)))))
+    s6 = dc.agg(F.inline(F.array(_row(6, "decontaminate", _cnt(true), _tok(true)))))
+    return (
+        s012.unionByName(s3)
+        .unionByName(s4)
+        .unionByName(s5)
+        .unionByName(s6)
+        .unionByName(pack)
+        .unionByName(splits)
+        .orderBy("stage_idx")
+    )
+
+
 def _pq_oracle_sql(m: int = 4, k: int = 16, subdim: int = 16, iters: int = 3) -> str:
     """Unrolled-Lloyd DuckDB twin of ``similarity_ann_pq``.
 
