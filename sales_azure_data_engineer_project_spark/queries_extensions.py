@@ -3051,9 +3051,10 @@ def _full_train_prep_oracle_sql() -> str:
     nd AS (SELECT * FROM exd WHERE doc_id NOT IN (SELECT doc_id FROM lsh_drops)),
     sl AS (SELECT c.vec_id, c.cluster, e.v, e.nrm
            FROM cells c JOIN e ON e.vec_id = c.vec_id),
+    slv AS (SELECT sl.* FROM sl JOIN nd ON nd.doc_id = sl.vec_id),
     sem_pairs AS (
         SELECT b.vec_id
-        FROM sl a JOIN sl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        FROM slv a JOIN slv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
     ),
     sd AS (SELECT * FROM nd
@@ -3182,12 +3183,37 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = ex.join(F.broadcast(lsh_drops), "doc_id", "left_anti").transform(
         tracked_persist
     )
-    sem_drops = semdedup_drops(spark, sf_dir, k=8, iters=3).select(
-        F.col("vec_id").alias("doc_id")
+    # SemDeDup restricted to the docs still IN the pipeline: the
+    # quantizer is trained on the full embedding space (reusable across
+    # runs), but the Σ|cluster|² pair join only pays for near-dedup
+    # SURVIVORS — dedup among dropped docs is wasted work, and at scale
+    # the survivor semi-join is an equi-join AQE sizes itself.
+    cells = _sq8_kmeans_cells(spark, sf_dir, k=8, iters=3)
+    # persisted: both sides of the pair self-join read it, and without
+    # the persist the survivor semi-join (and the cells projection
+    # under it) runs twice
+    slv = (
+        cells.select("vec_id", "cluster", "v", "nrm")
+        .join(nd.select(F.col("doc_id").alias("vec_id")), "vec_id")
+        .transform(tracked_persist)
     )
-    sd = nd.join(F.broadcast(sem_drops), "doc_id", "left_anti").transform(
-        tracked_persist
+    a_side = slv.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").alias("cl_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
+    sem_cos = S.dot(F.col("va"), F.col("v")) / (F.col("na") * F.col("nrm"))
+    sem_drops = (
+        slv.join(
+            a_side,
+            (F.col("cl_a") == F.col("cluster")) & (F.col("id_a") < F.col("vec_id")),
+        )
+        .filter(sem_cos >= 0.45)
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+    sd = nd.join(sem_drops, "doc_id", "left_anti").transform(tracked_persist)
     is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
     ev_spans = (
         D.shingle_explode(corpus.filter(is_eval), "doc_id", "text", 8)
