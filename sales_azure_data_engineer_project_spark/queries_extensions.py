@@ -5418,3 +5418,268 @@ def fuzzy_name_pairs_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "pipeline_data_mixture_epochs",
+    r"""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(len(string_split_regex(text, '\s+'))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS sq FROM s),
+    tot AS (SELECT SUM(sq) AS ssum FROM t)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((1000 * sq) // ssum AS BIGINT) AS weight_permille,
+           CAST((1000000 * sq) // ssum AS BIGINT) AS target_tokens,
+           CAST((1000 * ((1000000 * sq) // ssum)) // n_tokens AS BIGINT)
+               AS epochs_milli
+    FROM t, tot ORDER BY source
+    """,
+)
+def pipeline_data_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planner — the step that turns per-source corpus
+    stats into sampling weights and repeat factors (epochs) for a fixed
+    token budget, the way LLM training mixtures are specified (LLaMA's
+    per-source epochs table; temperature-weighted sampling).  Weights
+    here are temperature-T=2 (∝ √tokens, integer-floored so both
+    engines agree bit-for-bit): upweights small sources, downweights
+    the dominant one.  ``epochs_milli`` > 1000 means the source is seen
+    more than once for a 1M-token budget — the over-sampling knob.
+
+    Scale shape: one groupBy(source) token count (map-side combined),
+    one single-row total broadcast back — nothing scales with corpus
+    size but the first aggregate."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", X.TOKEN_RE))).cast("bigint").alias("n_tokens"),
+    )
+    t = s.withColumn("sq", F.floor(F.sqrt(F.col("n_tokens"))).cast("bigint"))
+    tot = t.agg(F.sum("sq").alias("ssum"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("div(1000 * sq, ssum)").cast("bigint").alias("weight_permille"),
+            F.expr("div(1000000 * sq, ssum)").cast("bigint").alias("target_tokens"),
+            F.expr("div(1000 * div(1000000 * sq, ssum), n_tokens)")
+            .cast("bigint")
+            .alias("epochs_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_gopher_quality_rules",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(text, '\s+') AS toks,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               (10 * len(list_filter(toks, x -> x != ''))) AS n_words10,
+               CASE WHEN len(toks) > 0
+                    THEN (10 * list_sum(list_transform(toks, x -> length(x))))
+                         // len(toks)
+                    ELSE 0 END AS mean_len_deci,
+               CASE WHEN len(toks) > 0
+                    THEN (1000 * len(list_filter(toks,
+                         x -> contains(x, '#') OR contains(x, '...'))))
+                         // len(toks)
+                    ELSE 0 END AS symbol_permille,
+               CASE WHEN len(lines) > 0
+                    THEN (1000 * len(list_filter(lines,
+                         x -> starts_with(x, '-') OR starts_with(x, '*'))))
+                         // len(lines)
+                    ELSE 0 END AS bullet_permille,
+               CASE WHEN len(lines) > 0
+                    THEN (1000 * len(list_filter(lines, x -> ends_with(x, '...'))))
+                         // len(lines)
+                    ELSE 0 END AS ellipsis_permille,
+               len(list_distinct(list_filter(toks, x -> x IN
+                   ('the','a','an','of','and','to','is','in','it','for'))))
+                   AS n_stop_distinct
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(mean_len_deci AS BIGINT) AS mean_len_deci,
+           CAST(symbol_permille AS BIGINT) AS symbol_permille,
+           CAST(bullet_permille AS BIGINT) AS bullet_permille,
+           CAST(ellipsis_permille AS BIGINT) AS ellipsis_permille,
+           CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+           (n_tokens BETWEEN 50 AND 100000)
+               AND (mean_len_deci BETWEEN 30 AND 100)
+               AND symbol_permille < 100
+               AND bullet_permille < 900
+               AND ellipsis_permille < 300
+               AND n_stop_distinct >= 2 AS passes
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 §A1.1, reused
+    by Dolma/FineWeb): per-document token count bounds, mean word
+    length in [3, 10], symbol-to-word ratio (# and ...), bullet-line
+    and ellipsis-line fractions, and ≥2 distinct stopwords — the
+    document-level heuristic filter that runs before any model-based
+    scoring.  All metrics are integer-scaled (deci/permille) so both
+    engines agree exactly; ``passes`` is the conjunctive verdict.
+
+    Scale shape: one scan, all metrics from two split() arrays bound
+    once per row; no shuffle at all (the ORDER BY is the driver's
+    display sort, dropped by a downstream filter consumer)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", X.TOKEN_RE).alias("toks"),
+        F.split("text", "\n").alias("lines"),
+    )
+    n = F.size("toks")
+    nl = F.size("lines")
+    m = t.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.when(
+            n > 0,
+            F.expr(
+                "div(10 * aggregate(transform(toks, x -> length(x)), 0L,"
+                " (a, x) -> a + x), size(toks))"
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("mean_len_deci"),
+        F.when(
+            n > 0,
+            F.expr(
+                "div(1000 * size(filter(toks, x -> contains(x, '#')"
+                " OR contains(x, '...'))), size(toks))"
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("symbol_permille"),
+        F.when(
+            nl > 0,
+            F.expr(
+                "div(1000 * size(filter(lines, x -> startswith(x, '-')"
+                " OR startswith(x, '*'))), size(lines))"
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("bullet_permille"),
+        F.when(
+            nl > 0,
+            F.expr(
+                "div(1000 * size(filter(lines, x -> endswith(x, '...'))),"
+                " size(lines))"
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("ellipsis_permille"),
+        F.size(
+            F.array_distinct(F.filter(F.col("toks"), lambda x: x.isin(*X.EN_STOPWORDS)))
+        )
+        .cast("bigint")
+        .alias("n_stop_distinct"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "mean_len_deci",
+        "symbol_permille",
+        "bullet_permille",
+        "ellipsis_permille",
+        "n_stop_distinct",
+        (
+            F.col("n_tokens").between(50, 100000)
+            & F.col("mean_len_deci").between(30, 100)
+            & (F.col("symbol_permille") < 100)
+            & (F.col("bullet_permille") < 900)
+            & (F.col("ellipsis_permille") < 300)
+            & (F.col("n_stop_distinct") >= 2)
+        ).alias("passes"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "events_watermark_late_stats",
+    r"""
+    WITH o AS (
+        SELECT event_type, event_id,
+               CAST(epoch(ts) AS BIGINT) AS es,
+               MAX(CAST(epoch(ts) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING) AS hwm
+        FROM events
+    ),
+    l AS (SELECT event_type, hwm - es AS late_sec FROM o)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_sec > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_out_of_order,
+           CAST(SUM(CASE WHEN late_sec > 300 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late_5min,
+           CAST(SUM(CASE WHEN late_sec > 600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_10min_watermark,
+           CAST(MAX(late_sec) AS BIGINT) AS max_late_sec
+    FROM l GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_watermark_late_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of Structured Streaming's watermark accounting: with
+    ``event_id`` as arrival order, each event's lateness is the
+    high-water-mark timestamp seen so far in its event_type stream
+    minus its own timestamp; the query reports how many events a 5-min
+    allowed-lateness window would mark late and a 10-min watermark
+    would DROP — exactly the sizing analysis you run before choosing
+    ``withWatermark`` bounds on the streaming pipeline
+    (``streaming/stateful.py`` implements the live side).
+
+    Scale shape: one hash Exchange(event_type) + per-partition sort for
+    the running max — the same distribution the streaming operator's
+    state store uses; the aggregate is map-side combinable."""
+    ev = load_testdata(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    es = F.unix_timestamp("ts").cast("bigint")
+    o = ev.select(
+        "event_type",
+        "event_id",
+        es.alias("es"),
+    ).withColumn("hwm", F.max("es").over(w))
+    late = o.select("event_type", (F.col("hwm") - F.col("es")).alias("late_sec"))
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("late_sec") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_out_of_order"),
+            F.sum(F.when(F.col("late_sec") > 300, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late_5min"),
+            F.sum(F.when(F.col("late_sec") > 600, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped_10min_watermark"),
+            F.max("late_sec").cast("bigint").alias("max_late_sec"),
+        )
+        .orderBy("event_type")
+    )
