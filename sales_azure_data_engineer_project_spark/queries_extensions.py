@@ -5683,3 +5683,177 @@ def events_watermark_late_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "similarity_matryoshka_agreement",
+    """
+    WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS nrm,
+               (embedding::DOUBLE[])[1:16] AS tv,
+               greatest(sqrt(list_dot_product((embedding::DOUBLE[])[1:16],
+                                              (embedding::DOUBLE[])[1:16])),
+                        1e-12) AS tnrm
+        FROM embeddings
+    ),
+    full_rk AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                            c.vec_id) AS rk
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+    ),
+    trunc_rk AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.tv, c.tv) / (q.tnrm * c.tnrm) DESC,
+                            c.vec_id) AS rk
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT CAST(f.query_id AS BIGINT) AS query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS overlap_at_5
+    FROM full_rk f
+    LEFT JOIN trunc_rk t ON t.query_id = f.query_id
+        AND t.neighbor_id = f.neighbor_id AND t.rk <= 5
+    WHERE f.rk <= 5
+    GROUP BY f.query_id
+    ORDER BY query_id
+    """,
+)
+def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation audit (Kusupati et al.
+    2022): rank the corpus by cosine twice — full 64-dim embeddings vs
+    the first-16-dims prefix renormalized — and report, per query, how
+    many of the full top-5 the truncated top-5 retains.  This is the
+    measurement that decides whether a 4× cheaper prefix index is good
+    enough as a first-stage retriever.
+
+    Scale shape: both rankings are the bounded-query broadcast scan of
+    ``similarity_cosine_topk`` (queries broadcast, corpus scanned once
+    per ranking; the truncated pass reads 4× fewer floats); the
+    agreement join is per-query top-5 — constant size."""
+    emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
+    n = emb.select(
+        "vec_id",
+        F.col("_v").alias("v"),
+        F.col("_norm").alias("nrm"),
+        F.slice(F.col("_v"), 1, 16).alias("tv"),
+    ).withColumn(
+        "tnrm",
+        F.greatest(F.sqrt(S.dot(F.col("tv"), F.col("tv"))), F.lit(1e-12)),
+    ).transform(tracked_persist)
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("tv").alias("qtv"),
+        F.col("tnrm").alias("qtn"),
+    )
+    pairs = n.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+    wf = Window.partitionBy("query_id").orderBy(
+        (S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).desc(),
+        F.col("vec_id"),
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        (S.dot(F.col("qtv"), F.col("tv")) / (F.col("qtn") * F.col("tnrm"))).desc(),
+        F.col("vec_id"),
+    )
+    ranked = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.row_number().over(wf).alias("frk"),
+        F.row_number().over(wt).alias("trk"),
+    )
+    return (
+        ranked.filter(F.col("frk") <= 5)
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("trk") <= 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("overlap_at_5")
+        )
+        .select(F.col("query_id").cast("bigint"), "overlap_at_5")
+        .orderBy("query_id")
+    )
+
+
+def _cluster_quality_oracle_sql() -> str:
+    """DuckDB twin of ``embedding_cluster_quality``: replays the
+    trained cells (``_kmeans_cells_cte``), then computes each cluster's
+    size and INTEGER-EXACT scaled radius — the per-vector distance² to
+    the cluster's FINAL mean, scaled by |cluster|² so every term
+    (n·cvec_i − Σcvec_i)² is an integer both engines agree on
+    bit-for-bit (the same exactness trick as the k-means training
+    itself)."""
+    return _kmeans_cells_cte() + """,
+    cn AS (SELECT cluster, COUNT(*) AS n FROM cells GROUP BY cluster),
+    fu AS (
+        SELECT c.cluster, t.i AS pos, CAST(SUM(s.cvec[t.i]) AS BIGINT) AS sm
+        FROM cells c JOIN cv s ON s.vec_id = c.vec_id
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY c.cluster, t.i
+    ),
+    fm AS (SELECT cluster, list(sm ORDER BY pos) AS sml FROM fu GROUP BY cluster),
+    pv AS (
+        SELECT c.cluster,
+               list_sum(list_transform(range(1, 65),
+                   t -> CAST(cn.n * s.cvec[t] - fm.sml[t] AS BIGINT)
+                        * CAST(cn.n * s.cvec[t] - fm.sml[t] AS BIGINT))) AS d2s
+        FROM cells c
+        JOIN cv s ON s.vec_id = c.vec_id
+        JOIN fm ON fm.cluster = c.cluster
+        JOIN cn ON cn.cluster = c.cluster
+    )
+    SELECT CAST(p.cluster AS INTEGER) AS cluster,
+           CAST(ANY_VALUE(cn.n) AS BIGINT) AS n_vectors,
+           CAST(MAX(p.d2s) AS BIGINT) AS radius_scaled
+    FROM pv p JOIN cn ON cn.cluster = p.cluster
+    GROUP BY p.cluster ORDER BY cluster
+    """
+
+
+@register("embedding_cluster_quality", _cluster_quality_oracle_sql())
+def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality diagnostics for the trained k-means quantizer —
+    per cluster: member count and the scaled radius (max member
+    distance² to the final cluster mean, ×|cluster|² to stay in exact
+    integer arithmetic).  This is the health check run before trusting
+    an IVF index or SemDeDup partition: a cluster with a huge radius
+    means the quantizer under-fits that region and its cell scans are
+    near-brute-force.
+
+    Scale shape: the final-mean partial sums are the same (k·d)-row
+    shuffle as one Lloyd update step; the per-vector distance needs one
+    posexplode + a broadcast join of the k·d sums — nothing quadratic,
+    nothing driver-side beyond the k×d matrix."""
+    cells = _sq8_kmeans_cells(spark, sf_dir, k=8, iters=3)
+    pe = cells.select(
+        "vec_id", "cluster", F.posexplode("cvec").alias("pos", "x")
+    )
+    sums = pe.groupBy("cluster", "pos").agg(
+        F.sum("x").cast("bigint").alias("sm")
+    )
+    cn = cells.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    term = (F.col("n") * F.col("x") - F.col("sm")).cast("bigint")
+    pv = (
+        pe.join(F.broadcast(sums), ["cluster", "pos"])
+        .join(F.broadcast(cn), "cluster")
+        .select("vec_id", "cluster", (term * term).alias("t2"))
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum("t2").alias("d2s"))
+    )
+    return (
+        pv.groupBy("cluster")
+        .agg(F.max("d2s").cast("bigint").alias("radius_scaled"))
+        .join(F.broadcast(cn), "cluster")
+        .select(
+            F.col("cluster").cast("int"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            "radius_scaled",
+        )
+        .orderBy("cluster")
+    )
