@@ -334,6 +334,15 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                     # scored in the 8-bit code domain
         "similarity_ann_pq",        # ADC probe: bounded query LUT
                                     # broadcast against the code scan
+        "pipeline_full_train_prep",  # shared _sq8_kmeans_cells 1-row
+                                     # sq8 stats broadcast (as semdedup)
+        "dedup_lsh_recall_sampled",  # 1-row count aggregates crossJoined
+                                     # (as dedup_lsh_recall)
+        "pipeline_data_mixture_epochs",  # 1-row Σ√tokens total broadcast
+        "similarity_matryoshka_agreement",  # bounded-query broadcast ×
+                                    # corpus, same as similarity_cosine_topk
+        "embedding_cluster_quality",  # shared _sq8_kmeans_cells 1-row
+                                      # sq8 stats broadcast
     }
     offenders = {}
     for name, fn in m.queries().items():
