@@ -50,6 +50,12 @@ QUERIES = [
     # mode; the paper's regime scales k ∝ N and restores linearity.
     ("dedup_semantic_semdedup", [1, 3]),
     ("semdedup[k∝N]", [1, 3, 10]),
+    # round-4 additions
+    ("pipeline_full_train_prep", [1, 3, 10]),
+    ("dedup_lsh_recall_sampled", [1, 3, 10]),
+    ("text_gopher_quality_rules", [1, 3, 10]),
+    ("similarity_matryoshka_agreement", [1, 3, 10]),
+    ("embedding_cluster_quality", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
@@ -94,6 +100,9 @@ def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
 
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # optional: restrict to the named queries (re-measure only new rows)
+    only = set(sys.argv[2:])
+    queries = [(n, s) for n, s in QUERIES if not only or n in only]
     import __spark_entry__ as entry_mod
     from sales_azure_data_engineer_project_spark.caching import release_caches
     from sales_azure_data_engineer_project_spark.session import get_spark
@@ -124,7 +133,7 @@ def main() -> None:
         return lambda sp, d, s: fn(sp, d)
 
     results: dict[str, dict[int, float]] = {}
-    for name, scales in QUERIES:
+    for name, scales in queries:
         fn = runner(name)
         results[name] = {}
         for s in scales:
