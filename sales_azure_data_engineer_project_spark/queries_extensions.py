@@ -1436,14 +1436,21 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     error ≤ n/10⁴, far inside the exact 49th–51st percentile band it is
     checked against."""
     li = load_testdata(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # TWO aggregates joined on the 3-row group key, NOT one: mixing
+    # countDistinct with four non-distinct aggregates makes Catalyst
+    # plan an Expand (one row copy per aggregate class) — measured
+    # 9.5 s vs 3.2 s split at sf0.1.  The join is |groups| rows.
+    counts = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+    )
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("_hll"),
         F.percentile_approx("l_extendedprice", 0.5).alias("_amed"),
         F.expr("percentile(l_extendedprice, 0.49)").alias("_lo"),
         F.expr("percentile(l_extendedprice, 0.51)").alias("_hi"),
     )
+    agg = counts.join(F.broadcast(sketches), "l_returnflag")
     return agg.select(
         "l_returnflag",
         "n",
