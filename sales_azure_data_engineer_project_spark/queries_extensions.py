@@ -1447,8 +1447,10 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("_hll"),
         F.percentile_approx("l_extendedprice", 0.5).alias("_amed"),
-        F.expr("percentile(l_extendedprice, 0.49)").alias("_lo"),
-        F.expr("percentile(l_extendedprice, 0.51)").alias("_hi"),
+        # one percentile(col, array(...)) call — the exact aggregate
+        # buffers the group's values once per CALL (price_percentiles
+        # lesson)
+        F.expr("percentile(l_extendedprice, array(0.49D, 0.51D))").alias("_band"),
     )
     agg = counts.join(F.broadcast(sketches), "l_returnflag")
     return agg.select(
@@ -1459,7 +1461,10 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_hll") - F.col("exact_parts"))
             <= F.greatest(F.ceil(F.col("exact_parts") * 0.15), F.lit(5))
         ).alias("hll_within_3rsd"),
-        ((F.col("_amed") >= F.col("_lo")) & (F.col("_amed") <= F.col("_hi"))).alias(
+        (
+            (F.col("_amed") >= F.element_at("_band", 1))
+            & (F.col("_amed") <= F.element_at("_band", 2))
+        ).alias(
             "median_within_band"
         ),
     ).orderBy("l_returnflag")
@@ -5863,4 +5868,187 @@ def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "radius_scaled",
         )
         .orderBy("cluster")
+    )
+
+
+@register(
+    "dedup_graph_pagerank",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(concat_ws('|', h4, h5, h6, h7)) AS band_sig FROM sig
+    ),
+    e AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+            AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    ed AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY src),
+    i1 AS (SELECT ed.dst AS node, SUM(1000000 // dg.d) AS inc
+           FROM ed JOIN deg dg ON dg.node = ed.src GROUP BY ed.dst),
+    s1 AS (SELECT n.node, 150000 + (850 * COALESCE(i.inc, 0)) // 1000 AS s
+           FROM deg n LEFT JOIN i1 i ON i.node = n.node),
+    i2 AS (SELECT ed.dst AS node, SUM(s1.s // dg.d) AS inc
+           FROM ed JOIN deg dg ON dg.node = ed.src
+                   JOIN s1 ON s1.node = ed.src GROUP BY ed.dst),
+    s2 AS (SELECT n.node, 150000 + (850 * COALESCE(i.inc, 0)) // 1000 AS s
+           FROM deg n LEFT JOIN i2 i ON i.node = n.node),
+    i3 AS (SELECT ed.dst AS node, SUM(s2.s // dg.d) AS inc
+           FROM ed JOIN deg dg ON dg.node = ed.src
+                   JOIN s2 ON s2.node = ed.src GROUP BY ed.dst),
+    s3 AS (SELECT n.node, n.d, 150000 + (850 * COALESCE(i.inc, 0)) // 1000 AS s
+           FROM deg n LEFT JOIN i3 i ON i.node = n.node)
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(d AS BIGINT) AS degree,
+           CAST(s AS BIGINT) AS pagerank_micro
+    FROM s3 ORDER BY pagerank_micro DESC, doc_id LIMIT 20
+    """,
+)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup candidate graph — 3 power iterations,
+    damping 0.85, INTEGER micro-unit arithmetic (initial score 10⁶ per
+    node; every contribution is a floor division), so the iterative
+    fixpoint replays bit-for-bit in the unrolled DuckDB twin.  High-PR
+    nodes are the "hub" documents many near-dups orbit — the doc a
+    dedup pipeline keeps as the cluster representative (or audits
+    first).  Top-20 by score.
+
+    Scale shape: the canonical distributed PageRank — each iteration is
+    ONE equi-join of the edge list with the score vector plus one
+    groupBy(dst) partial-sum shuffle; the degree table joins broadcast.
+    Per-iteration cost is O(|E|) with no driver involvement; the
+    iteration COUNT is fixed (3), so the plan is a static 3-deep chain
+    AQE pipelines — no lineage blowup, no checkpointing needed at this
+    depth.  Top-k is TakeOrderedAndProject, never a global sort."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    e = (
+        D.lsh_candidate_pairs(bands, "doc_id")
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .distinct()
+    )
+    ed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).transform(tracked_persist)
+    deg = ed.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d")).transform(
+        tracked_persist
+    )
+    # edge list pre-joined with source degree once; reused by all iters
+    edd = ed.join(
+        F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))),
+        "src",
+    ).transform(tracked_persist)
+    s = deg.select("node", F.lit(1000000).cast("bigint").alias("s"))
+    for _ in range(3):
+        inc = (
+            edd.join(
+                s.select(F.col("node").alias("src"), F.col("s").alias("s_src")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("div(s_src, d_src)")).alias("inc"))
+        )
+        s = deg.join(inc, "node", "left").select(
+            "node",
+            "d",
+            (
+                F.lit(150000)
+                + F.expr("div(850 * coalesce(inc, 0L), 1000)")
+            ).cast("bigint").alias("s"),
+        )
+    return (
+        s.select(
+            F.col("node").cast("bigint").alias("doc_id"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.col("s").alias("pagerank_micro"),
+        )
+        .orderBy(F.col("pagerank_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "events_robust_anomalies_mad",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(ROUND(ANY_VALUE(m.med), 6) AS DECIMAL(18,6)) AS DOUBLE) AS median_value,
+           CAST(CAST(ROUND(ANY_VALUE(md.mad), 6) AS DECIMAL(18,6)) AS DOUBLE) AS mad_value,
+           CAST(SUM(CASE WHEN 10000 * d.ad > 44478 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN med m ON m.event_type = d.event_type
+    JOIN mad md ON md.event_type = d.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def events_robust_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counts via Median Absolute Deviation — the
+    outlier rule that survives the outliers themselves (mean/stddev,
+    as in ``events_value_anomalies``, is dragged by the very anomalies
+    it hunts; median/MAD has a 50% breakdown point).  An event is
+    anomalous when |x − median| > 3·1.4826·MAD, evaluated as the exact
+    cross-multiplied integer-scaled comparison 10000·|x−med| >
+    44478·MAD so no division enters the predicate.  Exact interpolating
+    percentiles on both engines (bitwise-identical — the
+    ``price_percentiles`` precedent).
+
+    Scale shape: two grouped exact-median passes (per-group
+    ObjectHashAggregate, the unavoidable cost of exact medians — the
+    approximate path is ``percentile_approx`` as in
+    ``approx_distinct_stats``) with a broadcast median join between
+    them; the final count is one map-side-combinable aggregate."""
+    ev = load_testdata(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    ).transform(tracked_persist)
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.first("med"), 6)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("median_value"),
+            F.round(F.first("mad"), 6)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("mad_value"),
+            F.sum(
+                F.when(10000 * F.col("ad") > 44478 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
     )
