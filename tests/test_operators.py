@@ -117,3 +117,45 @@ def test_resize_raw_tensor_exact(spark):
 
     down = resize_raw_tensor(expect, 4, 4, 2, 2)
     assert down == t.tobytes()
+
+
+def test_dense_surrogate_key_initial_load_scale(spark):
+    """Round-4: the two-phase path must produce the identical dense
+    global sequence a single ORDER BY window would, at initial-load
+    size (every key new — the case the old single-reducer window
+    choked on), including key order and determinism across calls."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 50_000).select(
+        ((F.col("id") * 2654435761) % 1_000_003).alias("nk")
+    ).distinct()
+    out = dense_surrogate_key(df, "sk", ["nk"], offset=100)
+    rows = sorted((r["nk"], r["sk"]) for r in out.collect())
+    n = len(rows)
+    assert [sk for _, sk in rows] == list(range(101, 101 + n)), "keys not dense"
+    assert all(rows[i][0] < rows[i + 1][0] for i in range(n - 1))
+    again = {r["nk"]: r["sk"] for r in dense_surrogate_key(df, "sk", ["nk"], offset=100).collect()}
+    assert again == dict(rows), "not deterministic across invocations"
+
+
+def test_full_train_prep_funnel_monotone(spark):
+    """The capstone funnel's doc stages must be non-increasing (each
+    stage only drops), pack tokens must equal the final doc stage's
+    tokens, and the split rows must partition the cleaned set."""
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        pipeline_full_train_prep,
+    )
+
+    rows = {r["stage"]: r for r in pipeline_full_train_prep(
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    chain = ["raw", "quality", "lang", "exact_dedup", "near_dedup",
+             "semantic_dedup", "decontaminate"]
+    for a, b in zip(chain, chain[1:]):
+        assert rows[b]["n_units"] <= rows[a]["n_units"], (a, b)
+        assert rows[b]["n_tokens"] <= rows[a]["n_tokens"], (a, b)
+    assert rows["pack"]["n_tokens"] == rows["decontaminate"]["n_tokens"]
+    split_docs = sum(rows[s]["n_units"] for s in ("split_train", "split_val", "split_test") if s in rows)
+    split_toks = sum(rows[s]["n_tokens"] for s in ("split_train", "split_val", "split_test") if s in rows)
+    assert split_docs == rows["decontaminate"]["n_units"]
+    assert split_toks == rows["decontaminate"]["n_tokens"]
