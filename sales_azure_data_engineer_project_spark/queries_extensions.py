@@ -6052,3 +6052,112 @@ def events_robust_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_value_histogram",
+    """
+    WITH b AS (
+        SELECT event_type,
+               least(CAST(floor(value / 50.0) AS INTEGER), 19) AS bucket
+        FROM events WHERE value >= 0
+    )
+    SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+           CAST(bucket * 50 AS BIGINT) AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per type (width 50, final
+    bucket open-ended) — the profiling staple behind every dashboard
+    distribution plot and the input to histogram-equalization joins.
+
+    Scale shape: pure map-side bucketing + one combinable groupBy over
+    (type, bucket) — cardinality is types × 20 regardless of row
+    count."""
+    ev = load_testdata(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    b = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(19)).alias("bucket"),
+    )
+    return (
+        b.groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            F.col("bucket").cast("int"),
+            (F.col("bucket").cast("bigint") * 50).alias("lo"),
+            "n",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    rf"""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+               FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks)-2),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                 ELSE []::VARCHAR[] END)) AS sh
+        FROM t
+    ),
+    owner AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+    j AS (
+        SELECT s.doc_id,
+               CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END AS novel
+        FROM sh s JOIN owner o ON o.sh = s.sh
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           CAST((1000 * SUM(novel)) // COUNT(*) AS BIGINT) AS novelty_permille
+    FROM j GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the fraction of a doc's distinct
+    shingles whose FIRST corpus occurrence (min doc_id) is the doc
+    itself — the duplication/memorization-risk profile a data curator
+    reads next to the dedup reports (low novelty ⇒ the doc mostly
+    restates earlier text even when no single pair crosses a Jaccard
+    threshold; the document-level view of what exact-substring dedup
+    removes span-by-span).
+
+    Scale shape: one shingle explode, one groupBy(shingle) MIN — the
+    same posting-list distribution every dedup operator here rides —
+    then an equi-join back and a per-doc count; shingle identity
+    travels as the raw string ONLY in the oracle (Spark side hashes to
+    xxhash64 longs, collision-checked by the oracle differential)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    sh = D.shingle_explode(docs, "doc_id", "text", 3).select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    ).transform(tracked_persist)
+    owner = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(owner, "h").select(
+        "doc_id",
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0).alias("novel"),
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("novel").cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("div(1000 * n_novel, n_shingles)")
+            .cast("bigint")
+            .alias("novelty_permille"),
+        )
+        .orderBy("doc_id")
+    )
