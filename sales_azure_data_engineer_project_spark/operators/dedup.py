@@ -84,8 +84,17 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_explode(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct shingles per document."""
-    return df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("sh"))
+    """(id, shingle) pairs, distinct shingles per document.
+
+    Tokens are BOUND in a projection before the gram lambda (round-4:
+    the previous ``word_shingles(text_col)`` inlined ``split(text)``
+    into the higher-order lambda, re-running the regex per
+    ``element_at`` — Spark does no CSE through lambdas; measured 7.3 s
+    → 0.7 s for explode+hash at sf0.1)."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), TOKEN_RE).alias("__toks"))
+    return toks.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("sh")
+    )
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

@@ -6132,24 +6132,34 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes span-by-span).
 
     Scale shape: one shingle explode, one groupBy(shingle) MIN — the
-    same posting-list distribution every dedup operator here rides —
-    then an equi-join back and a per-doc count; shingle identity
-    travels as the raw string ONLY in the oracle (Spark side hashes to
-    xxhash64 longs, collision-checked by the oracle differential)."""
+    same posting-list distribution every dedup operator here rides.
+    NO join of the posting list back onto itself: because each (doc,
+    shingle) pair is unique, per-doc novel counts fall straight out of
+    the owner aggregate (groupBy first_doc) and per-doc totals out of a
+    groupBy(doc) — two doc-cardinality tables joined at the end
+    (measured 8.4 s → ~2 s at sf0.1; the join-back formulation
+    shuffled the full posting list twice).  Shingle identity travels as
+    xxhash64 longs; the oracle intersects raw strings, so a collision
+    fails the gate."""
     docs = load_testdata(spark, sf_dir, "documents")
     sh = D.shingle_explode(docs, "doc_id", "text", 3).select(
         "doc_id", F.xxhash64("sh").alias("h")
     ).transform(tracked_persist)
-    owner = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    j = sh.join(owner, "h").select(
-        "doc_id",
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0).alias("novel"),
+    totals = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    novel = (
+        sh.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
     )
     return (
-        j.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum("novel").cast("bigint").alias("n_novel"),
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
         )
         .select(
             "doc_id",
