@@ -261,9 +261,17 @@ def stateful_signature_dedup(
     """
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import shingles_from_tokens
+    from ..operators.text import TOKEN_RE
 
-    shingles = word_shingles(text_col, 3)
+    # bind tokens/shingles as real columns before the minhash lambdas:
+    # Spark does no CSE through higher-order functions, so an inlined
+    # word_shingles(split(text)) re-runs tokenization once per hash
+    # (the round-4 shingle_explode lesson, applied to the stream side)
+    enriched = stream.withColumn(
+        "_toks", F.split(F.col(text_col), TOKEN_RE)
+    ).withColumn("_shingles", shingles_from_tokens(F.col("_toks"), 3))
+    shingles = F.col("_shingles")
 
     # CAUTION: the seed must be captured via a real closure, never a
     # default-arg lambda (``lambda s, i=i``): a 2-parameter callable is
@@ -285,7 +293,7 @@ def stateful_signature_dedup(
         F.size(shingles) > 0,
         F.md5(F.concat_ws("|", *hashes).cast("binary")),
     )
-    tagged = stream.withColumn("_sig", sig).withColumn(
+    tagged = enriched.withColumn("_sig", sig).withColumn(
         "_shard", F.coalesce(F.substring("_sig", 1, 1), F.lit("_"))
     )
     out_schema = stream.schema
