@@ -197,12 +197,43 @@ def read_pruned(spark: SparkSession, vdir: str, col: str, lo, hi) -> DataFrame:
     return spark.read.parquet(*files).filter(F.col(col).between(lo, hi))
 
 
-def _bucket_expr(col: str, boundaries: list[float]):
+def _bucket_expr(col: str, boundaries: list, *, as_string: bool = False):
     """Rank-space bucket id 0..len(boundaries): count of quantile
     boundaries ≤ value — a branch-free JVM expression over a literal
-    array (no UDF, no join)."""
+    array (no UDF, no join).  String boundaries compare
+    lexicographically, matching parquet's string min/max order."""
     arr = F.array(*[F.lit(b) for b in boundaries])
-    return F.size(F.filter(arr, lambda b: b <= F.col(col).cast("double")))
+    target = F.col(col) if as_string else F.col(col).cast("double")
+    return F.size(F.filter(arr, lambda b: b <= target))
+
+
+def _string_boundaries(
+    df: DataFrame, cols: list[str], n_buckets: int
+) -> dict[str, list[str]]:
+    """Lexicographic bucket boundaries for the STRING z-columns from
+    ONE bounded deterministic sample (seeded, capped at 100k rows —
+    one upstream-plan execution total, mirroring the single
+    multi-column approxQuantile call): per column, sort driver-side
+    and take n_buckets-1 evenly spaced cut points.  Boundary quality
+    only affects clustering BALANCE — correctness never depends on it
+    (manifests record each file's actual min/max and the read path
+    re-applies the predicate), so a skewed sample degrades skip rate,
+    not results."""
+    if not cols:
+        return {}
+    rows = (
+        df.select(*cols).sample(fraction=0.1, seed=42).limit(100_000).collect()
+    )
+    out: dict[str, list[str]] = {}
+    for c in cols:
+        vals = sorted(r[c] for r in rows if r[c] is not None)
+        if not vals:
+            out[c] = []
+            continue
+        step = max(len(vals) // n_buckets, 1)
+        bounds = sorted({vals[i] for i in range(step, len(vals), step)})
+        out[c] = bounds[: n_buckets - 1]
+    return out
 
 
 def zorder_frame(
@@ -225,25 +256,34 @@ def zorder_frame(
     second column)."""
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    types = {f.name: f.dataType.typeName() for f in df.schema}
     numeric = {
-        f.name
-        for f in df.schema
-        if f.dataType.typeName()
-        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+        c
+        for c, t in types.items()
+        if t in ("byte", "short", "integer", "long", "float", "double", "decimal")
     }
-    bad = [c for c in cols if c not in numeric]
+    stringy = {c for c, t in types.items() if t == "string"}
+    bad = [c for c in cols if c not in numeric and c not in stringy]
     if bad:
         raise TypeError(
-            f"zorder_frame needs numeric columns (approxQuantile bucketing); "
-            f"cast dates to epoch days / strings to hashes first: {bad}"
+            f"zorder_frame needs numeric or string columns; "
+            f"cast dates to epoch days first: {bad}"
         )
-    # ONE multi-column approxQuantile call — per-column calls re-run the
-    # whole upstream plan once per z-column (review finding)
-    all_bounds = df.approxQuantile(list(cols), qs, 0.001)
+    # ONE multi-column approxQuantile call for the numeric z-columns —
+    # per-column calls re-run the whole upstream plan once per z-column
+    # (review finding); string columns get sampled lexicographic
+    # boundaries (round 4 — parity with Delta's string z-order)
+    num_cols = [c for c in cols if c in numeric]
+    num_bounds = dict(
+        zip(num_cols, df.approxQuantile(num_cols, qs, 0.001) if num_cols else [])
+    )
+    str_bounds = _string_boundaries(df, [c for c in cols if c in stringy], n_buckets)
     zval = F.lit(0).cast("bigint")
     for ci, col in enumerate(cols):
-        boundaries = all_bounds[ci]
-        b = _bucket_expr(col, boundaries).cast("bigint")
+        bounds = num_bounds[col] if col in numeric else str_bounds[col]
+        if not bounds:  # all-NULL column: single bucket, contributes 0 bits
+            continue
+        b = _bucket_expr(col, bounds, as_string=col in stringy).cast("bigint")
         for i in range(bits):
             bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
             zval = zval + F.shiftleft(bit, i * len(cols) + ci)

@@ -303,16 +303,23 @@ def test_zorder_prunes_on_every_listed_column(spark, tmp_path):
     assert got == expect and got
 
 
-def test_zorder_rejects_non_numeric_columns(spark):
-    """approxQuantile bucketing only exists for numerics — a string
-    z-column must fail loudly, not inside a Spark job."""
+def test_zorder_rejects_unsupported_columns(spark):
+    """Numeric (quantile) and string (sampled lexicographic) z-columns
+    are supported since round 4; anything else — here a timestamp —
+    must fail loudly, not inside a Spark job."""
+    import datetime
+
     import pytest
 
     from sales_azure_data_engineer_project_spark.operators.skipping import zorder_frame
 
-    df = spark.createDataFrame([(1, "a")], ["x", "s"])
-    with pytest.raises(TypeError, match="non|numeric|cast"):
-        zorder_frame(df, ["x", "s"])
+    df = spark.createDataFrame(
+        [(1, "a", datetime.datetime(2024, 1, 1))], ["x", "s", "ts"]
+    )
+    with pytest.raises(TypeError, match="numeric or string"):
+        zorder_frame(df, ["x", "ts"])
+    # strings are accepted now
+    zorder_frame(df, ["x", "s"])
 
 
 def test_lakehouse_maintenance_e2e(spark, tmp_path):
@@ -474,8 +481,47 @@ def test_commit_restores_timestamp_conf_and_cleans_failed_staging(spark, tmp_pat
     vt = VersionedTable(spark, str(tmp_path / "t"))
     vt.overwrite(ev, stats_columns=["ts"])
     assert spark.conf.get(key, None) == before, "commit leaked session conf"
-    # zorder on a non-numeric column raises BEFORE any staging dir exists
+    # zorder on an unsupported (timestamp) column raises BEFORE any
+    # staging dir exists (strings are valid z-columns since round 4)
     with _pytest.raises(TypeError):
-        vt.overwrite(ev, zorder=["event_type"])
+        vt.overwrite(ev, zorder=["ts"])
     staged = [n for n in os.listdir(vt.root) if n.startswith("._staged_")]
     assert staged == [], f"orphan staging dirs leaked: {staged}"
+
+
+def test_zorder_string_column_prunes(spark, tmp_path):
+    """Round-4: z-order accepts STRING columns via sampled
+    lexicographic boundaries — a commit clustered on (numeric, string)
+    must prune manifest files for a string range predicate AND still
+    return exact results."""
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+    from sales_azure_data_engineer_project_spark.operators.skipping import pruned_files
+
+    orders = load_testdata(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_totalprice", "o_clerk"
+    ) if "o_clerk" in [f.name for f in load_testdata(
+        spark, "/root/testdata/sf0.01", "orders").schema] else None
+    if orders is None:
+        orders = load_testdata(spark, "/root/testdata/sf0.01", "customer").select(
+            F.col("c_custkey").alias("o_orderkey"),
+            F.col("c_acctbal").alias("o_totalprice"),
+            F.col("c_name").alias("o_clerk"),
+        )
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    v = vt.overwrite(
+        orders, zorder=["o_totalprice", "o_clerk"], stats_columns=["o_totalprice", "o_clerk"]
+    )
+    lo, hi = "Customer#000000100", "Customer#000000400"
+    keep_s, total = pruned_files(vt._vdir(v), "o_clerk", lo, hi)
+    assert len(keep_s) < total, "string z-column must prune"
+    keep_n, _ = pruned_files(vt._vdir(v), "o_totalprice", 1000.0, 2000.0)
+    assert len(keep_n) < total, "numeric z-column must still prune"
+    got = sorted(
+        r["o_orderkey"]
+        for r in vt.read_where("o_clerk", lo, hi, version=v).collect()
+    )
+    expect = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_clerk").between(lo, hi)).collect()
+    )
+    assert got == expect and got
