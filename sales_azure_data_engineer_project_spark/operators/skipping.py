@@ -253,7 +253,13 @@ def zorder_frame(
     the columns: files slice the space into squares instead of stripes,
     so a predicate on either column alone still skips ~(1 - 1/2**bits)
     of the files (a lead-column linear sort skips nothing for the
-    second column)."""
+    second column).
+
+    Numeric columns bucket on approxQuantile boundaries; STRING
+    columns (round 4) on sampled lexicographic boundaries — same
+    rank-space idea, and parquet string min/max stats order matches
+    the comparison, so manifests prune string ranges too.  Dates and
+    timestamps must be cast to epoch integers by the caller."""
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
     types = {f.name: f.dataType.typeName() for f in df.schema}
