@@ -80,6 +80,12 @@ def dense_surrogate_key(
     compare equal on all ``order_cols`` receive distinct-but-arbitrary
     keys either way (dimension natural keys are unique in practice —
     ``build_dimension`` orders by ALL natural cols for this reason).
+
+    NOTE: unlike a pure plan builder, this function runs TWO eager
+    Spark jobs at call time (the checkpoint materialization and the
+    P-row count collect) — the unavoidable price of the driver-side
+    prefix-sum.  Callers that only need a plan (EXPLAIN tooling)
+    still execute them.
     """
     cols = [F.col(c) for c in order_cols]
     # Phase 1: range-partition and pin.  Rows with equal keys land in

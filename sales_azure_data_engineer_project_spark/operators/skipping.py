@@ -224,6 +224,11 @@ def _string_boundaries(
     rows = (
         df.select(*cols).sample(fraction=0.1, seed=42).limit(100_000).collect()
     )
+    if not rows:
+        # small tables can sample to zero rows (review): fall back to a
+        # direct bounded collect so string clustering never silently
+        # no-ops on a dimension-sized input
+        rows = df.select(*cols).limit(100_000).collect()
     out: dict[str, list[str]] = {}
     for c in cols:
         vals = sorted(r[c] for r in rows if r[c] is not None)
@@ -259,7 +264,11 @@ def zorder_frame(
     columns (round 4) on sampled lexicographic boundaries — same
     rank-space idea, and parquet string min/max stats order matches
     the comparison, so manifests prune string ranges too.  Dates and
-    timestamps must be cast to epoch integers by the caller."""
+    timestamps must be cast to epoch integers by the caller.  Boundary
+    derivation costs ONE upstream execution for all numeric columns
+    (multi-column approxQuantile) plus one more for all string columns
+    (one sampled collect) — mixed-type z-orders pay two passes; cache
+    the input first if it is expensive to recompute."""
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
     types = {f.name: f.dataType.typeName() for f in df.schema}

@@ -2677,7 +2677,10 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    nd = ex.join(F.broadcast(drops), "doc_id", "left_anti").transform(tracked_persist)
+    # no broadcast hint: the drop set grows with duplicate volume —
+    # AQE broadcasts when it fits, shuffles when it doesn't (the
+    # fuzzy_name_pairs_symspell r4 lesson)
+    nd = ex.join(drops, "doc_id", "left_anti").transform(tracked_persist)
     s_pass = (
         F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1) <= "c"
     )
@@ -3198,7 +3201,9 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    nd = ex.join(F.broadcast(lsh_drops), "doc_id", "left_anti").transform(
+    # drop sets are data-dependent (duplicate/contamination volume):
+    # no hard broadcast hints anywhere in the funnel — AQE decides
+    nd = ex.join(lsh_drops, "doc_id", "left_anti").transform(
         tracked_persist
     )
     # SemDeDup restricted to the docs still IN the pipeline: the
@@ -3245,7 +3250,7 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    dc = sd.join(F.broadcast(contam), "doc_id", "left_anti").transform(tracked_persist)
+    dc = sd.join(contam, "doc_id", "left_anti").transform(tracked_persist)
     wsh = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -5954,7 +5959,8 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # edge list pre-joined with source degree once; reused by all iters
     edd = ed.join(
-        F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))),
+        # O(|V|) degree table: no hard broadcast hint — AQE sizes it
+        deg.select(F.col("node").alias("src"), F.col("d").alias("d_src")),
         "src",
     ).transform(tracked_persist)
     s = deg.select("node", F.lit(1000000).cast("bigint").alias("s"))

@@ -293,8 +293,13 @@ def stateful_signature_dedup(
         F.size(shingles) > 0,
         F.md5(F.concat_ws("|", *hashes).cast("binary")),
     )
-    tagged = enriched.withColumn("_sig", sig).withColumn(
-        "_shard", F.coalesce(F.substring("_sig", 1, 1), F.lit("_"))
+    # drop the helper arrays once _sig is computed — they must not ride
+    # the groupBy exchange or the Arrow batches into the pandas state
+    # operator (review: together ~3× the text payload per row)
+    tagged = (
+        enriched.withColumn("_sig", sig)
+        .withColumn("_shard", F.coalesce(F.substring("_sig", 1, 1), F.lit("_")))
+        .drop("_toks", "_shingles")
     )
     out_schema = stream.schema
     state_schema = T.StructType(
