@@ -1470,3 +1470,79 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "events_asof_next_purchase",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               value
+        FROM events
+    ),
+    tagged AS (
+        SELECT user_id AS k, ts_us AS wts, 0 AS side, 0 AS tie,
+               NULL::BIGINT AS p_ts, NULL::DOUBLE AS p_value,
+               event_id, ts_us AS l_ts
+        FROM ev WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id AS k, ts_us AS wts, 1 AS side, event_id AS tie,
+               ts_us AS p_ts, value AS p_value,
+               NULL::BIGINT AS event_id, NULL::BIGINT AS l_ts
+        FROM ev WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT *,
+               first_value(p_ts IGNORE NULLS) OVER w AS next_purchase_ts_us,
+               first_value(p_value IGNORE NULLS) OVER w AS next_purchase_value
+        FROM tagged
+        WINDOW w AS (PARTITION BY k ORDER BY wts, side, tie
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, CAST(k AS BIGINT) AS user_id, l_ts AS ts_us,
+           next_purchase_ts_us, next_purchase_value
+    FROM matched WHERE side = 0
+    ORDER BY event_id
+    """,
+)
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's EARLIEST purchase at-or-after it —
+    the forward mirror of ``events_asof_last_purchase``, the other half
+    of the temporal-join surface (attribution windows, next-action
+    analyses).  Composed via ``asof_join_forward``: same one-shuffle
+    union-window shape, window running forward."""
+    from .operators.asof import asof_join_forward
+
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts_us").alias("next_purchase_ts_us"),
+        F.col("value").alias("next_purchase_value"),
+    )
+    out = asof_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="next_purchase_ts_us",
+        payload=["next_purchase_ts_us", "next_purchase_value"],
+        right_tiebreak="p_event_id",
+    )
+    return out.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts_us",
+        "next_purchase_ts_us",
+        "next_purchase_value",
+    ).orderBy("event_id")
