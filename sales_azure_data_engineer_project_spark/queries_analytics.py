@@ -1546,3 +1546,66 @@ def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_purchase_ts_us",
         "next_purchase_value",
     ).orderBy("event_id")
+
+
+@register(
+    "events_scd2_user_history",
+    """
+    WITH pu AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    hist AS (
+        SELECT user_id, value, ts_us AS valid_from_us, event_id,
+               lead(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS valid_to_us
+        FROM pu
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           value,
+           valid_from_us,
+           valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM hist
+    ORDER BY user_id, valid_from_us, event_id
+    """,
+)
+def events_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-Type-2 history reconstruction: each user's purchase stream
+    becomes validity-ranged rows — (value, valid_from, valid_to,
+    is_current), half-open intervals closed by the next change — the
+    read-side twin of the ``operators/scd2.py`` dimension maintainer
+    (which is pytest-verified on the write path; this query puts the
+    family under the DuckDB hash gate too).
+
+    Scale shape: one hash Exchange(user) + per-user sort shared by the
+    single ``lead`` window; nothing else."""
+    ev = load_testdata(spark, sf_dir, "events")
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        pu.select(
+            F.col("user_id").cast("bigint"),
+            "value",
+            F.col("ts_us").alias("valid_from_us"),
+            "event_id",
+            F.lead("ts_us").over(w).alias("valid_to_us"),
+        )
+        .select(
+            "user_id",
+            "value",
+            "valid_from_us",
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+            "event_id",
+        )
+        .orderBy("user_id", "valid_from_us", "event_id")
+        .drop("event_id")
+    )
