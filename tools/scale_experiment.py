@@ -56,6 +56,8 @@ QUERIES = [
     ("text_gopher_quality_rules", [1, 3, 10]),
     ("similarity_matryoshka_agreement", [1, 3, 10]),
     ("embedding_cluster_quality", [1, 3, 10]),
+    ("dedup_graph_pagerank", [1, 3, 10]),
+    ("text_ngram_novelty", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
