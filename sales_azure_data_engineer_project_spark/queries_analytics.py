@@ -1609,3 +1609,99 @@ def events_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "valid_from_us", "event_id")
         .drop("event_id")
     )
+
+
+@register(
+    "events_resample_gapfill",
+    """
+    WITH ev AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+               value
+        FROM events
+    ),
+    span AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM ev),
+    spine AS (
+        SELECT e.event_type, s.hr
+        FROM (SELECT DISTINCT event_type FROM ev) e
+        CROSS JOIN (SELECT unnest(generate_series(
+            (SELECT h0 FROM span), (SELECT h1 FROM span))) AS hr) s
+    ),
+    agg AS (
+        SELECT event_type, hr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(ROUND(SUM(value), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+        FROM ev GROUP BY event_type, hr
+    ),
+    joined AS (
+        SELECT sp.event_type, sp.hr, COALESCE(a.n, 0) AS n, a.sum_value
+        FROM spine sp LEFT JOIN agg a
+            ON a.event_type = sp.event_type AND a.hr = sp.hr
+    ),
+    filled AS (
+        SELECT event_type, hr, n,
+               last_value(sum_value IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_sum
+        FROM joined
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hour_epoch, n AS n_events,
+           COALESCE(ffill_sum, 0.0) AS hourly_sum_ffill,
+           n = 0 AS is_gap
+    FROM filled
+    ORDER BY event_type, hour_epoch
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with GAP FILLING — the dense-spine rollup
+    (TimescaleDB's time_bucket_gapfill / pandas resample().ffill()):
+    hourly buckets per event type, a generated spine guaranteeing one
+    row per (type, hour) even when nothing happened, zero-filled counts
+    and forward-filled sums, with gap rows flagged.  The operator
+    Spark users rebuild by hand for every dashboard.
+
+    Scale shape: the spine is |types| × |hours| — generated with
+    ``sequence``/explode from one 1-row min/max aggregate, never read
+    from disk; the fact side is one combinable groupBy; the forward
+    fill is one per-type window.  All joins are equi-joins on (type,
+    hour)."""
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("div(unix_micros(ts), 3600000000)").alias("hr"),
+        "value",
+    )
+    span = ev.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr"),
+    )
+    agg = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4)
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("sum_value"),
+    )
+    joined = spine.join(agg, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        "sum_value",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("ffill_sum", F.last("sum_value", ignorenulls=True).over(w))
+        .select(
+            "event_type",
+            F.col("hr").cast("bigint").alias("hour_epoch"),
+            F.col("n").alias("n_events"),
+            F.coalesce("ffill_sum", F.lit(0.0)).alias("hourly_sum_ffill"),
+            (F.col("n") == 0).alias("is_gap"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )

@@ -343,6 +343,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                     # corpus, same as similarity_cosine_topk
         "embedding_cluster_quality",  # shared _sq8_kmeans_cells 1-row
                                       # sq8 stats broadcast
+        "events_resample_gapfill",  # 1-row min/max span broadcast into
+                                    # the generated time spine
     }
     offenders = {}
     for name, fn in m.queries().items():
