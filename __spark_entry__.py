@@ -18,39 +18,35 @@ from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: 
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# The driver verifies the FIRST 50 registered queries.  After round 3,
-# 119 of the 137 registered queries have driver CORRECTNESS rows
-# (CORRECTNESS_r01 ∪ r02 ∪ r03); this round-4 order front-loads the 18
-# queries the driver has NEVER checked (all late round-3 additions —
-# each already passed the judge's independent re-run of the
-# driver-faithful DuckDB gate, VERDICT.md r3), followed by 32 canaries
-# chosen one-per-family from multiply-proven queries so regressions in
-# already-green code still surface.  Two canaries are deliberately
-# queries whose implementation CHANGES this round and therefore needs a
-# fresh driver row: dim_dense_keys (two-phase surrogate keys replace
-# the single-reducer global window) and approx_distinct_stats
-# (graduating from rows-only to a bounded-error oracle).
+# The driver verifies the FIRST 50 registered queries.  After round 4,
+# 137 of the 151 registered queries have green driver CORRECTNESS rows
+# (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04, latest row green for each); this
+# round-5 order front-loads the 14 queries the driver has NEVER checked
+# (all round-4 additions — each already green under the judge's
+# independent driver-faithful re-run, VERDICT.md r4), followed by 36
+# canaries chosen one-per-family from multiply-proven queries so
+# regressions in already-green code still surface.  Two canaries are
+# deliberately queries whose implementation CHANGES this round and thus
+# need a fresh driver row: dedup_semantic_semdedup (quantizer k now
+# scales with corpus size instead of fixed k=8) and similarity_ann_ivf
+# (held weak-pending-remeasure in VERDICT r4).
 _PRIORITY = [
-    # --- 18 never-driver-checked (late round-3 additions) ---
-    "approx_distinct_kmv",
-    "dedup_graph_triangles",
-    "dedup_lsh_recall",
-    "events_cohort_retention",
-    "events_distribution_drift",
-    "events_transition_matrix",
-    "fuzzy_name_pairs_symspell",
-    "interval_overlap_sweep",
-    "market_basket_pairs",
-    "parts_pareto_frontier",
-    "pipeline_split_train_val_test",
-    "profile_lineitem_columns",
-    "quality_functional_dependencies",
-    "sample_domain_quota",
-    "similarity_ann_lsh_multiprobe",
-    "spatial_neighbor_pairs",
-    "tokens_heavy_hitters_cms",
-    "vocab_bpe_encode",
-    # --- 32 canaries: one per proven family (all r1/r2/r3 green) ---
+    # --- 14 never-driver-checked (round-4 additions) ---
+    "dedup_graph_pagerank",
+    "dedup_lsh_recall_sampled",
+    "embedding_cluster_quality",
+    "events_asof_next_purchase",
+    "events_resample_gapfill",
+    "events_robust_anomalies_mad",
+    "events_scd2_user_history",
+    "events_value_histogram",
+    "events_watermark_late_stats",
+    "pipeline_data_mixture_epochs",
+    "pipeline_full_train_prep",
+    "similarity_matryoshka_agreement",
+    "text_gopher_quality_rules",
+    "text_ngram_novelty",
+    # --- 36 canaries: one per proven family (all r1-r4 green) ---
     "flagship_revenue_by_nation_year",  # star join + agg (also entry())
     "pricing_summary",                  # grouped sum family
     "customers_with_orders",            # semi/anti-join family
@@ -58,7 +54,7 @@ _PRIORITY = [
     "max_order_key",                    # scalar-agg family
     "derived_columns",                  # derive/cast family
     "top_orders",                       # multi-key sort family
-    "dim_dense_keys",                   # CHANGED r4: two-phase surrogate keys
+    "dim_dense_keys",                   # surrogate-key family
     "window_rank_suite",                # window-function suite
     "q3_shipping_priority",             # TPC-H core
     "q5_supplier_volume_by_region",     # TPC-H 6-way join
@@ -75,14 +71,18 @@ _PRIORITY = [
     "text_span_dup_stats",              # span-dedup family
     "text_trigram_lm_score",            # LM-score family
     "dedup_exact",                      # exact-dedup family
-    "dedup_minhash_lsh",                # MinHash-LSH family
-    "dedup_semantic_semdedup",          # semantic-dedup family
+    "dedup_minhash_lsh",                # MinHash-LSH family (perf-watch r4)
+    "dedup_semantic_semdedup",          # CHANGED r5: k scales with N
+    "similarity_ann_ivf",               # CHANGED/perf-watch r4 (re-row)
     "similarity_ann_ivf_kmeans",        # IVF-ANN family
     "similarity_ann_pq",                # PQ-ANN family
     "multimodal_features",              # multimodal binary plumbing
     "pipeline_decontaminate",           # train-prep pipeline family
     "vocab_bpe_merges",                 # tokenizer family
-    "approx_distinct_stats",            # CHANGED r4: bounded-error oracle
+    "approx_distinct_stats",            # approx-sketch family
+    "dedup_clusters",                   # connected-components family
+    "ann_recall_at_k",                  # ANN recall-gate family
+    "sample_domain_quota",              # sampling family
 ]
 
 
