@@ -80,6 +80,29 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Ambient-load probe (round-5, VERDICT r4 "Next" #2): the sandbox
+    # shares hardware with co-tenants and the SAME code has measured
+    # 1.3-4× apart hours apart.  A fixed synthetic probe (hash-agg +
+    # sort over 100k rows — no I/O, no caches, plan compiled during
+    # warm-up above) runs before the suite and every ~25 queries; its
+    # median vs the recorded clean-machine reference (~0.3 s) is the
+    # load factor readers should divide headline deltas by before
+    # calling anything a regression.
+    _PROBE_CLEAN_SEC = 0.30
+
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        (
+            _a.join(_F.broadcast(_b), "k")
+            .groupBy("k")
+            .agg(_F.count(_F.lit(1)).alias("n"), _F.min("h").alias("mh"))
+            .orderBy(_F.col("n").desc(), "k")
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.perf_counter() - t0
+
+    probes: list[float] = [_probe()]
+
     # median-of-3 (round-4, VERDICT r3 "Next" #6): round 3's single-shot
     # numbers were unusable for regression triage under ambient
     # co-tenant load (the same code measured 84.5 s and 104.2 s
@@ -88,7 +111,9 @@ def main() -> None:
     # one load spike.
     _MEDIAN_OF = 3
     timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
+    for qi, (name, fn) in enumerate(entry_mod.queries().items()):
+        if qi and qi % 25 == 0:
+            probes.append(_probe())
         runs: list[float] = []
         for _ in range(_MEDIAN_OF):
             t0 = time.perf_counter()
@@ -104,6 +129,14 @@ def main() -> None:
             release_caches()
             spark.catalog.clearCache()
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+
+    probes.append(_probe())
+    probe_median = sorted(probes)[len(probes) // 2]
+    load = {
+        "probe_sec_median": round(probe_median, 3),
+        "probe_sec_max": round(max(probes), 3),
+        "load_factor": round(probe_median / _PROBE_CLEAN_SEC, 2),
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -148,6 +181,7 @@ def main() -> None:
              "value": round(sum(timings.values()), 3),
              "unit": "sec", "queries": timings, "sf": sf_val,
              "median_of": _MEDIAN_OF,
+             **load,
              **comparables},
             f, indent=1,
         )
@@ -160,6 +194,7 @@ def main() -> None:
                 "queries": headline,
                 "sf": sf_val,
                 "median_of": _MEDIAN_OF,
+                **load,
                 **comparables,
             }
         )

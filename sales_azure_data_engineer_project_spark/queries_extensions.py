@@ -2723,11 +2723,47 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s012.unionByName(s3).unionByName(s45).orderBy("stage_idx")
 
 
-def _sq8_kmeans_cells(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3) -> DataFrame:
+# SemDeDup's scale contract: cluster count grows with corpus size so the
+# Σ|cluster|² within-cluster pair join stays ~linear in N (Abbas et al.
+# 2023 train k ∝ N for a roughly constant cluster size).  64 vectors per
+# cell is the target here; the floor of 8 pins the oracle's unrolled-Lloyd
+# replay at the driver's sf0.01 gate (500 vecs → k=8, bitwise-identical to
+# the fixed-k history).  Both sides MUST compute k identically — the Spark
+# helper below and the DuckDB scalar subquery are the same integer
+# ceil-division.
+_QUANTIZER_TARGET_CELL = 64
+_QUANTIZER_K_FLOOR = 8
+_K_SCALED_SQL = (
+    f"(SELECT GREATEST({_QUANTIZER_K_FLOOR}, "
+    f"(COUNT(*) + {_QUANTIZER_TARGET_CELL - 1}) // {_QUANTIZER_TARGET_CELL}) "
+    "FROM embeddings)"
+)
+
+
+def _scaled_quantizer_k(n: int) -> int:
+    """k = max(floor, ceil(N / target_cell)) — integer-exact twin of
+    ``_K_SCALED_SQL`` so Spark and DuckDB train identical quantizers."""
+    return max(
+        _QUANTIZER_K_FLOOR,
+        (n + _QUANTIZER_TARGET_CELL - 1) // _QUANTIZER_TARGET_CELL,
+    )
+
+
+def _sq8_kmeans_cells(
+    spark: SparkSession, sf_dir: str, k: int | None = 8, iters: int = 3
+) -> DataFrame:
     """Train the SQ8-domain k-means quantizer and assign every vector
     to its cell: returns a persisted frame (vec_id, v, nrm, cvec,
     cluster).  Shared by ``similarity_ann_ivf_kmeans`` (probe routing)
     and ``dedup_semantic_semdedup`` (cluster-scoped dedup).
+
+    ``k=None`` derives k from the corpus size (``_scaled_quantizer_k``,
+    one cheap parquet count) — the SemDeDup regime where cluster sizes
+    stay ~constant as N grows.  Seeds are the lowest-k vec_ids (dense
+    ids in the testdata; at production scale you'd seed from a bounded
+    sample instead), and the driver holds k×d doubles — fine up to
+    k ~ 10⁶; beyond that a hierarchical / mini-batch quantizer replaces
+    the single-level Lloyd fit.
 
     ONE scan derives v, norm AND the SQ8 code vector (quantization
     stats broadcast in) — round-3's first cut joined a second
@@ -2738,6 +2774,8 @@ def _sq8_kmeans_cells(spark: SparkSession, sf_dir: str, k: int = 8, iters: int =
     matrix ever reaches the driver."""
     from .operators.kmeans import assign_clusters_arrow, kmeans_fit
 
+    if k is None:
+        k = _scaled_quantizer_k(load_testdata(spark, sf_dir, "embeddings").count())
     emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
     stats = S.sq8_stats(load_testdata(spark, sf_dir, "embeddings"))
     base = (
@@ -2770,13 +2808,19 @@ def _sq8_kmeans_cells(spark: SparkSession, sf_dir: str, k: int = 8, iters: int =
     return assign_clusters_arrow(base, centroids, "cvec").transform(tracked_persist)
 
 
-def _kmeans_cells_cte(k: int = 8, dim: int = 64, iters: int = 3) -> str:
+def _kmeans_cells_cte(
+    k: int = 8, dim: int = 64, iters: int = 3, k_sql: str | None = None
+) -> str:
     """Shared unrolled-Lloyd CTE prefix: trains the SQ8-domain k-means
     quantizer and ends at the ``cells`` CTE (vec_id → cluster), with
     ``e`` (full-precision vectors + norms) still in scope.  Used by the
     ``similarity_ann_ivf_kmeans`` and ``dedup_semantic_semdedup``
     oracles — the replayability argument lives on
-    ``_ivf_kmeans_oracle_sql``."""
+    ``_ivf_kmeans_oracle_sql``.  ``k_sql`` (a scalar-subquery string)
+    replaces the literal k for corpus-scaled quantizers
+    (``_K_SCALED_SQL``); only the SEED selection depends on k — the
+    Lloyd unrolling itself is k-agnostic (centroids are rows)."""
+    k_expr = k_sql if k_sql is not None else str(k)
     parts = [
         f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -2792,7 +2836,7 @@ def _kmeans_cells_cte(k: int = 8, dim: int = 64, iters: int = 3) -> str:
     cents0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS c,
                cvec AS cent
-        FROM cv WHERE vec_id < {k}
+        FROM cv WHERE vec_id < ({k_expr})
     )"""
     ]
     for i in range(1, iters + 1):
@@ -2924,8 +2968,9 @@ def _semdedup_oracle_sql(tau: float = 0.45) -> str:
     """DuckDB twin of ``dedup_semantic_semdedup``: replays the SQ8
     k-means training bitwise (see ``_ivf_kmeans_oracle_sql``), then the
     within-cluster cosine pairs and the keep-lowest-id rule are plain
-    exact-fold SQL."""
-    return _kmeans_cells_cte() + f""",
+    exact-fold SQL.  The quantizer k is corpus-scaled on BOTH sides
+    (``_K_SCALED_SQL`` here, ``_scaled_quantizer_k`` in Spark)."""
+    return _kmeans_cells_cte(k_sql=_K_SCALED_SQL) + f""",
     sl AS (SELECT c.vec_id, c.cluster, e.v, e.nrm
            FROM cells c JOIN e ON e.vec_id = c.vec_id),
     pairs AS (
@@ -2960,23 +3005,26 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the quantizer is the shared SQ8-domain Lloyd fit
     (broadcast centroids, partial-sum shuffle — see
     ``_sq8_kmeans_cells``); the pair search is an EQUI-join on the
-    cluster id, so work is Σ|cluster|².  k is the knob that bounds it:
-    the paper's regime targets a roughly constant cluster size (k grows
-    ∝ N), making the join linear in N — k=8 here only pins the oracle's
-    unrolled-Lloyd replay at test scale.  Vectors are projected to
+    cluster id, so work is Σ|cluster|².  k is the knob that bounds it,
+    and since round 5 it SCALES with the corpus: k = max(8,
+    ceil(N / 64)) on both engines (``_scaled_quantizer_k`` /
+    ``_K_SCALED_SQL``), holding cluster sizes ~constant so the pair
+    join is linear in N — the paper's regime, measured sub-quadratic in
+    ``tools/scale_experiment.py``.  Vectors are projected to
     (vec_id, cluster, v, nrm) BEFORE the pair exchange so the code
     vectors used in training never shuffle (round-3 ANN-regression
     lesson)."""
-    return semdedup_drops(spark, sf_dir, k=8, iters=3)
+    return semdedup_drops(spark, sf_dir, k=None, iters=3)
 
 
 def semdedup_drops(
-    spark: SparkSession, sf_dir: str, *, k: int = 8, iters: int = 3
+    spark: SparkSession, sf_dir: str, *, k: int | None = None, iters: int = 3
 ) -> DataFrame:
     """Parameterized SemDeDup body — ``k`` is the scale knob (cluster
     count grows ∝ N to hold cluster sizes, and thus the Σ|cluster|²
     pair join, linear; see ``tools/scale_experiment.py`` which measures
-    both regimes)."""
+    both regimes).  ``k=None`` (the default and the registered query's
+    setting) derives k from the corpus size."""
     cells = _sq8_kmeans_cells(spark, sf_dir, k=k, iters=iters)
     slim = cells.select("vec_id", "cluster", "v", "nrm")
     a = slim.select(
@@ -3017,11 +3065,12 @@ def _full_train_prep_oracle_sql() -> str:
     k-means cells (``_kmeans_cells_cte``), the corpus + quality/lang/
     exact/minhash chain (``pipeline_training_prep``'s oracle), the
     SemDeDup pair CTEs, the 8-token decontamination spans, the packing
-    window, and the hash split."""
+    window, and the hash split.  The quantizer k is corpus-scaled
+    (``_K_SCALED_SQL``), matching the funnel's ``k=None`` cells."""
     sig_cols = ", ".join(
         f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8)
     )
-    return _kmeans_cells_cte() + f""",
+    return _kmeans_cells_cte(k_sql=_K_SCALED_SQL) + f""",
     {_CORPUS_SQL},
     tk AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
            FROM corpus),
@@ -3210,8 +3259,9 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantizer is trained on the full embedding space (reusable across
     # runs), but the Σ|cluster|² pair join only pays for near-dedup
     # SURVIVORS — dedup among dropped docs is wasted work, and at scale
-    # the survivor semi-join is an equi-join AQE sizes itself.
-    cells = _sq8_kmeans_cells(spark, sf_dir, k=8, iters=3)
+    # the survivor semi-join is an equi-join AQE sizes itself.  k=None →
+    # corpus-scaled quantizer, same as the standalone SemDeDup query.
+    cells = _sq8_kmeans_cells(spark, sf_dir, k=None, iters=3)
     # persisted: both sides of the pair self-join read it, and without
     # the persist the survivor semi-join (and the cells projection
     # under it) runs twice

@@ -45,11 +45,12 @@ QUERIES = [
     ("text_trigram_lm_score", [1, 3, 10]),
     ("vocab_bpe_merges", [1, 3, 10]),
     ("text_lang_classifier_nb", [1, 3, 10]),
-    # fixed k=8 is QUADRATIC by design at fixed cluster count (cluster
-    # sizes grow ∝ N) — measured only to 3× to document the failure
-    # mode; the paper's regime scales k ∝ N and restores linearity.
-    ("dedup_semantic_semdedup", [1, 3]),
-    ("semdedup[k∝N]", [1, 3, 10]),
+    # since round 5 the registered query derives k from corpus size
+    # (k = max(8, ceil(N/64))) — the paper's linear regime; the fixed-k
+    # row below documents the quadratic failure mode it replaced
+    # (cluster sizes grow ∝ N at fixed cluster count), measured to 3×.
+    ("dedup_semantic_semdedup", [1, 3, 10]),
+    ("semdedup[k=8]", [1, 3]),
     # round-4 additions
     ("pipeline_full_train_prep", [1, 3, 10]),
     ("dedup_lsh_recall_sampled", [1, 3, 10]),
@@ -129,8 +130,8 @@ def main() -> None:
     qs = entry_mod.queries()
 
     def runner(name):
-        if name == "semdedup[k∝N]":
-            return lambda sp, d, s: semdedup_drops(sp, d, k=8 * s)
+        if name == "semdedup[k=8]":
+            return lambda sp, d, s: semdedup_drops(sp, d, k=8)
         fn = qs[name]
         return lambda sp, d, s: fn(sp, d)
 
