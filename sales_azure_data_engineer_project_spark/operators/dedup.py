@@ -309,15 +309,51 @@ def _bands_from_shingled(
     return out
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
-    """Self-join banded signatures → candidate pairs + shared-band count."""
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str, *, hot_bucket_cap: int | None = None
+) -> DataFrame:
+    """Self-join banded signatures → candidate pairs + shared-band count.
+
+    ``hot_bucket_cap`` is the skewed-band safety valve (VERDICT r4
+    "Next" #8): a band bucket holding m near-identical docs (empty
+    pages, boilerplate — the real web-corpus hazard) emits C(m,2)
+    pairs, quadratic in the hot bucket, and the equi-join hashes the
+    whole bucket into ONE task.  With a cap, buckets larger than it
+    switch to STAR emission — every member pairs with the bucket's
+    min-id hub only — which preserves the connected components exactly
+    (a hot bucket is one clique; a star spans the same component) at
+    O(m) edges and no single-task blowup.  Downstream dedup/clustering
+    semantics are unchanged; only pairwise enumeration inside mega-
+    cliques is elided.  Default None keeps the exact all-pairs
+    behavior (the oracle-checked queries; no test corpus has a bucket
+    anywhere near a sane cap)."""
     r = bands.select(
         F.col(id_col).alias("rid"), F.col("band_idx"), F.col("band_sig")
     )
+    if hot_bucket_cap is None:
+        raw = (
+            bands.join(r, on=["band_idx", "band_sig"])
+            .filter(F.col(id_col) < F.col("rid"))
+            .select(F.col(id_col).alias("id_a"), F.col("rid").alias("id_b"))
+        )
+    else:
+        sizes = bands.groupBy("band_idx", "band_sig").agg(
+            F.count(F.lit(1)).alias("_bn"), F.min(id_col).alias("_hub")
+        )
+        tagged = bands.join(sizes, on=["band_idx", "band_sig"])
+        cold = tagged.filter(F.col("_bn") <= hot_bucket_cap)
+        cold_pairs = (
+            cold.join(r, on=["band_idx", "band_sig"])
+            .filter(F.col(id_col) < F.col("rid"))
+            .select(F.col(id_col).alias("id_a"), F.col("rid").alias("id_b"))
+        )
+        # hub = bucket min id, so id_a < id_b holds by construction
+        hot_pairs = tagged.filter(
+            (F.col("_bn") > hot_bucket_cap) & (F.col(id_col) != F.col("_hub"))
+        ).select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
+        raw = cold_pairs.unionByName(hot_pairs)
     return (
-        bands.join(r, on=["band_idx", "band_sig"])
-        .filter(F.col(id_col) < F.col("rid"))
-        .groupBy(F.col(id_col).alias("id_a"), F.col("rid").alias("id_b"))
+        raw.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_bands"))
         .select(
             F.col("id_a").cast("bigint"),
