@@ -4875,9 +4875,13 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_lsh_recall",
-    f"""
+# Exact-truth LSH recall: DEMOTED from the registered surface in round 5
+# (VERDICT r4 "Next" #9) — its ground truth is the Σ bucket² posting-list
+# join, which is the sf-bounded calibration shape, not the 100 TB path.
+# The registered estimator is ``dedup_lsh_recall_sampled``; this exact
+# variant stays as a library function with its DuckDB twin below, gated
+# by ``tests/test_extensions.py::test_lsh_recall_exact_matches_oracle``.
+DEDUP_LSH_RECALL_EXACT_ORACLE_SQL = f"""
     WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -4921,8 +4925,9 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((1000 * (SELECT COUNT(*) FROM hit))
                 // greatest((SELECT COUNT(*) FROM truth), 1) AS BIGINT)
                AS recall_permille
-    """,
-)
+    """
+
+
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the MinHash-LSH candidate generator against exact
     ground truth — the measurement a pipeline owner runs before
@@ -4932,9 +4937,10 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding pays for that recall).
 
     Scale shape: truth reuses the Σ bucket² posting-list join (the
-    expensive side — at 100 TB you'd sample truth, which changes this
-    into an estimator; the LSH side stays constant-size signatures).
-    One row out."""
+    expensive side), which is why this exact variant is TEST-GATED
+    rather than registered: at 100 TB you sample truth, and that
+    estimator — ``dedup_lsh_recall_sampled`` — is the registered
+    query.  One row out."""
     corpus = _dedup_corpus(spark, sf_dir)
     truth = D.jaccard_pairs(corpus, "doc_id", "text", min_permille=500).select(
         "id_a", "id_b"

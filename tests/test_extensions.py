@@ -504,3 +504,30 @@ def test_multiprobe_dominates_single_probe(spark, sf_smoke):
     assert len(mp_rows) >= sum(
         1 for r in qs["similarity_ann_sign_lsh"](spark, sf_smoke).collect()
     )
+
+
+def test_lsh_recall_exact_matches_oracle(spark, sf_smoke):
+    """The exact-truth LSH recall calibrator was demoted from the
+    registered surface in round 5 (its ground truth is the sf-bounded
+    Σ bucket² posting join; the registered estimator is
+    ``dedup_lsh_recall_sampled``) — this test keeps the demoted
+    variant under the same DuckDB-twin gate it had as a query."""
+    import duckdb
+
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        DEDUP_LSH_RECALL_EXACT_ORACLE_SQL,
+        dedup_lsh_recall,
+    )
+
+    got = dedup_lsh_recall(spark, sf_smoke).collect()
+    assert len(got) == 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    exp = con.execute(DEDUP_LSH_RECALL_EXACT_ORACLE_SQL).fetchall()[0]
+    row = got[0]
+    assert (
+        row["n_truth"], row["n_candidates"], row["n_hit"], row["recall_permille"]
+    ) == tuple(exp)

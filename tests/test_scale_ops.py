@@ -322,7 +322,6 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "dedup_semantic_semdedup",  # same 1-row sq8 stats broadcast (shared _sq8_kmeans_cells)
         "tokens_heavy_hitters_cms",  # 4-row seed grid broadcast (crossJoin by design)
         "events_distribution_drift",  # 1-row midpoint/boundaries/totals broadcasts
-        "dedup_lsh_recall",  # three 1-row count aggregates crossJoined into one row
         "dedup_graph_triangles",  # 1-row wedge/triangle aggregates crossJoined
         "ann_recall_at_k",
         "ann_recall_multiprobe",  # same shape: 20-row broadcast query set × corpus, != join
@@ -338,7 +337,7 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "pipeline_full_train_prep",  # shared _sq8_kmeans_cells 1-row
                                      # sq8 stats broadcast (as semdedup)
         "dedup_lsh_recall_sampled",  # 1-row count aggregates crossJoined
-                                     # (as dedup_lsh_recall)
+                                     # into one row
         "pipeline_data_mixture_epochs",  # 1-row Σ√tokens total broadcast
         "similarity_matryoshka_agreement",  # bounded-query broadcast ×
                                     # corpus, same as similarity_cosine_topk
