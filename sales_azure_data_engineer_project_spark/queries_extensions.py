@@ -3218,7 +3218,18 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     locking already prevents duplicate computation within a job, and
     an eager count() per stage measured 24 s vs 18 s lazy at sf0.1
     (interleaved A/B) because each materialization is a full serial
-    job barrier."""
+    job barrier.
+
+    Known sf0.1 cost profile (round-5 stage audit): of a ~16 s wall
+    only ~9 s is task time spread over ~67 stages whose LARGEST is
+    0.65 s — the rest is AQE per-exchange orchestration (materialize,
+    re-plan, resubmit × ~30 exchanges; the same run measures 8.2 s
+    with AQE off, 6.8 s with AQE off + 8 shuffle partitions).  That
+    fixed cost amortizes to noise once stages carry real data, and AQE
+    is what right-sizes the funnel's data-dependent drop-set joins at
+    100 TB, so the query keeps AQE on and accepts the small-SF floor;
+    a thread overlapping quantizer training with the text chain was
+    A/B'd and removed (±0 — the wall is barrier count, not overlap)."""
     corpus = _dedup_corpus(spark, sf_dir)
     tk = corpus.select(
         "doc_id", "text", F.split(F.col("text"), X.TOKEN_RE).alias("toks")
