@@ -59,6 +59,17 @@ QUERIES = [
     ("embedding_cluster_quality", [1, 3, 10]),
     ("dedup_graph_pagerank", [1, 3, 10]),
     ("text_ngram_novelty", [1, 3, 10]),
+    # round-5 additions (VERDICT r4 "Next" #6) — events-table queries;
+    # the blow-up adds disjoint USERS (ids offset per copy, series
+    # repeated), the natural growth model: per-user windows/sessions
+    # stay constant-size while user count scales with N
+    ("events_resample_gapfill", [1, 3, 10]),
+    ("events_watermark_late_stats", [1, 3, 10]),
+    ("events_value_histogram", [1, 3, 10]),
+    ("events_robust_anomalies_mad", [1, 3, 10]),
+    ("events_asof_next_purchase", [1, 3, 10]),
+    ("events_scd2_user_history", [1, 3, 10]),
+    ("pipeline_data_mixture_epochs", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
@@ -69,6 +80,7 @@ def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    ev = spark.read.parquet(os.path.join(base_dir, "events.parquet"))
 
     def doc_copy(i: int):
         # closure-captured seed (NOTES pitfall: never seed a lambda via
@@ -92,13 +104,27 @@ def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
             *[c for c in emb.columns if c not in ("vec_id", "embedding")],
         )
 
+    def ev_copy(i: int):
+        # disjoint user (and event-id) space per copy: per-user series
+        # repeat verbatim, so sessionization/as-of/SCD-2 state per key
+        # stays constant while the key count grows ∝ N
+        return ev.select(
+            (F.col("event_id") + i * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * 100_000_000).alias("user_id"),
+            *[c for c in ev.columns if c not in ("event_id", "ts", "user_id")],
+        )
+
     d = doc_copy(0)
     e = emb_copy(0)
+    v = ev_copy(0)
     for i in range(1, factor):
         d = d.unionByName(doc_copy(i))
         e = e.unionByName(emb_copy(i))
+        v = v.unionByName(ev_copy(i))
     d.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     e.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    v.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
 
 def main() -> None:
