@@ -3566,6 +3566,144 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def _ivfpq_oracle_sql(m: int = 4, k: int = 16, subdim: int = 16, iters: int = 3) -> str:
+    """DuckDB twin of ``similarity_ann_ivf_pq`` — the two proven
+    unrolled-Lloyd chains composed: the coarse-cell CTEs
+    (``_kmeans_cells_cte``, shared ``e``/``mm``/``cv``) followed by the
+    PQ training/encoding/ADC chain of ``_pq_oracle_sql`` with
+    ``q``-prefixed CTE names (the two Lloyd fits would otherwise
+    collide on cents/a/u/m), and scoring restricted to same-cell
+    candidates.  Replayability is inherited unchanged from both parents
+    (integer-valued training inputs, index-order folds, pinned
+    iterations)."""
+    js = ", ".join(str(j) for j in range(m))
+    parts = [
+        _kmeans_cells_cte(),
+        f""",
+    sub AS (
+        SELECT vec_id, j, cvec[j*{subdim}+1 : j*{subdim}+{subdim}] AS sv
+        FROM cv, (SELECT unnest([{js}]) AS j)
+    ),
+    qcents0 AS (
+        SELECT j,
+               CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) AS INTEGER) - 1 AS c,
+               sv AS cent
+        FROM sub
+        WHERE vec_id IN (SELECT vec_id FROM cv ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    qa{i}p AS (
+        SELECT s.vec_id, s.j, c.c,
+               list_transform(range(1,{subdim + 1}), t -> s.sv[t] - c.cent[t]) AS d
+        FROM sub s JOIN qcents{i - 1} c ON c.j = s.j
+    ),
+    qa{i} AS (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                   ORDER BY list_dot_product(d, d) ASC, c) AS rk
+        FROM qa{i}p
+    ),
+    qu{i} AS (
+        SELECT a.j, a.c, t.i AS pos, SUM(s.sv[t.i]) AS sm, COUNT(*) AS n
+        FROM qa{i} a
+        JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
+        CROSS JOIN (SELECT unnest(range(1,{subdim + 1})) AS i) t
+        WHERE a.rk = 1
+        GROUP BY a.j, a.c, t.i
+    ),
+    qm{i} AS (SELECT j, c, list(sm / n ORDER BY pos) AS cent FROM qu{i} GROUP BY j, c),
+    qcents{i} AS (
+        SELECT p.j, p.c, coalesce(mm2.cent, p.cent) AS cent
+        FROM qcents{i - 1} p LEFT JOIN qm{i} mm2 ON mm2.j = p.j AND mm2.c = p.c
+    )""")
+    fin = iters + 1
+    adc = "\n             + ".join(
+        f"MAX(CASE WHEN kk.j = {j} THEN l.ip END)" for j in range(m)
+    )
+    parts.append(f""",
+    qa{fin}p AS (
+        SELECT s.vec_id, s.j, c.c,
+               list_transform(range(1,{subdim + 1}), t -> s.sv[t] - c.cent[t]) AS d
+        FROM sub s JOIN qcents{iters} c ON c.j = s.j
+    ),
+    codesf AS (
+        SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                       ORDER BY list_dot_product(d, d) ASC, c) AS rk
+            FROM qa{fin}p
+        ) WHERE rk = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS qid, c.j, c.c, list_dot_product(q.sv, c.cent) AS ip
+        FROM sub q JOIN qcents{iters} c ON c.j = q.j
+        WHERE q.vec_id < 10
+    ),
+    scored AS (
+        SELECT l.qid AS query_id, kk.vec_id AS neighbor_id,
+               {adc} AS approx_ip
+        FROM codesf kk
+        JOIN lut l ON l.j = kk.j AND l.c = kk.c AND kk.vec_id != l.qid
+        JOIN cells nc ON nc.vec_id = kk.vec_id
+        JOIN cells qc ON qc.vec_id = l.qid AND qc.cluster = nc.cluster
+        GROUP BY l.qid, kk.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, approx_ip,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY approx_ip DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(approx_ip AS DOUBLE) AS approx_ip, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """)
+    return "".join(parts)
+
+
+@register("similarity_ann_ivf_pq", _ivfpq_oracle_sql())
+def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the canonical FAISS composite index (round-5): the
+    trained coarse quantizer routes each vector to a cell
+    (``_sq8_kmeans_cells``, k=8 pinned index config) and candidates are
+    scored with PQ asymmetric distance INSIDE the query's cell only.
+    This is the shape a 100 TB vector store actually deploys: the scan
+    side holds 4-byte PQ codes partitioned by cell (one inverted list
+    per probe), the query side broadcasts a |Q|·m·k LUT, and neither
+    full-precision vectors nor cross-cell candidates ever move.
+
+    Reuses the PERSISTED cells frame for PQ training input (its
+    ``cvec`` column is exactly the SQ8 code vector the flat PQ query
+    trains on — one scan serves routing and training).  The DuckDB twin
+    composes the two proven unrolled-Lloyd chains; both inherit the
+    integer-exact replay argument of ``_pq_oracle_sql``."""
+    cells = _sq8_kmeans_cells(spark, sf_dir, k=8, iters=3)
+    cvec = cells.select("vec_id", F.col("cvec").alias("embedding"), "cluster")
+    codes, books = S.pq_fit_codes(
+        cvec.select("vec_id", "embedding"), m=4, k=16, max_iter=3
+    )
+    codes = codes.join(cells.select("vec_id", "cluster"), "vec_id").transform(
+        tracked_persist
+    )
+    out = S.pq_adc_topk(
+        codes,
+        books,
+        cvec.filter(F.col("vec_id") < 10),
+        k_neighbors=5,
+        restrict_col="cluster",
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("neighbor_id").cast("bigint"),
+        F.col("approx_ip").cast("double"),
+        "rk",
+    ).orderBy("query_id", "rk")
+
+
 @register(
     "text_trigram_lm_score",
     r"""

@@ -319,6 +319,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "similarity_ann_ivf_nprobe2",
         "similarity_ann_ivf_sq8",   # same centroid grid + bounded-query probe
         "similarity_ann_ivf_kmeans",  # sq8 1-row min/max stats broadcast (crossJoin by design)
+        "similarity_ann_ivf_pq",    # same shared _sq8_kmeans_cells 1-row stats broadcast;
+                                    # the ADC probe itself is a cell equi-join
         "dedup_semantic_semdedup",  # same 1-row sq8 stats broadcast (shared _sq8_kmeans_cells)
         "tokens_heavy_hitters_cms",  # 4-row seed grid broadcast (crossJoin by design)
         "events_distribution_drift",  # 1-row midpoint/boundaries/totals broadcasts
