@@ -428,3 +428,50 @@ def test_lsh_hot_band_bucket_star_capping(spark):
     )
     assert sorted((r["id_a"], r["id_b"]) for r in exact_cold) == capped_cold
     bands.unpersist()
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark, tmp_path):
+    """Runtime row-level filtering — the 100 TB selective-join lever:
+    when a dim-side filter makes the join selective, Spark injects a
+    bloom filter built from the dim keys into the FACT scan, so
+    non-matching fact rows die at the scan instead of riding the
+    shuffle.  Thresholds are forced down here (local parquet is tiny);
+    at scale the defaults trigger on real sizes.  Asserts the filter is
+    injected AND the result is identical with it disabled."""
+    from pyspark.sql import functions as F
+
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(fact_p)
+    spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    ).write.parquet(dim_p)
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("grp") == 3)
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        with_bloom = sorted((r["k"], r["v"]) for r in j.collect())
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        j2 = fact.join(dim, "k")
+        assert "might_contain" not in j2._jdf.queryExecution().optimizedPlan().toString()
+        assert sorted((r["k"], r["v"]) for r in j2.collect()) == with_bloom
+        assert len(with_bloom) == 5_000 // 7 + (1 if 3 < 5_000 % 7 else 0)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
