@@ -1309,6 +1309,133 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "dedup_cluster_representatives",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL}, {_MINHASH_BANDS_SQL},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS c
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE (1000 * c) // (sa.sz + sb.sz - c) >= 300
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    members AS (SELECT DISTINCT u AS doc_id FROM edges),
+    labeled AS (
+        SELECT m.doc_id,
+               least(m.doc_id, MIN(r.v)) AS component
+        FROM members m JOIN reach r ON r.u = m.doc_id
+        GROUP BY m.doc_id
+    ),
+    toks AS (
+        SELECT c.doc_id, len(string_split_regex(c.text, '\\s+')) AS n_tokens
+        FROM corpus c
+    ),
+    ranked AS (
+        SELECT l.component, l.doc_id, t.n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY l.component
+                   ORDER BY t.n_tokens DESC, l.doc_id) AS rk
+        FROM labeled l JOIN toks t ON t.doc_id = l.doc_id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+           CAST(MIN(CASE WHEN rk = 1 THEN n_tokens END) AS BIGINT) AS rep_n_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM ranked
+    GROUP BY component
+    ORDER BY component
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster (round-5) —
+    the step production pipelines actually run after clustering: keep
+    the HIGHEST-QUALITY member (here: most tokens, doc_id tiebreak),
+    not the arbitrary min-id.  Clusters come from the 100 TB path
+    (banded minhash candidates → exact-Jaccard verification →
+    connected components, exactly ``dedup_clusters_minhash``); output
+    is one row per real duplicate group: component id, member count,
+    the chosen representative with its token count, and the group's
+    total token mass (= how much the dedup saves).
+
+    Scale shape: everything up to labels is the proven clusters
+    pipeline; representative selection is one window over (component)
+    — group sizes are duplicate-cluster sizes, bounded by the dedup
+    semantics themselves — plus a single conditional aggregate.
+    Singleton docs never enter (members = pair endpoints only), so the
+    window input is |dup docs|, not |corpus|."""
+    from .operators.graph import connected_components
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = D.minhash_verified_pairs(
+        corpus, "doc_id", "text", n_hashes=8, band_size=4, min_permille=300
+    ).transform(tracked_persist)
+    members = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    labels = connected_components(
+        members, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    toks = corpus.select(
+        "doc_id", F.size(F.split(F.col("text"), X.TOKEN_RE)).alias("n_tokens")
+    )
+    ranked = (
+        labels.select(F.col("id").alias("doc_id"), "component")
+        .join(toks, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.col("n_tokens").desc(), F.col("doc_id")
+                )
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("rep_doc_id"),
+            F.min(F.when(F.col("rk") == 1, F.col("n_tokens")))
+            .cast("bigint")
+            .alias("rep_n_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            F.col("component").cast("bigint"),
+            "n_members",
+            "rep_doc_id",
+            "rep_n_tokens",
+            "total_tokens",
+        )
+        .orderBy("component")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pandas-UDF tier (Arrow-batched Python): grouped-map, grouped-agg.
 # Integer arithmetic inside pandas keeps them oracle-exact.
