@@ -19,19 +19,25 @@ from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver verifies the FIRST 50 registered queries.  After round 4,
-# 137 of the 151 registered queries have green driver CORRECTNESS rows
-# (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04, latest row green for each); this
-# round-5 order front-loads the 14 queries the driver has NEVER checked
-# (all round-4 additions — each already green under the judge's
-# independent driver-faithful re-run, VERDICT.md r4), followed by 36
-# canaries chosen one-per-family from multiply-proven queries so
-# regressions in already-green code still surface.  Two canaries are
-# deliberately queries whose implementation CHANGES this round and thus
-# need a fresh driver row: dedup_semantic_semdedup (quantizer k now
-# scales with corpus size instead of fixed k=8) and similarity_ann_ivf
-# (held weak-pending-remeasure in VERDICT r4).
+# 136 of the 153 registered queries have green driver CORRECTNESS rows
+# (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04, latest row green for each — 137
+# checked minus the demoted dedup_lsh_recall); this
+# round-5 order front-loads the 17 queries the driver has NEVER checked
+# (the 14 round-4 additions — each already green under the judge's
+# independent driver-faithful re-run, VERDICT.md r4 — plus the 3
+# round-5 additions: ann_recall_multiprobe, similarity_ann_ivf_pq,
+# dedup_cluster_representatives, all check_oracle-green at two SFs),
+# followed by 33 canaries chosen one-per-family from multiply-proven
+# queries so regressions in already-green code still surface.  Two
+# canaries are deliberately queries whose implementation CHANGES this
+# round and thus need a fresh driver row: dedup_semantic_semdedup
+# (quantizer k now scales with corpus size instead of fixed k=8) and
+# similarity_ann_ivf (held weak-pending-remeasure in VERDICT r4).
 _PRIORITY = [
-    # --- 14 never-driver-checked (round-4 additions) ---
+    # --- 17 never-driver-checked (round-4 + round-5 additions) ---
+    "ann_recall_multiprobe",
+    "dedup_cluster_representatives",
+    "similarity_ann_ivf_pq",
     "dedup_graph_pagerank",
     "dedup_lsh_recall_sampled",
     "embedding_cluster_quality",
@@ -46,12 +52,14 @@ _PRIORITY = [
     "similarity_matryoshka_agreement",
     "text_gopher_quality_rules",
     "text_ngram_novelty",
-    # --- 36 canaries: one per proven family (all r1-r4 green) ---
+    # --- 33 canaries: one per proven family (all r1-r4 green; the
+    # trimmed three — max_order_key, similarity_ann_pq (its full chain
+    # runs inside similarity_ann_ivf_pq), pivot_returnflag_status — are
+    # multiply-proven and their code is untouched this round) ---
     "flagship_revenue_by_nation_year",  # star join + agg (also entry())
     "pricing_summary",                  # grouped sum family
     "customers_with_orders",            # semi/anti-join family
     "union_segments",                   # union family
-    "max_order_key",                    # scalar-agg family
     "derived_columns",                  # derive/cast family
     "top_orders",                       # multi-key sort family
     "dim_dense_keys",                   # surrogate-key family
@@ -60,7 +68,6 @@ _PRIORITY = [
     "q5_supplier_volume_by_region",     # TPC-H 6-way join
     "q19_disjunctive_predicates",       # TPC-H disjunctive pushdown
     "grouping_sets_revenue",            # grouping sets/rollup family
-    "pivot_returnflag_status",          # pivot family
     "json_functions",                   # json family
     "stats_aggregates_exact",           # stats-agg family
     "null_safe_equality",               # null-semantics family
@@ -75,7 +82,6 @@ _PRIORITY = [
     "dedup_semantic_semdedup",          # CHANGED r5: k scales with N
     "similarity_ann_ivf",               # CHANGED/perf-watch r4 (re-row)
     "similarity_ann_ivf_kmeans",        # IVF-ANN family
-    "similarity_ann_pq",                # PQ-ANN family
     "multimodal_features",              # multimodal binary plumbing
     "pipeline_decontaminate",           # train-prep pipeline family
     "vocab_bpe_merges",                 # tokenizer family

@@ -443,3 +443,52 @@ def test_pareto_frontier_equals_brute(spark, pts):
         )
     )
     assert got == expect
+
+
+def test_lsh_star_capping_preserves_components(spark):
+    """Differential: hot-bucket STAR emission (round-5 safety valve)
+    must yield the SAME connected components as exact all-pairs
+    emission on seeded random band tables — every bucket is a clique
+    either way, a star spans it.  Seeds cover hot buckets well above
+    the cap, buckets exactly at the cap, and singletons."""
+    import random
+
+    from sales_azure_data_engineer_project_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    for seed in (7, 31, 91):
+        rng = random.Random(seed)
+        n = 80
+        rows = []
+        for doc in range(n):
+            for band in (0, 1):
+                # small signature alphabet → frequent collisions; one
+                # dedicated "hot" signature absorbs ~a third of docs
+                sig = "HOT" if rng.random() < 0.33 else f"s{rng.randrange(12)}"
+                rows.append((doc, band, f"{band}:{sig}"))
+        bands = spark.createDataFrame(
+            rows, "doc_id long, band_idx int, band_sig string"
+        )
+
+        def components(pairs_df):
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in pairs_df.collect():
+                a, b = int(r["id_a"]), int(r["id_b"])
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            return {i: find(i) for i in range(n)}
+
+        exact = components(lsh_candidate_pairs(bands, "doc_id"))
+        capped = components(
+            lsh_candidate_pairs(bands, "doc_id", hot_bucket_cap=4)
+        )
+        assert exact == capped, f"seed {seed}"
