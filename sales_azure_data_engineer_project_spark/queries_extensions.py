@@ -4977,6 +4977,72 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def _ivf_recall_oracle_sql() -> str:
+    """DuckDB twin of ``ann_recall_ivf``: replay the trained coarse
+    cells (``_kmeans_cells_cte``), rank exact cosine top-5 per query,
+    and flag each truth pair retrieved ⇔ same cell (nprobe=1)."""
+    return _kmeans_cells_cte() + """,
+    nn AS (SELECT c.vec_id, e.v, e.nrm, c.cluster
+           FROM cells c JOIN e ON e.vec_id = c.vec_id),
+    q AS (SELECT * FROM nn WHERE vec_id < 20),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CASE WHEN q.cluster = c.cluster THEN 1 ELSE 0 END AS hit,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                            c.vec_id) AS rk
+        FROM q JOIN nn c ON c.vec_id != q.vec_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           CAST((1000 * SUM(hit)) // 5 AS BIGINT) AS recall_permille
+    FROM pairs WHERE rk <= 5
+    GROUP BY query_id
+    ORDER BY query_id
+    """
+
+
+@register("ann_recall_ivf", _ivf_recall_oracle_sql())
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the TRAINED-IVF candidate set (nprobe=1) against
+    exact brute-force top-5 — completes the recall-gate family across
+    the index tiers (sign-LSH single-probe ``ann_recall_at_k``,
+    multiprobe ``ann_recall_multiprobe``, and now the k-means coarse
+    quantizer behind ``similarity_ann_ivf_kmeans`` / the IVF-PQ
+    composite).  A brute-top-5 pair is retrieved iff both vectors
+    landed in the SAME trained cell, so the flag rides the exact
+    ranking join — one scoring pass over the cells frame, which is
+    already persisted and shared with the index queries themselves.
+    Cell-routing recall also upper-bounds IVF-PQ recall (ADC error
+    perturbs ranking, not candidacy), so this one gate calibrates both
+    cell-restricted tiers."""
+    from pyspark.sql import Window
+
+    cells = _sq8_kmeans_cells(spark, sf_dir, k=8, iters=3)
+    nn = cells.select("vec_id", "v", F.col("nrm"), "cluster")
+    q = nn.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("cluster").alias("qcl"),
+    )
+    cos = S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    pairs = (
+        nn.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id", cos.alias("cos"),
+            (F.col("qcl") == F.col("cluster")).cast("int").alias("hit"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    hits = pairs.groupBy("query_id").agg(F.sum("hit").cast("bigint").alias("n_hit"))
+    return hits.select(
+        F.col("query_id").cast("bigint"),
+        "n_hit",
+        F.expr("div(1000 * n_hit, 5)").cast("bigint").alias("recall_permille"),
+    ).orderBy("query_id")
+
+
 def _bpe_encode_oracle_sql(rounds: int = 4, vocab: int = 2000) -> str:
     """DuckDB twin of ``vocab_bpe_encode``: the shared training chain,
     then the SAME per-round apply blocks over ALL distinct words (u

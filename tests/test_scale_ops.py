@@ -327,6 +327,7 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "dedup_graph_triangles",  # 1-row wedge/triangle aggregates crossJoined
         "ann_recall_at_k",
         "ann_recall_multiprobe",  # same shape: 20-row broadcast query set × corpus, != join
+        "ann_recall_ivf",  # same 20-row broadcast != join + shared _sq8_kmeans_cells stats broadcast
         "text_chunking",            # chunk-grid expansion
         "cross_join_region_priority",  # deliberate tiny-dim cross join
         "similarity_cosine_topk",   # brute-force baseline: bounded
