@@ -19,16 +19,17 @@ from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver verifies the FIRST 50 registered queries.  After round 4,
-# 136 of the 153 registered queries have green driver CORRECTNESS rows
+# 136 of the 154 registered queries have green driver CORRECTNESS rows
 # (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04, latest row green for each — 137
-# checked minus the demoted dedup_lsh_recall); this
-# round-5 order front-loads the 17 queries the driver has NEVER checked
-# (the 14 round-4 additions — each already green under the judge's
-# independent driver-faithful re-run, VERDICT.md r4 — plus the 4
-# round-5 additions: ann_recall_multiprobe, similarity_ann_ivf_pq,
+# checked minus the demoted dedup_lsh_recall); this round-5 order
+# front-loads the 18 queries the driver has NEVER checked (the 14
+# round-4 additions — each already green under the judge's independent
+# driver-faithful re-run, VERDICT.md r4 — plus the 4 round-5
+# additions: ann_recall_multiprobe, similarity_ann_ivf_pq,
 # dedup_cluster_representatives, ann_recall_ivf — all
-# check_oracle-green at two SFs), followed by 32 canaries chosen one-per-family from multiply-proven
-# queries so regressions in already-green code still surface.  Two
+# check_oracle-green at two SFs), followed by 32 canaries chosen
+# one-per-family from multiply-proven queries so regressions in
+# already-green code still surface.  Two
 # canaries are deliberately queries whose implementation CHANGES this
 # round and thus need a fresh driver row: dedup_semantic_semdedup
 # (quantizer k now scales with corpus size instead of fixed k=8) and
