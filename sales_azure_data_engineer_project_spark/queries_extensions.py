@@ -1398,12 +1398,21 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     labels = connected_components(
         members, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    toks = corpus.select(
-        "doc_id", F.size(F.split(F.col("text"), X.TOKEN_RE)).alias("n_tokens")
-    )
+    # join BEFORE tokenizing: the member join prunes corpus rows first
+    # (labels = dup members only, ≪ N — AQE broadcasts it), so the
+    # tokenize cost is O(|dup docs|), not O(corpus).  Tokenizing in a
+    # projection above the scan would run for every corpus row —
+    # Catalyst prunes columns, it does not defer expensive expressions
+    # past a join.
     ranked = (
-        labels.select(F.col("id").alias("doc_id"), "component")
-        .join(toks, "doc_id")
+        corpus.join(
+            labels.select(F.col("id").alias("doc_id"), "component"), "doc_id"
+        )
+        .select(
+            "doc_id",
+            "component",
+            F.size(F.split(F.col("text"), X.TOKEN_RE)).alias("n_tokens"),
+        )
         .withColumn(
             "rk",
             F.row_number().over(
