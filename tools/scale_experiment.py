@@ -70,6 +70,11 @@ QUERIES = [
     ("events_asof_next_purchase", [1, 3, 10]),
     ("events_scd2_user_history", [1, 3, 10]),
     ("pipeline_data_mixture_epochs", [1, 3, 10]),
+    # round-5 query additions
+    ("similarity_ann_ivf_pq", [1, 3, 10]),
+    ("dedup_cluster_representatives", [1, 3, 10]),
+    ("ann_recall_ivf", [1, 3, 10]),
+    ("ann_recall_multiprobe", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
