@@ -19,15 +19,16 @@ from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver verifies the FIRST 50 registered queries.  After round 4,
-# 136 of the 154 registered queries have green driver CORRECTNESS rows
+# 136 of the 155 registered queries have green driver CORRECTNESS rows
 # (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04, latest row green for each — 137
 # checked minus the demoted dedup_lsh_recall); this round-5 order
-# front-loads the 18 queries the driver has NEVER checked (the 14
+# front-loads the 19 queries the driver has NEVER checked (the 14
 # round-4 additions — each already green under the judge's independent
-# driver-faithful re-run, VERDICT.md r4 — plus the 4 round-5
+# driver-faithful re-run, VERDICT.md r4 — plus the 5 round-5
 # additions: ann_recall_multiprobe, similarity_ann_ivf_pq,
-# dedup_cluster_representatives, ann_recall_ivf — all
-# check_oracle-green at two SFs), followed by 32 canaries chosen
+# dedup_cluster_representatives, ann_recall_ivf,
+# pipeline_contamination_report — all check_oracle-green at two SFs),
+# followed by 31 canaries chosen
 # one-per-family from multiply-proven queries so regressions in
 # already-green code still surface.  Two
 # canaries are deliberately queries whose implementation CHANGES this
@@ -35,8 +36,9 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (quantizer k now scales with corpus size instead of fixed k=8) and
 # similarity_ann_ivf (held weak-pending-remeasure in VERDICT r4).
 _PRIORITY = [
-    # --- 18 never-driver-checked (round-4 + round-5 additions) ---
+    # --- 19 never-driver-checked (round-4 + round-5 additions) ---
     "ann_recall_ivf",
+    "pipeline_contamination_report",
     "ann_recall_multiprobe",
     "dedup_cluster_representatives",
     "similarity_ann_ivf_pq",
@@ -54,11 +56,12 @@ _PRIORITY = [
     "similarity_matryoshka_agreement",
     "text_gopher_quality_rules",
     "text_ngram_novelty",
-    # --- 32 canaries: one per proven family (all r1-r4 green; the
-    # trimmed four — max_order_key, similarity_ann_pq (its full chain
+    # --- 31 canaries: one per proven family (all r1-r4 green; the
+    # trimmed five — max_order_key, similarity_ann_pq (its full chain
     # runs inside similarity_ann_ivf_pq), pivot_returnflag_status,
     # union_segments (unionByName exercised inside the funnel and
-    # segment queries) — are multiply-proven and untouched this round) ---
+    # segment queries), q19_disjunctive_predicates (TPC-H family still
+    # canaried by q3 + q5) — are multiply-proven and untouched) ---
     "flagship_revenue_by_nation_year",  # star join + agg (also entry())
     "pricing_summary",                  # grouped sum family
     "customers_with_orders",            # semi/anti-join family
@@ -68,7 +71,6 @@ _PRIORITY = [
     "window_rank_suite",                # window-function suite
     "q3_shipping_priority",             # TPC-H core
     "q5_supplier_volume_by_region",     # TPC-H 6-way join
-    "q19_disjunctive_predicates",       # TPC-H disjunctive pushdown
     "grouping_sets_revenue",            # grouping sets/rollup family
     "json_functions",                   # json family
     "stats_aggregates_exact",           # stats-agg family

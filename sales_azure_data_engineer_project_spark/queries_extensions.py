@@ -2565,6 +2565,96 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_contamination_report",
+    rf"""
+    WITH {_CORPUS_SQL},
+    t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
+    spans AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 8
+                 THEN list_transform(generate_series(1, len(toks)-7),
+                      i -> concat_ws(' ', {_SPAN8}))
+                 ELSE []::VARCHAR[] END)) AS span
+        FROM t
+    ),
+    ev AS (SELECT doc_id AS eval_doc_id, span FROM spans
+           WHERE doc_id % 10 = 0 AND doc_id < 100000),
+    tr AS (SELECT doc_id, span FROM spans
+           WHERE NOT (doc_id % 10 = 0 AND doc_id < 100000)),
+    pairs AS (
+        SELECT ev.eval_doc_id, tr.doc_id, ev.span
+        FROM tr JOIN ev ON ev.span = tr.span
+    )
+    SELECT CAST(eval_doc_id AS BIGINT) AS eval_doc_id,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminating_docs,
+           CAST(COUNT(DISTINCT span) AS BIGINT) AS n_leaked_spans,
+           CAST(COUNT(*) AS BIGINT) AS n_span_hits
+    FROM pairs
+    GROUP BY eval_doc_id
+    ORDER BY eval_doc_id
+    """,
+)
+def pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-side contamination report (round-5) — the inverse view of
+    ``pipeline_decontaminate``: instead of flagging training docs to
+    drop, report per EVAL document how compromised it is — how many
+    distinct training docs share an 8-token span with it, how many of
+    its spans leaked, and the total hit count.  This is the benchmark-
+    integrity table an eval owner reads to decide whether a benchmark
+    is still trustworthy against a given corpus (the
+    GPT-3/Llama-style "dirty eval" audit).
+
+    Scale shape: same as the decontaminate pass — the eval span set is
+    benchmark-sized and BROADCASTS (with eval doc ids retained this
+    time); the training side is one linear span scan; only true
+    contamination pairs survive the join, so the aggregate input is
+    bounded by leak volume, not corpus size.  The two DISTINCT counts
+    are computed as separate joined aggregates over the persisted pair
+    frame rather than one multi-distinct agg (the
+    ``approx_distinct_stats`` Expand lesson).  Span identity travels
+    as xxhash64 longs; the oracle joins raw strings, so a collision
+    would fail the sf0.01 gate."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+    sp = D.shingle_explode(corpus, "doc_id", "text", 8).select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    )
+    ev = sp.filter(is_eval).select(F.col("doc_id").alias("eval_doc_id"), "h")
+    pairs = (
+        sp.filter(~is_eval)
+        .join(F.broadcast(ev), "h")
+        .select("eval_doc_id", "doc_id", "h")
+        .transform(tracked_persist)
+    )
+    docs_ct = (
+        pairs.select("eval_doc_id", "doc_id")
+        .distinct()
+        .groupBy("eval_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminating_docs"))
+    )
+    spans_ct = (
+        pairs.select("eval_doc_id", "h")
+        .distinct()
+        .groupBy("eval_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked_spans"))
+    )
+    hits_ct = pairs.groupBy("eval_doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_span_hits")
+    )
+    return (
+        docs_ct.join(spans_ct, "eval_doc_id")
+        .join(hits_ct, "eval_doc_id")
+        .select(
+            F.col("eval_doc_id").cast("bigint"),
+            "n_contaminating_docs",
+            "n_leaked_spans",
+            "n_span_hits",
+        )
+        .orderBy("eval_doc_id")
+    )
+
+
+@register(
     "text_pii_scrub",
     r"""
     WITH seeded AS (
