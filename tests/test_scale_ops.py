@@ -271,6 +271,24 @@ def test_plan_quality_regressions(spark):
     for pruned in ("l_orderkey", "l_partkey", "l_shipdate", "l_tax"):
         assert pruned not in scan_line, f"{pruned} not pruned from scan"
 
+    # predicate PUSHDOWN reaches the parquet scan (row-group/page
+    # skipping at scale): TPC-H Q6's selective conjunction must appear
+    # in PushedFilters, and the scan must read only the 4 needed
+    # columns of lineitem's 11
+    q6 = m.queries()["q6_forecast_revenue"](spark, sf)
+    q6scan = next(
+        l
+        for l in q6._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "PushedFilters" in l
+    )
+    for pf in ("IsNotNull(l_shipdate)", "IsNotNull(l_discount)", "IsNotNull(l_quantity)"):
+        assert pf in q6scan, f"{pf} not pushed to scan"
+    assert "GreaterThanOrEqual(l_shipda" in q6scan  # range pushdown (truncated repr)
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp>" in q6scan
+    )
+
 
 def test_stream_static_dim_enrichment(spark, tmp_path):
     """Stream ⋈ static dimension (broadcast) — the streaming fact
