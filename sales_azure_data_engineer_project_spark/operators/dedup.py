@@ -264,6 +264,32 @@ def minhash_bands(
     )
 
 
+def minhash_signatures_from_shingled(
+    shingled: DataFrame, id_col: str, *, n_hashes: int = 8
+) -> DataFrame:
+    """Per-doc minhash signature columns (h0..h{n-1}) from a pre-built
+    (id, shingles-array) frame — the constant-size-per-doc sketch the
+    banding, the estimator calibration, and candidate generation all
+    share.  Persisted: every consumer re-reads the signatures, and
+    without the persist the shingle→md5→min pipeline would re-run per
+    consumer."""
+    sh = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    seeded = sh.select(
+        F.col(id_col), F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"), "sh"
+    )
+    hashed = seeded.select(
+        id_col,
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")).cast("binary")).alias("h"),
+    )
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    ).transform(tracked_persist)
+
+
 def _bands_from_shingled(
     shingled: DataFrame,
     id_col: str,
@@ -274,24 +300,7 @@ def _bands_from_shingled(
     """Banded signatures from a pre-built (id, shingles-array) frame, so
     callers that also need the raw shingle sets (e.g. candidate
     verification) share ONE persisted tokenization."""
-    sh = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
-    seeded = sh.select(
-        F.col(id_col), F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"), "sh"
-    )
-    hashed = seeded.select(
-        id_col,
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")).cast("binary")).alias("h"),
-    )
-    # persisted: each band projection + both sides of the candidate
-    # self-join re-read the signatures — without this the whole
-    # shingle→md5→min pipeline would re-run per consumer
-    sig = hashed.groupBy(id_col).agg(
-        *[
-            F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    ).transform(tracked_persist)
+    sig = minhash_signatures_from_shingled(shingled, id_col, n_hashes=n_hashes)
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):

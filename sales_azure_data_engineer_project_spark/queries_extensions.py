@@ -2565,6 +2565,103 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_estimate_calibration",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL}, {_MINHASH_BANDS_SQL},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS c
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    ),
+    jp AS (
+        SELECT id_a, id_b, (1000 * c) // (sa.sz + sb.sz - c) AS jac_permille
+        FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    est AS (
+        SELECT jp.id_a, jp.id_b, jp.jac_permille,
+               (1000 * ({' + '.join(f'CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END' for i in range(8))})) // 8
+                   AS est_permille
+        FROM jp JOIN sig a ON a.doc_id = jp.id_a JOIN sig b ON b.doc_id = jp.id_b
+    )
+    SELECT CAST(jac_permille // 100 AS BIGINT) AS jac_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(est_permille) // COUNT(*) AS BIGINT) AS avg_est_permille,
+           CAST(SUM(abs(est_permille - jac_permille)) // COUNT(*) AS BIGINT)
+               AS avg_abs_err_permille
+    FROM est
+    GROUP BY jac_decile
+    ORDER BY jac_decile
+    """,
+)
+def dedup_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration (round-5) — how well does 8-hash
+    signature agreement estimate true Jaccard on the candidate pairs
+    the pipeline actually scores?  Per exact-Jaccard decile: pair
+    count, mean signature-agreement estimate (agreeing hashes / 8, in
+    permille), and mean absolute error.  This is the measurement that
+    justifies (or indicts) the signature size: E[agreement] = J per
+    MinHash theory, with per-pair std √(J(1-J)/8) — a fat observed
+    error says buy more hashes, a thin one says 8 suffice.  Completes
+    the calibration family: recall gates measure what the index
+    RETRIEVES, this measures what the sketch ESTIMATES.
+
+    Scale shape: candidates from the banded join (never all-pairs),
+    signatures constant-size per doc and shared via the same persisted
+    frame the bands are built from; the estimate is 8 column equalities
+    per candidate pair; the output is ≤ 11 decile rows from one
+    map-side-combinable aggregate.  Integer-exact on both engines
+    (integer divisions, no float averages)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    shingled = D._shingled(corpus, "doc_id", "text", 3)
+    sig = D.minhash_signatures_from_shingled(shingled, "doc_id", n_hashes=8)
+    jp = D.minhash_verified_pairs(
+        corpus, "doc_id", "text", n_hashes=8, band_size=4, min_permille=0
+    ).select("id_a", "id_b", "jac_permille")
+    a = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)]
+    )
+    agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8))
+    est = (
+        jp.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "jac_permille",
+            (F.lit(1000) * agree).alias("agree1000"),
+        )
+        .select(
+            "jac_permille",
+            F.expr("div(agree1000, 8)").alias("est_permille"),
+        )
+    )
+    return (
+        est.groupBy(F.expr("div(jac_permille, 100)").cast("bigint").alias("jac_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("div(sum(est_permille), count(1))")
+            .cast("bigint")
+            .alias("avg_est_permille"),
+            F.expr("div(sum(abs(est_permille - jac_permille)), count(1))")
+            .cast("bigint")
+            .alias("avg_abs_err_permille"),
+        )
+        .orderBy("jac_decile")
+    )
+
+
+@register(
     "pipeline_contamination_report",
     rf"""
     WITH {_CORPUS_SQL},
