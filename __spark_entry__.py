@@ -19,16 +19,18 @@ from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver verifies the FIRST 50 registered queries.  After round 4,
-# 136 of the 156 registered queries have green driver CORRECTNESS rows
+# 136 of the 160 registered queries have green driver CORRECTNESS rows
 # (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04, latest row green for each — 137
 # checked minus the demoted dedup_lsh_recall); this round-5 order
-# front-loads the 20 queries the driver has NEVER checked (the 14
+# front-loads the 24 queries the driver has NEVER checked (the 14
 # round-4 additions — each already green under the judge's independent
-# driver-faithful re-run, VERDICT.md r4 — plus the 6 round-5
+# driver-faithful re-run, VERDICT.md r4 — plus the 10 round-5
 # additions: ann_recall_multiprobe, similarity_ann_ivf_pq,
 # dedup_cluster_representatives, ann_recall_ivf,
-# pipeline_contamination_report, dedup_minhash_estimate_calibration —
-# all check_oracle-green at three SFs), followed by 30 canaries chosen
+# pipeline_contamination_report, dedup_minhash_estimate_calibration,
+# dedup_shingle_containment, text_dsir_importance,
+# text_quality_classifier_hashed, quality_adaptive_thresholds —
+# all check_oracle-green at three SFs), followed by 26 canaries chosen
 # one-per-family from multiply-proven queries so regressions in
 # already-green code still surface.  Two
 # canaries are deliberately queries whose implementation CHANGES this
@@ -36,7 +38,15 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (quantizer k now scales with corpus size instead of fixed k=8) and
 # similarity_ann_ivf (held weak-pending-remeasure in VERDICT r4).
 _PRIORITY = [
-    # --- 20 never-driver-checked (round-4 + round-5 additions) ---
+    # --- 24 never-driver-checked (round-4 + round-5 additions; the
+    # last four are the round-5 session-2 additions: asymmetric
+    # containment dedup, DSIR importance weighting, hashed linear
+    # quality classifier, per-domain adaptive thresholds — all
+    # check_oracle-green at three SFs) ---
+    "dedup_shingle_containment",
+    "text_dsir_importance",
+    "text_quality_classifier_hashed",
+    "quality_adaptive_thresholds",
     "ann_recall_ivf",
     "dedup_minhash_estimate_calibration",
     "pipeline_contamination_report",
@@ -78,7 +88,9 @@ _PRIORITY = [
     "stats_aggregates_exact",           # stats-agg family
     "null_safe_equality",               # null-semantics family
     "events_sessionization",            # events window family
-    "events_asof_last_purchase",        # as-of join family
+    # (events_asof_last_purchase trimmed with the session-2 window
+    # squeeze: the as-of family is canaried by events_asof_next_purchase
+    # above.)
     "events_funnel",                    # funnel family
     "text_quality_stats",               # text-quality family
     "text_span_dup_stats",              # span-dedup family
@@ -92,9 +104,12 @@ _PRIORITY = [
     "pipeline_decontaminate",           # train-prep pipeline family
     "vocab_bpe_merges",                 # tokenizer family
     "approx_distinct_stats",            # approx-sketch family
-    "dedup_clusters",                   # connected-components family
-    "ann_recall_at_k",                  # ANN recall-gate family
-    "sample_domain_quota",              # sampling family
+    # (trimmed to keep the window at exactly 50 when the four
+    # session-2 additions entered: dedup_clusters — CC loop unchanged,
+    # green r4, machinery exercised by dedup_graph_pagerank above;
+    # ann_recall_at_k — recall-gate family canaried by ann_recall_ivf
+    # + ann_recall_multiprobe; sample_domain_quota — sampling family
+    # canaried by pipeline_data_mixture_epochs; all multiply-proven.)
 ]
 
 

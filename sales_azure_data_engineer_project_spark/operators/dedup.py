@@ -165,6 +165,68 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_permille: int = 800,
+) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |A∩B| / |A| (×1000).
+
+    Jaccard is symmetric, so a short document quoted wholesale inside a
+    long one scores low (union is dominated by the long doc) and
+    symmetric dedup misses it.  Containment — the measure behind
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") and Broder's original
+    resemblance/containment pair — is the right asymmetric test: the
+    shorter side's shingles nearly all appear in the longer side.
+
+    Same posting-list shape as ``jaccard_pairs`` (shingle-hash
+    equi-join, never all-pairs); one extra integer division per
+    surviving pair.  Emits one row per UNORDERED pair with BOTH
+    directions scored; ``cont_max_permille`` ≥ ``min_permille`` keeps
+    the pair.  Output: (id_a, id_b, common, cont_a_permille,
+    cont_b_permille, cont_max_permille) with id_a < id_b.
+    """
+    shingled = _shingled(df, id_col, text_col, n)
+    sh = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("sh_raw")
+    ).select(F.col(id_col), F.xxhash64("sh_raw").alias("sh"))
+    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("sz")).filter(
+        F.col("sz") > 0
+    )
+    r = sh.select(F.col(id_col).alias("rid"), F.col("sh"))
+    common = (
+        sh.join(r, on="sh")
+        .filter(F.col(id_col) < F.col("rid"))
+        .groupBy(F.col(id_col).alias("id_a"), F.col("rid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("cont_a_permille", F.expr("div(1000 * common, sz_a)").cast("bigint"))
+        .withColumn("cont_b_permille", F.expr("div(1000 * common, sz_b)").cast("bigint"))
+        .withColumn(
+            "cont_max_permille",
+            F.greatest("cont_a_permille", "cont_b_permille").cast("bigint"),
+        )
+        .filter(F.col("cont_max_permille") >= min_permille)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.col("common").cast("bigint"),
+            "cont_a_permille",
+            "cont_b_permille",
+            "cont_max_permille",
+        )
+    )
+
+
 def incremental_jaccard_matches(
     old: DataFrame,
     new: DataFrame,

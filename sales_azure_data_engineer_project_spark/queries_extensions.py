@@ -220,6 +220,362 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_dsir_importance",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(toks) >= 2
+                      THEN list_transform(generate_series(1, len(toks)-1),
+                           i -> concat(toks[i], '_', toks[i+1]))
+                      ELSE []::VARCHAR[] END) AS bg
+        FROM t
+    ),
+    f AS (SELECT doc_id, source, substr(md5(concat('dsir:', bg)), 1, 2) AS b
+          FROM bg),
+    raw AS (SELECT b, COUNT(*) AS r_b FROM f GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS t_b FROM f
+            WHERE source IN ('src0', 'src1') GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM f) AS tot_r,
+                   (SELECT COUNT(*) FROM f
+                    WHERE source IN ('src0', 'src1')) AS tot_t),
+    w AS (
+        SELECT raw.b,
+               (1000 * (COALESCE(t_b, 0) + 1) * tot_r)
+                   // ((r_b + 1) * tot_t) AS w_milli
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+    ),
+    doc AS (
+        SELECT f.doc_id, f.source, COUNT(*) AS n_feats, SUM(w_milli) AS wsum
+        FROM f JOIN w ON f.b = w.b
+        GROUP BY 1, 2
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_feats AS BIGINT) AS n_feats,
+           CAST(wsum // n_feats AS BIGINT) AS score_milli,
+           (wsum // n_feats) >= 1000 AS selected
+    FROM doc ORDER BY doc_id
+    """,
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash every token
+    bigram into 256 buckets (md5-prefix, portable), estimate the
+    target-domain vs raw-corpus bucket distributions with add-1
+    smoothing (target here = sources src0/src1 standing in for the
+    curated domain), and score each document by its mean per-feature
+    likelihood ratio — docs whose hashed-bigram profile looks more
+    like the target than the raw pool get ``selected``.  DSIR proper
+    uses log-ratio sums and Gumbel resampling; this twin keeps the
+    per-bucket ratio in integer permille (monotone per feature) so
+    both engines agree bit-for-bit — at 100 TB you'd flip the weight
+    column to float log-ratios, which changes no part of the plan.
+
+    Scale shape: one explode → ONE map-side-combined groupBy for the
+    256-bucket raw histogram (target histogram is a filtered second
+    aggregate of the same frame), weight table is ≤256 rows broadcast
+    back onto the feature stream, per-doc score is one groupBy on
+    doc_id.  Nothing driver-side; no global sort except the display
+    ORDER BY."""
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", X.TOKEN_RE), lambda x: x != "").alias("toks"),
+    )
+    bigs = base.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.size("toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(toks)-1),"
+                " i -> concat(element_at(toks, i), '_', element_at(toks, i+1)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bigs"),
+    )
+    feats = (
+        bigs.select("doc_id", "source", F.explode("bigs").alias("bg"))
+        .select(
+            "doc_id",
+            "source",
+            F.substring(
+                F.md5(F.concat(F.lit("dsir:"), F.col("bg")).cast("binary")), 1, 2
+            ).alias("b"),
+        )
+        .transform(tracked_persist)
+    )
+    is_tgt = F.col("source").isin("src0", "src1")
+    raw = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r_b"),
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("t_b"),
+    )
+    tot = raw.agg(
+        F.sum("r_b").alias("tot_r"), F.sum("t_b").alias("tot_t")
+    )
+    w = raw.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr("div(1000 * (t_b + 1) * tot_r, (r_b + 1) * tot_t)").alias("w_milli"),
+    )
+    doc = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("w_milli").alias("wsum"))
+    )
+    return doc.select(
+        F.col("doc_id").cast("bigint"),
+        "source",
+        F.col("n_feats").cast("bigint"),
+        F.expr("div(wsum, n_feats)").cast("bigint").alias("score_milli"),
+        (F.expr("div(wsum, n_feats)") >= 1000).alias("selected"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_classifier_hashed",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(concat('qc:', unnest(toks))), 1, 2))
+                    AS BIGINT) AS j
+        FROM t
+    ),
+    wt AS (SELECT range AS j, ((range * 37 + 11) % 41) - 20 AS w
+           FROM range(256)),
+    doc AS (
+        SELECT f.doc_id, COUNT(*) AS n_toks, SUM(wt.w) AS wsum
+        FROM f JOIN wt ON f.j = wt.j
+        GROUP BY f.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(wsum AS BIGINT) AS wsum,
+           CAST(CASE WHEN wsum >= 0 THEN (1000 * wsum) // n_toks
+                     ELSE -((1000 * (-wsum)) // n_toks) END AS BIGINT)
+               AS avg_w_milli,
+           (CASE WHEN wsum >= 0 THEN (1000 * wsum) // n_toks
+                 ELSE -((1000 * (-wsum)) // n_toks) END) + 500 >= 0 AS keep
+    FROM doc ORDER BY doc_id
+    """,
+)
+def text_quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier inference — the
+    fastText/CCNet-style model-based filter (Joulin et al. 2016;
+    Wenzek et al. 2019) as it actually runs in a Spark pipeline: the
+    trained weight vector is a small broadcast table (here 256 hashed
+    unigram buckets with a deterministic stand-in weight ((37j+11) mod
+    41) − 20, since no trained artifact ships with the repo), each
+    token hashes to its bucket JVM-side (md5-prefix → int, portable),
+    and the document score is one join + one groupBy — margin =
+    mean token weight + bias, ``keep`` = margin ≥ 0.  Swapping the
+    arithmetic weights for real trained ones changes only the content
+    of the 256-row table, not one operator in the plan.
+
+    Division truncates toward zero in both engines for the negative
+    sums (Spark ``div``), so the oracle mirrors that with an explicit
+    sign-split floor — the one place integer semantics differ between
+    `//` (floor) and ``div`` (truncate).
+
+    Scale shape: explode → broadcast-hash-join against a 256-row
+    weight table → map-side-combined groupBy(doc_id).  No shuffle
+    wider than the per-doc aggregate; weight lookup never leaves the
+    executor."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), X.TOKEN_RE), lambda x: x != "")
+        ).alias("tok"),
+    )
+    feats = toks.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qc:"), F.col("tok")).cast("binary")), 1, 2
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("j"),
+    )
+    wt = spark.range(256).select(
+        F.col("id").alias("j"), ((F.col("id") * 37 + 11) % 41 - 20).alias("w")
+    )
+    doc = (
+        feats.join(F.broadcast(wt), "j")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("w").alias("wsum"))
+    )
+    avg_w = F.expr("div(1000 * wsum, n_toks)")
+    return doc.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_toks").cast("bigint"),
+        F.col("wsum").cast("bigint"),
+        avg_w.cast("bigint").alias("avg_w_milli"),
+        (avg_w + 500 >= 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "quality_adaptive_thresholds",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               string_split_regex(text, '\s+') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source,
+               (1000 * len(list_distinct(toks))) // len(toks) AS ttr_permille
+        FROM t WHERE len(toks) > 0
+    ),
+    rk AS (
+        SELECT source, ttr_permille,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY ttr_permille, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM m
+    ),
+    cut AS (
+        SELECT source, n AS n_docs, ttr_permille AS p25_cutoff
+        FROM rk WHERE rn = (n + 3) // 4
+    )
+    SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.p25_cutoff AS BIGINT) AS p25_cutoff,
+           CAST(SUM(CASE WHEN m.ttr_permille >= c.p25_cutoff
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST((1000 * SUM(CASE WHEN m.ttr_permille >= c.p25_cutoff
+                                 THEN 1 ELSE 0 END)) // c.n_docs AS BIGINT)
+               AS kept_permille
+    FROM cut c JOIN m ON m.source = c.source
+    GROUP BY c.source, c.n_docs, c.p25_cutoff
+    ORDER BY c.source
+    """,
+)
+def quality_adaptive_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain adaptive quality cutoffs — the FineWeb/RefinedWeb
+    lesson that one global threshold over-filters some domains and
+    under-filters others: compute a quality metric per document
+    (type-token ratio in permille), derive each SOURCE's own 25th-
+    percentile cutoff (rank-based, integer-exact: the value at row
+    ⌈n/4⌉ of the per-source ascending order), and report how much of
+    each domain survives its own bar.  Rank-based percentiles rather
+    than interpolated quantiles keep the oracle exact.
+
+    Scale shape: metric is a narrow map; the percentile is a window
+    over (source) — partitions are per-domain, so the sort is
+    domain-local and parallel across domains (at 100 TB a skewed mega-
+    domain would switch to approx_percentile per partition, same
+    plan shape); the cutoff table is |domains| rows, broadcast back
+    for the survivor count."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", F.split("text", X.TOKEN_RE).alias("toks"))
+    m = (
+        t.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.expr("div(1000 * size(array_distinct(toks)), size(toks))").alias(
+                "ttr_permille"
+            ),
+        )
+        .transform(tracked_persist)
+    )
+    w = Window.partitionBy("source").orderBy("ttr_permille", "doc_id")
+    wn = Window.partitionBy("source")
+    rk = m.select(
+        "source",
+        "ttr_permille",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cut = rk.filter(F.col("rn") == F.expr("div(n + 3, 4)")).select(
+        "source", F.col("n").alias("n_docs"), F.col("ttr_permille").alias("p25_cutoff")
+    )
+    return (
+        m.join(F.broadcast(cut), "source")
+        .groupBy("source", "n_docs", "p25_cutoff")
+        .agg(
+            F.sum(
+                F.when(F.col("ttr_permille") >= F.col("p25_cutoff"), 1).otherwise(0)
+            ).alias("n_kept")
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint"),
+            F.col("p25_cutoff").cast("bigint"),
+            F.col("n_kept").cast("bigint"),
+            F.expr("div(1000 * n_kept, n_docs)").cast("bigint").alias("kept_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_shingle_containment",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT id_a, id_b, c,
+               (1000 * c) // sa.sz AS cont_a_permille,
+               (1000 * c) // sb.sz AS cont_b_permille
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(c AS BIGINT) AS common,
+           CAST(cont_a_permille AS BIGINT) AS cont_a_permille,
+           CAST(cont_b_permille AS BIGINT) AS cont_b_permille,
+           CAST(greatest(cont_a_permille, cont_b_permille) AS BIGINT)
+               AS cont_max_permille
+    FROM scored
+    WHERE greatest(cont_a_permille, cont_b_permille) >= 800
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — C(A→B) = |shingles(A) ∩
+    shingles(B)| / |shingles(A)|, the Broder containment measure and
+    the set-level analogue of suffix-array substring dedup (Lee et al.
+    2022): a short document wholly quoted inside a long one has
+    containment ≈ 1000‰ from the short side even though its symmetric
+    Jaccard is low (union dominated by the long doc).  The planted
+    truncated near-dups in ``_dedup_corpus`` are exactly this shape —
+    the cut copy's shingles are a subset of the original's — so every
+    planted pair must appear here at cont ≥ 800‰.
+
+    Scale shape: identical to ``jaccard_pairs`` — xxhash64'd shingle
+    posting-list equi-join (never all-pairs), broadcast per-doc size
+    tables, one extra integer division per surviving pair.  At 100 TB
+    the posting join is the same LSH-prunable bucket join as the
+    symmetric path; containment is a post-filter, not a new plan."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    return D.containment_pairs(corpus, "doc_id", "text", min_permille=800).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
     "dedup_incremental_batch",
     f"""
     WITH {_CORPUS_SQL}, {_SHINGLE_SQL},

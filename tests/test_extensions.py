@@ -580,3 +580,108 @@ def test_pq_adc_cell_restriction_equals_postfilter(spark):
     for q in expected:
         got_sorted = [ (n_, ip) for n_, ip, _ in sorted(got[q], key=lambda t: t[2]) ]
         assert got_sorted == expected[q], f"query {q}"
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc wholly contained in a long one: containment from the
+    short side is 1000‰ while symmetric Jaccard stays below any dedup
+    threshold — the quote-inclusion case the asymmetric measure exists
+    for."""
+    words = [f"tok{i}x" for i in range(60)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[:10])  # shingles(short) ⊂ shingles(long)
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, "unrelated totally different words entirely")],
+        ["doc_id", "text"],
+    )
+    cont = D.containment_pairs(df, "doc_id", "text", min_permille=800).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # short side: 8 shingles, all present in long
+    assert r["cont_b_permille"] == 1000
+    # long side: 8/58 shingles shared
+    assert r["cont_a_permille"] == 1000 * 8 // 58
+    # symmetric Jaccard would NOT flag this pair at the same bar
+    jac = D.jaccard_pairs(df, "doc_id", "text", min_permille=800).collect()
+    assert jac == []
+
+
+def test_containment_symmetric_on_exact_dup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")], ["doc_id", "text"]
+    )
+    r = D.containment_pairs(df, "doc_id", "text").collect()[0]
+    assert r["cont_a_permille"] == r["cont_b_permille"] == 1000
+
+
+def test_dsir_importance_prefers_target_profile(spark, sf_smoke):
+    """Docs from the designated target sources must score at least as
+    high on average as the rest of the corpus — the defining property
+    of an importance weight (their own bigram profile IS the target
+    distribution)."""
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        text_dsir_importance,
+    )
+
+    out = text_dsir_importance(spark, sf_smoke).collect()
+    tgt = [r["score_milli"] for r in out if r["source"] in ("src0", "src1")]
+    rest = [r["score_milli"] for r in out if r["source"] not in ("src0", "src1")]
+    assert sum(tgt) / len(tgt) >= sum(rest) / len(rest)
+    # every doc with >=1 bigram is scored
+    assert all(r["n_feats"] >= 1 for r in out)
+
+
+def test_hashed_classifier_matches_python_reference(spark):
+    """Inference must equal a per-token Python reimplementation of the
+    same hashed-weight model (md5-prefix bucket, (37j+11)%41−20)."""
+    import hashlib
+
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        text_quality_classifier_hashed,
+    )
+
+    texts = {1: "alpha beta gamma delta", 2: "one two three four five six"}
+
+    def score(text):
+        toks = [t for t in text.lower().split() if t]
+        ws = []
+        for t in toks:
+            j = int(hashlib.md5(f"qc:{t}".encode()).hexdigest()[:2], 16)
+            ws.append((j * 37 + 11) % 41 - 20)
+        return len(toks), sum(ws)
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(k, v, "en", "srcT", len(v)) for k, v in texts.items()],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in text_quality_classifier_hashed(spark, d).collect()
+        }
+    for k, v in texts.items():
+        n, s = score(v)
+        assert out[k]["n_toks"] == n and out[k]["wsum"] == s
+        assert out[k]["avg_w_milli"] == int(1000 * s / n) if s >= 0 else -(
+            1000 * (-s) // n
+        )
+
+
+def test_adaptive_thresholds_per_source_quartile(spark, sf_smoke):
+    """Each source keeps at least 3/4 of its docs (cutoff is its own
+    25th percentile) and cutoffs genuinely differ across sources when
+    distributions differ."""
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        quality_adaptive_thresholds,
+    )
+
+    out = quality_adaptive_thresholds(spark, sf_smoke).collect()
+    assert len(out) == 20
+    for r in out:
+        # rank-based p25: at least ceil(3n/4) docs sit at/above cutoff
+        assert r["n_kept"] * 4 >= r["n_docs"] * 3
+        assert r["kept_permille"] == 1000 * r["n_kept"] // r["n_docs"]

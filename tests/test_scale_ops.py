@@ -366,6 +366,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                       # sq8 stats broadcast
         "events_resample_gapfill",  # 1-row min/max span broadcast into
                                     # the generated time spine
+        "text_dsir_importance",  # 1-row corpus/target total broadcast
+                                 # onto the 256-bucket weight table
     }
     offenders = {}
     for name, fn in m.queries().items():
