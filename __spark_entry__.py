@@ -19,18 +19,19 @@ from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver verifies the FIRST 50 registered queries.  After round 4,
-# 136 of the 160 registered queries have green driver CORRECTNESS rows
+# 136 of the 162 registered queries have green driver CORRECTNESS rows
 # (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04, latest row green for each — 137
 # checked minus the demoted dedup_lsh_recall); this round-5 order
-# front-loads the 24 queries the driver has NEVER checked (the 14
+# front-loads the 26 queries the driver has NEVER checked (the 14
 # round-4 additions — each already green under the judge's independent
-# driver-faithful re-run, VERDICT.md r4 — plus the 10 round-5
+# driver-faithful re-run, VERDICT.md r4 — plus the 12 round-5
 # additions: ann_recall_multiprobe, similarity_ann_ivf_pq,
 # dedup_cluster_representatives, ann_recall_ivf,
 # pipeline_contamination_report, dedup_minhash_estimate_calibration,
 # dedup_shingle_containment, text_dsir_importance,
-# text_quality_classifier_hashed, quality_adaptive_thresholds —
-# all check_oracle-green at three SFs), followed by 26 canaries chosen
+# text_quality_classifier_hashed, quality_adaptive_thresholds,
+# ann_recall_pq, pipeline_filter_ablation —
+# all check_oracle-green at three SFs), followed by 24 canaries chosen
 # one-per-family from multiply-proven queries so regressions in
 # already-green code still surface.  Two
 # canaries are deliberately queries whose implementation CHANGES this
@@ -38,15 +39,18 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (quantizer k now scales with corpus size instead of fixed k=8) and
 # similarity_ann_ivf (held weak-pending-remeasure in VERDICT r4).
 _PRIORITY = [
-    # --- 24 never-driver-checked (round-4 + round-5 additions; the
-    # last four are the round-5 session-2 additions: asymmetric
+    # --- 26 never-driver-checked (round-4 + round-5 additions; the
+    # first six are the round-5 session-2 additions: asymmetric
     # containment dedup, DSIR importance weighting, hashed linear
-    # quality classifier, per-domain adaptive thresholds — all
+    # quality classifier, per-domain adaptive thresholds, the PQ
+    # recall gate, and the filter-ablation report — all
     # check_oracle-green at three SFs) ---
     "dedup_shingle_containment",
     "text_dsir_importance",
     "text_quality_classifier_hashed",
     "quality_adaptive_thresholds",
+    "ann_recall_pq",
+    "pipeline_filter_ablation",
     "ann_recall_ivf",
     "dedup_minhash_estimate_calibration",
     "pipeline_contamination_report",
@@ -67,7 +71,7 @@ _PRIORITY = [
     "similarity_matryoshka_agreement",
     "text_gopher_quality_rules",
     "text_ngram_novelty",
-    # --- 30 canaries: one per proven family (all r1-r4 green; the
+    # --- 24 canaries: one per proven family (all r1-r4 green; the
     # trimmed six — max_order_key, similarity_ann_pq (its full chain
     # runs inside similarity_ann_ivf_pq), pivot_returnflag_status,
     # union_segments (unionByName exercised inside the funnel and
@@ -92,10 +96,14 @@ _PRIORITY = [
     # squeeze: the as-of family is canaried by events_asof_next_purchase
     # above.)
     "events_funnel",                    # funnel family
-    "text_quality_stats",               # text-quality family
+    # (text_quality_stats trimmed with the session-2 window squeeze:
+    # the text-quality family is canaried by text_gopher_quality_rules
+    # plus the three new quality queries above.)
     "text_span_dup_stats",              # span-dedup family
     "text_trigram_lm_score",            # LM-score family
-    "dedup_exact",                      # exact-dedup family
+    # (dedup_exact trimmed with the session-2 window squeeze: the
+    # exact-dedup operator runs inside pipeline_full_train_prep and
+    # pipeline_contamination_report above.)
     "dedup_minhash_lsh",                # MinHash-LSH family (perf-watch r4)
     "dedup_semantic_semdedup",          # CHANGED r5: k scales with N
     "similarity_ann_ivf",               # CHANGED/perf-watch r4 (re-row)

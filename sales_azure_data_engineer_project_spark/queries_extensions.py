@@ -220,6 +220,150 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_filter_ablation",
+    r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               (1000 * len(list_distinct(toks))) // len(toks) AS ttr_permille,
+               (1000 * len(list_filter(toks,
+                    x -> contains(x, '#') OR contains(x, '...'))))
+                    // len(toks) AS symbol_permille,
+               len(list_distinct(list_filter(toks, x -> x IN
+                   ('the','a','an','of','and','to','is','in','it','for'))))
+                   AS n_stop_distinct
+        FROM t WHERE len(toks) > 0
+    ),
+    fl AS (
+        SELECT doc_id,
+               CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS f_len,
+               CASE WHEN ttr_permille >= 300 THEN 0 ELSE 1 END AS f_ttr,
+               CASE WHEN symbol_permille < 100 THEN 0 ELSE 1 END AS f_sym,
+               CASE WHEN n_stop_distinct >= 2 THEN 0 ELSE 1 END AS f_stop
+        FROM m
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(f_len) AS len_fail,
+               SUM(CASE WHEN f_len = 1 AND f_ttr + f_sym + f_stop = 0
+                        THEN 1 ELSE 0 END) AS len_uniq,
+               SUM(f_ttr) AS ttr_fail,
+               SUM(CASE WHEN f_ttr = 1 AND f_len + f_sym + f_stop = 0
+                        THEN 1 ELSE 0 END) AS ttr_uniq,
+               SUM(f_sym) AS sym_fail,
+               SUM(CASE WHEN f_sym = 1 AND f_len + f_ttr + f_stop = 0
+                        THEN 1 ELSE 0 END) AS sym_uniq,
+               SUM(f_stop) AS stop_fail,
+               SUM(CASE WHEN f_stop = 1 AND f_len + f_ttr + f_sym = 0
+                        THEN 1 ELSE 0 END) AS stop_uniq,
+               SUM(CASE WHEN f_len + f_ttr + f_sym + f_stop = 0
+                        THEN 1 ELSE 0 END) AS pass_all
+        FROM fl
+    )
+    SELECT filter_name,
+           CAST(n_fail AS BIGINT) AS n_fail,
+           CAST(n_unique_fail AS BIGINT) AS n_unique_fail,
+           CAST((1000 * n_fail) // n_docs AS BIGINT) AS fail_permille,
+           CAST(pass_all AS BIGINT) AS n_pass_all
+    FROM (
+        SELECT 'length' AS filter_name, len_fail AS n_fail,
+               len_uniq AS n_unique_fail, n_docs, pass_all FROM agg
+        UNION ALL
+        SELECT 'stopwords', stop_fail, stop_uniq, n_docs, pass_all FROM agg
+        UNION ALL
+        SELECT 'symbol', sym_fail, sym_uniq, n_docs, pass_all FROM agg
+        UNION ALL
+        SELECT 'ttr', ttr_fail, ttr_uniq, n_docs, pass_all FROM agg
+    )
+    ORDER BY filter_name
+    """,
+)
+def pipeline_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ablation report — the observability query every corpus
+    pipeline runs before tuning thresholds: for each quality filter
+    (length bounds, type-token-ratio floor, symbol-ratio ceiling,
+    stopword-diversity floor), how many documents it kills in total
+    and how many it UNIQUELY kills (fails it while passing all
+    others).  Unique-kill counts are what tell you a filter is pulling
+    its weight vs merely shadowing another — the standard ablation
+    framing in Gopher §A1.1 / Dolma's filter analyses.
+
+    Scale shape: ONE narrow pass binds the token array and derives all
+    four flags per document, then ONE map-side-combined global
+    aggregate computes every count; the 4-row report is produced by a
+    union over that single aggregate row (Spark: ``stack``) — no
+    second scan, no join, no per-filter pass."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", X.TOKEN_RE).alias("toks"))
+    m = t.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr("div(1000 * size(array_distinct(toks)), size(toks))").alias(
+            "ttr_permille"
+        ),
+        F.expr(
+            "div(1000 * size(filter(toks, x -> contains(x, '#')"
+            " OR contains(x, '...'))), size(toks))"
+        ).alias("symbol_permille"),
+        F.size(
+            F.array_distinct(F.filter(F.col("toks"), lambda x: x.isin(*X.EN_STOPWORDS)))
+        ).alias("n_stop_distinct"),
+    )
+    fl = m.select(
+        F.when(F.col("n_tokens").between(50, 100000), 0).otherwise(1).alias("f_len"),
+        F.when(F.col("ttr_permille") >= 300, 0).otherwise(1).alias("f_ttr"),
+        F.when(F.col("symbol_permille") < 100, 0).otherwise(1).alias("f_sym"),
+        F.when(F.col("n_stop_distinct") >= 2, 0).otherwise(1).alias("f_stop"),
+    )
+    others = {
+        "len": "f_ttr + f_sym + f_stop",
+        "ttr": "f_len + f_sym + f_stop",
+        "sym": "f_len + f_ttr + f_stop",
+        "stop": "f_len + f_ttr + f_sym",
+    }
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for k, rest in others.items():
+        aggs.append(F.sum(f"f_{k}").alias(f"{k}_fail"))
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN f_{k} = 1 AND {rest} = 0 THEN 1 ELSE 0 END")).alias(
+                f"{k}_uniq"
+            )
+        )
+    aggs.append(
+        F.sum(
+            F.expr("CASE WHEN f_len + f_ttr + f_sym + f_stop = 0 THEN 1 ELSE 0 END")
+        ).alias("pass_all")
+    )
+    agg = fl.agg(*aggs)
+    return (
+        agg.select(
+            F.expr(
+                "stack(4,"
+                " 'length', len_fail, len_uniq,"
+                " 'stopwords', stop_fail, stop_uniq,"
+                " 'symbol', sym_fail, sym_uniq,"
+                " 'ttr', ttr_fail, ttr_uniq"
+                ") AS (filter_name, n_fail, n_unique_fail)"
+            ),
+            "n_docs",
+            "pass_all",
+        )
+        .select(
+            "filter_name",
+            F.col("n_fail").cast("bigint"),
+            F.col("n_unique_fail").cast("bigint"),
+            F.expr("div(1000 * n_fail, n_docs)").cast("bigint").alias("fail_permille"),
+            F.col("pass_all").cast("bigint").alias("n_pass_all"),
+        )
+        .orderBy("filter_name")
+    )
+
+
+@register(
     "text_dsir_importance",
     r"""
     WITH t AS (
@@ -287,18 +431,22 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.filter(F.split("text", X.TOKEN_RE), lambda x: x != "").alias("toks"),
     )
+    # adjacent-pair bigrams via zip_with over two shifted slices of the
+    # BOUND token array — measured 20× faster than the
+    # transform(sequence, element_at) spelling at sf0.1 (0.5 s vs 11 s:
+    # per-index element_at through a higher-order lambda defeats
+    # codegen, while slice+zip_with streams both arrays once); for
+    # size<2 both slices are empty, matching DuckDB's generate_series
+    toks = F.col("toks")
+    pair_len = F.greatest(F.size(toks) - 1, F.lit(0))
     bigs = base.select(
         "doc_id",
         "source",
-        F.when(
-            F.size("toks") >= 2,
-            F.expr(
-                "transform(sequence(1, size(toks)-1),"
-                " i -> concat(element_at(toks, i), '_', element_at(toks, i+1)))"
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("bigs"),
+        F.zip_with(
+            F.slice(toks, 1, pair_len),
+            F.slice(toks, 2, pair_len),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ).alias("bigs"),
     )
     feats = (
         bigs.select("doc_id", "source", F.explode("bigs").alias("bg"))
@@ -4091,8 +4239,11 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle_sql(m: int = 4, k: int = 16, subdim: int = 16, iters: int = 3) -> str:
-    """Unrolled-Lloyd DuckDB twin of ``similarity_ann_pq``.
+def _pq_ctes(m: int = 4, k: int = 16, subdim: int = 16, iters: int = 3) -> str:
+    """Unrolled-Lloyd DuckDB twin of ``similarity_ann_pq``, through the
+    ``ranked`` CTE (ADC-approx top-k per query).  Shared by the
+    full-SELECT twin ``_pq_oracle_sql`` and the recall gate
+    ``ann_recall_pq``.
 
     Replayable because every float op is order-pinned or exact:
     - training inputs are SQ8 codes (integer-valued doubles), so the
@@ -4189,14 +4340,114 @@ def _pq_oracle_sql(m: int = 4, k: int = 16, subdim: int = 16, iters: int = 3) ->
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY approx_ip DESC, neighbor_id) AS INTEGER) AS rk
         FROM scored
-    )
+    )""")
+    return "".join(parts)
+
+
+def _pq_oracle_sql(m: int = 4, k: int = 16, subdim: int = 16, iters: int = 3) -> str:
+    """Full-SELECT DuckDB twin of ``similarity_ann_pq``: the shared PQ
+    CTE chain plus the ADC top-5 projection."""
+    return _pq_ctes(m, k, subdim, iters) + """
     SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(neighbor_id AS BIGINT) AS neighbor_id,
            CAST(approx_ip AS DOUBLE) AS approx_ip, rk
     FROM ranked WHERE rk <= 5
     ORDER BY query_id, rk
-    """)
-    return "".join(parts)
+    """
+
+
+def _pq_recall_oracle_sql() -> str:
+    """DuckDB twin of ``ann_recall_pq``: exact cosine top-5 truth over
+    the RAW vectors vs the PQ-ADC approx top-5 (both SQ8+PQ training
+    and ADC scoring replayed by the shared ``_pq_ctes`` chain)."""
+    return _pq_ctes() + """,
+    approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= 5),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.v, c.v)
+                                / (sqrt(list_dot_product(q.v, q.v))
+                                   * sqrt(list_dot_product(c.v, c.v))) DESC,
+                                c.vec_id) AS rk
+            FROM e q JOIN e c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rk <= 5
+    ),
+    hits AS (
+        SELECT t.query_id,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM truth t LEFT JOIN approx a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, n_hit,
+           CAST((1000 * n_hit) // 5 AS BIGINT) AS recall_permille
+    FROM hits ORDER BY query_id
+    """
+
+
+@register("ann_recall_pq", _pq_recall_oracle_sql())
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ-ADC tier against exact cosine brute force —
+    completes the recall-gate family (sign-LSH: ``ann_recall_at_k``,
+    IVF: ``ann_recall_ivf``, multiprobe: ``ann_recall_multiprobe``):
+    PQ is the LOSSY-COMPRESSION tier (SQ8 then 4×16 codebooks), so its
+    approximation error comes from quantization, not candidate
+    pruning, and deserves its own measured gate rather than an assumed
+    one.  Truth is exact cosine over the raw float vectors; approx is
+    the same ADC top-5 the registered ``similarity_ann_pq`` serves.
+
+    Scale shape: training/encoding inherits ``pq_fit_codes``'s bounded
+    driver transfers (k centroids per subspace per round); the truth
+    pass is the O(|Q|·N) brute scan with the bounded 10-query
+    broadcast — the gate's cost is controlled by |Q|, not corpus size,
+    exactly like the other recall gates."""
+    from pyspark.sql import Window
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    cvec = S.sq8_codes(emb).select(
+        "vec_id",
+        F.transform("codes", lambda x: x.cast("double")).alias("embedding"),
+    )
+    codes, books = S.pq_fit_codes(cvec, m=4, k=16, max_iter=3)
+    codes = codes.transform(tracked_persist)
+    approx = S.pq_adc_topk(
+        codes, books, cvec.filter(F.col("vec_id") < 10), k_neighbors=5
+    ).select("query_id", "neighbor_id")
+
+    n = S.with_norm(emb).select(
+        "vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm")
+    )
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    truth = (
+        n.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    hits = (
+        truth.join(
+            approx.withColumn("is_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("is_hit", F.lit(0))).cast("bigint").alias("n_hit"))
+    )
+    return hits.select(
+        F.col("query_id").cast("bigint"),
+        "n_hit",
+        F.expr("div(1000 * n_hit, 5)").cast("bigint").alias("recall_permille"),
+    ).orderBy("query_id")
 
 
 @register("similarity_ann_pq", _pq_oracle_sql())

@@ -368,6 +368,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                     # the generated time spine
         "text_dsir_importance",  # 1-row corpus/target total broadcast
                                  # onto the 256-bucket weight table
+        "ann_recall_pq",  # 10-row truth query set broadcast != join
+                          # + the PQ ADC LUT broadcast (as similarity_ann_pq)
     }
     offenders = {}
     for name, fn in m.queries().items():

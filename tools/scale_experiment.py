@@ -75,6 +75,13 @@ QUERIES = [
     ("dedup_cluster_representatives", [1, 3, 10]),
     ("ann_recall_ivf", [1, 3, 10]),
     ("ann_recall_multiprobe", [1, 3, 10]),
+    # round-5 session-2 additions
+    ("dedup_shingle_containment", [1, 3, 10]),
+    ("text_dsir_importance", [1, 3, 10]),
+    ("text_quality_classifier_hashed", [1, 3, 10]),
+    ("quality_adaptive_thresholds", [1, 3, 10]),
+    ("ann_recall_pq", [1, 3, 10]),
+    ("pipeline_filter_ablation", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
