@@ -19,19 +19,20 @@ from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver verifies the FIRST 50 registered queries.  After round 4,
-# 136 of the 162 registered queries have green driver CORRECTNESS rows
+# 136 of the 165 registered queries have green driver CORRECTNESS rows
 # (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04, latest row green for each — 137
 # checked minus the demoted dedup_lsh_recall); this round-5 order
-# front-loads the 26 queries the driver has NEVER checked (the 14
+# front-loads the 29 queries the driver has NEVER checked (the 14
 # round-4 additions — each already green under the judge's independent
-# driver-faithful re-run, VERDICT.md r4 — plus the 12 round-5
+# driver-faithful re-run, VERDICT.md r4 — plus the 15 round-5
 # additions: ann_recall_multiprobe, similarity_ann_ivf_pq,
 # dedup_cluster_representatives, ann_recall_ivf,
 # pipeline_contamination_report, dedup_minhash_estimate_calibration,
 # dedup_shingle_containment, text_dsir_importance,
 # text_quality_classifier_hashed, quality_adaptive_thresholds,
-# ann_recall_pq, pipeline_filter_ablation —
-# all check_oracle-green at three SFs), followed by 24 canaries chosen
+# ann_recall_pq, pipeline_filter_ablation, text_boilerplate_chunks,
+# dedup_minhash_containment_estimate, embedding_pca_power_iteration —
+# all check_oracle-green at three SFs), followed by 21 canaries chosen
 # one-per-family from multiply-proven queries so regressions in
 # already-green code still surface.  Two
 # canaries are deliberately queries whose implementation CHANGES this
@@ -39,18 +40,22 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (quantizer k now scales with corpus size instead of fixed k=8) and
 # similarity_ann_ivf (held weak-pending-remeasure in VERDICT r4).
 _PRIORITY = [
-    # --- 26 never-driver-checked (round-4 + round-5 additions; the
-    # first six are the round-5 session-2 additions: asymmetric
+    # --- 29 never-driver-checked (round-4 + round-5 additions; the
+    # first nine are the round-5 session-2 additions: asymmetric
     # containment dedup, DSIR importance weighting, hashed linear
     # quality classifier, per-domain adaptive thresholds, the PQ
-    # recall gate, and the filter-ablation report — all
-    # check_oracle-green at three SFs) ---
+    # recall gate, the filter-ablation report, chunk-level boilerplate
+    # detection, the MinHash containment-estimator calibration, and
+    # power-iteration PCA — all check_oracle-green at three SFs) ---
     "dedup_shingle_containment",
     "text_dsir_importance",
     "text_quality_classifier_hashed",
     "quality_adaptive_thresholds",
     "ann_recall_pq",
     "pipeline_filter_ablation",
+    "text_boilerplate_chunks",
+    "dedup_minhash_containment_estimate",
+    "embedding_pca_power_iteration",
     "ann_recall_ivf",
     "dedup_minhash_estimate_calibration",
     "pipeline_contamination_report",
@@ -71,7 +76,7 @@ _PRIORITY = [
     "similarity_matryoshka_agreement",
     "text_gopher_quality_rules",
     "text_ngram_novelty",
-    # --- 24 canaries: one per proven family (all r1-r4 green; the
+    # --- 21 canaries: one per proven family (all r1-r4 green; the
     # trimmed six — max_order_key, similarity_ann_pq (its full chain
     # runs inside similarity_ann_ivf_pq), pivot_returnflag_status,
     # union_segments (unionByName exercised inside the funnel and
@@ -87,10 +92,13 @@ _PRIORITY = [
     "window_rank_suite",                # window-function suite
     "q3_shipping_priority",             # TPC-H core
     "q5_supplier_volume_by_region",     # TPC-H 6-way join
-    "grouping_sets_revenue",            # grouping sets/rollup family
-    "json_functions",                   # json family
+    # (grouping_sets_revenue trimmed with the session-2 batch-3 window
+    # squeeze: rollup/grouping-sets green r1-r4 and untouched.)
+    # (json_functions trimmed with the session-2 batch-3 window
+    # squeeze: json family green r1-r4 and untouched.)
     "stats_aggregates_exact",           # stats-agg family
-    "null_safe_equality",               # null-semantics family
+    # (null_safe_equality trimmed with the session-2 batch-3 window
+    # squeeze: null-semantics green r1-r4 and untouched.)
     "events_sessionization",            # events window family
     # (events_asof_last_purchase trimmed with the session-2 window
     # squeeze: the as-of family is canaried by events_asof_next_purchase

@@ -724,6 +724,92 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_boilerplate_chunks",
+    f"""
+    WITH {_CORPUS_SQL},
+    tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus),
+    ch AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   toks[(i-1)*10+1 : least((i-1)*10+10, len(toks))], ' ')) AS h
+        FROM tk,
+             unnest(generate_series(1,
+                 CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS u(i)
+        WHERE len(toks) > 0
+    ),
+    freq AS (SELECT h, COUNT(*) AS n FROM ch GROUP BY h),
+    doc AS (
+        SELECT c.doc_id, COUNT(*) AS n_chunks,
+               SUM(CASE WHEN f.n >= 2 THEN 1 ELSE 0 END) AS n_shared
+        FROM ch c JOIN freq f ON c.h = f.h
+        GROUP BY c.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST((1000 * n_shared) // n_chunks AS BIGINT) AS boiler_permille
+    FROM doc ORDER BY doc_id
+    """,
+)
+def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate detection — the CCNet/RefinedWeb line-
+    dedup step re-expressed over fixed 10-token chunks (the synthetic
+    corpus is single-line, so chunks stand in for lines): hash every
+    non-overlapping chunk, count corpus-wide occurrences, and report
+    each document's fraction of chunks that appear verbatim elsewhere
+    (``boiler_permille``).  Documents dominated by shared chunks are
+    the navboxes/cookie-banners/licence-footers a web pipeline strips
+    before model-based filtering; the planted near/exact dups in
+    ``_dedup_corpus`` guarantee measurable shared mass here.
+
+    Scale shape: chunking is narrow (explode sequence + slice on the
+    bound token array); the frequency table is ONE map-side-combined
+    groupBy on a 16-byte hash, joined back on the same key — at 100 TB
+    both sides partition by chunk hash, and the frequency side can be
+    pre-filtered to n ≥ 2 (the only rows that change any doc's count)
+    before the join."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    tk = corpus.select("doc_id", F.split("text", X.TOKEN_RE).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(10.0)).cast("long")
+    ch = (
+        tk.select(
+            "doc_id", F.explode(F.sequence(F.lit(1), n_chunks)).alias("i"), "toks"
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("toks"),
+                        (F.col("i") - 1) * 10 + 1,
+                        F.least(F.lit(10), F.size("toks") - (F.col("i") - 1) * 10),
+                    ),
+                ).cast("binary")
+            ).alias("h"),
+        )
+        .transform(tracked_persist)
+    )
+    freq = ch.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    doc = (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return doc.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_chunks").cast("bigint"),
+        F.col("n_shared").cast("bigint"),
+        F.expr("div(1000 * n_shared, n_chunks)").cast("bigint").alias("boiler_permille"),
+    ).orderBy("doc_id")
+
+
+@register(
     "dedup_incremental_batch",
     f"""
     WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
@@ -3069,6 +3155,148 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_containment_estimate",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL}, {_MINHASH_BANDS_SQL},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    bg AS (
+        SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+        FROM sizes a JOIN sizes b ON b.doc_id = a.doc_id + 1
+    ),
+    cand2 AS (SELECT id_a, id_b FROM cand UNION SELECT id_a, id_b FROM bg),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS c
+        FROM cand2 c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    ),
+    cp AS (
+        SELECT c2.id_a, c2.id_b, COALESCE(cm.c, 0) AS c,
+               sa.sz AS sz_a, sb.sz AS sz_b,
+               (1000 * COALESCE(cm.c, 0)) // least(sa.sz, sb.sz)
+                   AS cont_permille
+        FROM cand2 c2
+        LEFT JOIN common cm ON cm.id_a = c2.id_a AND cm.id_b = c2.id_b
+        JOIN sizes sa ON sa.doc_id = c2.id_a
+        JOIN sizes sb ON sb.doc_id = c2.id_b
+    ),
+    est AS (
+        SELECT cp.cont_permille,
+               least(1000,
+                   (1000 * ({' + '.join(f'CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END' for i in range(8))})
+                    * (cp.sz_a + cp.sz_b))
+                   // ((8 + ({' + '.join(f'CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END' for i in range(8))}))
+                       * least(cp.sz_a, cp.sz_b))) AS est_permille
+        FROM cp JOIN sig a ON a.doc_id = cp.id_a JOIN sig b ON b.doc_id = cp.id_b
+    )
+    SELECT CAST(cont_permille // 100 AS BIGINT) AS cont_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(est_permille) // COUNT(*) AS BIGINT) AS avg_est_permille,
+           CAST(SUM(abs(est_permille - cont_permille)) // COUNT(*) AS BIGINT)
+               AS avg_abs_err_permille
+    FROM est
+    GROUP BY cont_decile
+    ORDER BY cont_decile
+    """,
+)
+def dedup_minhash_containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment ESTIMATOR calibration — the asymmetric companion of
+    ``dedup_minhash_estimate_calibration``: MinHash agreement m/8
+    estimates Jaccard, and with the (cheaply known) shingle-set sizes
+    the containment follows algebraically — C_max = J·(|A|+|B|) /
+    ((1+J)·min(|A|,|B|)), here in integer permille with m/(8+m)
+    substituted for J/(1+J) and clamped at 1000.  Per exact-containment
+    decile: pair count, mean estimate, mean absolute error.  This is
+    what lets the LSH tier flag quote-inclusion pairs
+    (``dedup_shingle_containment`` semantics) WITHOUT a posting-list
+    join — signatures + sizes only — so its error profile must be
+    measured, not assumed.
+
+    The decile spread needs NEGATIVES as well as the LSH positives, so
+    the scored pair set is the banded candidates UNION a deterministic
+    background set (each doc paired with doc_id+1 where present) —
+    the low-containment pairs an evaluation would otherwise never see.
+
+    Scale shape: candidates from the banded join (never all-pairs)
+    plus an O(N) background set; sizes and signatures are
+    constant-size per doc; the estimate is 8 column equalities + one
+    division per candidate pair; output ≤ 11 decile rows from one
+    map-side-combinable aggregate."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    shingled = D._shingled(corpus, "doc_id", "text", 3)
+    sig = D.minhash_signatures_from_shingled(shingled, "doc_id", n_hashes=8)
+    nonempty = shingled.filter(F.size("shingles") > 0)
+    bands = D._bands_from_shingled(nonempty, "doc_id", n_hashes=8, band_size=4)
+    cand = D.lsh_candidate_pairs(bands, "doc_id").select("id_a", "id_b")
+    ids = nonempty.select("doc_id")
+    bg = ids.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    cand2 = cand.unionByName(bg).distinct()
+    a_sh = nonempty.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("sz_a"),
+    )
+    b_sh = nonempty.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("sz_b"),
+    )
+    cp = (
+        cand2.join(a_sh, "id_a")
+        .join(b_sh, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "cont_permille", F.expr("div(1000 * common, least(sz_a, sz_b))")
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b", "cont_permille")
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)]
+    )
+    agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8))
+    est = (
+        cp.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("m", agree)
+        .select(
+            "cont_permille",
+            F.least(
+                F.lit(1000),
+                F.expr("div(1000 * m * (sz_a + sz_b), (8 + m) * least(sz_a, sz_b))"),
+            ).alias("est_permille"),
+        )
+    )
+    return (
+        est.groupBy(
+            F.expr("div(cont_permille, 100)").cast("bigint").alias("cont_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("div(sum(est_permille), count(1))")
+            .cast("bigint")
+            .alias("avg_est_permille"),
+            F.expr("div(sum(abs(est_permille - cont_permille)), count(1))")
+            .cast("bigint")
+            .alias("avg_abs_err_permille"),
+        )
+        .orderBy("cont_decile")
+    )
+
+
+@register(
     "dedup_minhash_estimate_calibration",
     f"""
     WITH {_CORPUS_SQL}, {_SHINGLE_SQL}, {_MINHASH_BANDS_SQL},
@@ -4448,6 +4676,107 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         F.expr("div(1000 * n_hit, 5)").cast("bigint").alias("recall_permille"),
     ).orderBy("query_id")
+
+
+@register(
+    "embedding_pca_power_iteration",
+    r"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx
+           FROM (SELECT unnest(v) AS x FROM e)),
+    cv AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(least(255, greatest(0,
+                   CAST(floor((x - mn) * 256.0 / greatest(mx - mn, 1e-12))
+                        AS INTEGER))) AS DOUBLE)) AS cvec
+        FROM e, mm
+    ),
+    ij AS (
+        SELECT ii.i, jj.j, SUM(cvec[ii.i] * cvec[jj.j]) AS sm
+        FROM cv,
+             (SELECT unnest(range(1, 65)) AS i) ii,
+             (SELECT unnest(range(1, 65)) AS j) jj
+        GROUP BY ii.i, jj.j
+    ),
+    s AS (SELECT i, list(sm ORDER BY j) AS row FROM ij GROUP BY i),
+    n1 AS (SELECT i, list_dot_product(row,
+               list_transform(range(1, 65), t -> 1.0)) AS y FROM s),
+    m1 AS (SELECT MAX(y) AS m FROM n1),
+    x1 AS (SELECT list(floor((1024 * y) / m) / 1024 ORDER BY i) AS x
+           FROM n1, m1),
+    n2 AS (SELECT i, list_dot_product(row, x) AS y FROM s, x1),
+    m2 AS (SELECT MAX(y) AS m FROM n2),
+    x2 AS (SELECT list(floor((1024 * y) / m) / 1024 ORDER BY i) AS x
+           FROM n2, m2),
+    n3 AS (SELECT i, list_dot_product(row, x) AS y FROM s, x2),
+    m3 AS (SELECT MAX(y) AS m FROM n3)
+    SELECT CAST(i AS BIGINT) AS dim,
+           CAST(floor((1000000 * y) / m) AS BIGINT) AS loading_micro,
+           CAST(floor(m) AS BIGINT) AS lambda_floor
+    FROM n3, m3 ORDER BY dim
+    """,
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by power
+    iteration — the tall-skinny PCA pattern every embedding pipeline
+    runs (drift monitoring, whitening, anisotropy checks): the ONLY
+    O(N) work is the 64×64 second-moment matrix S = Σ vvᵀ, computed
+    distributedly as one map-side-combined aggregate over the SQ8 code
+    vectors; the eigensolve then runs on the driver over 4,096 numbers
+    (the same bounded-model pattern as the k-means Lloyd rounds, which
+    collect k centroids per iteration).
+
+    Cross-engine exactness is engineered, not hoped for: training
+    inputs are SQ8 codes (integer-valued ⇒ S is exact in float64 in
+    ANY summation order), the start vector is all-ones, and between
+    iterations the iterate is renormalized by its max element and
+    QUANTIZED to 11-bit dyadic rationals (floor(1024·y/m)/1024) — so
+    every matrix-vector product is a sum of exact dyadic values below
+    2⁵³, order-independent on both engines; the only rounding ops are
+    correctly-rounded divisions of identical operands.  Three unrolled
+    iterations; output is the 64 loadings (millionths, floored) and
+    the dominant-eigenvalue floor of S.
+
+    The returned frame is the 64-row driver-built result (plan: local
+    scan), exactly like the broadcast-centroid frames the ANN tier
+    serves — the distributed aggregate ran when it was built."""
+    import math
+
+    emb = _fan_out(load_testdata(spark, sf_dir, "embeddings"))
+    cv = S.sq8_codes(emb)
+    ex = cv.select(F.posexplode("codes").alias("i0", "ci"), F.col("codes"))
+    srows = ex.groupBy("i0").agg(
+        *[
+            F.sum(F.col("ci").cast("long") * F.col("codes")[j].cast("long")).alias(
+                f"s{j}"
+            )
+            for j in range(64)
+        ]
+    )
+    smat = {
+        r["i0"]: [float(r[f"s{j}"]) for j in range(64)] for r in srows.collect()
+    }
+    s_rows = [smat[i] for i in range(64)]
+    x = [1.0] * 64
+    m = 1.0
+    for it in range(3):
+        y = []
+        for i in range(64):
+            acc = 0.0
+            row = s_rows[i]
+            for j in range(64):
+                acc = acc + row[j] * x[j]
+            y.append(acc)
+        m = max(y)
+        if it < 2:
+            x = [math.floor((1024 * yi) / m) / 1024 for yi in y]
+    out = [
+        (i + 1, int(math.floor((1000000 * y[i]) / m)), int(math.floor(m)))
+        for i in range(64)
+    ]
+    return spark.createDataFrame(
+        out, "dim long, loading_micro long, lambda_floor long"
+    ).orderBy("dim")
 
 
 @register("similarity_ann_pq", _pq_oracle_sql())

@@ -685,3 +685,69 @@ def test_adaptive_thresholds_per_source_quartile(spark, sf_smoke):
         # rank-based p25: at least ceil(3n/4) docs sit at/above cutoff
         assert r["n_kept"] * 4 >= r["n_docs"] * 3
         assert r["kept_permille"] == 1000 * r["n_kept"] // r["n_docs"]
+
+
+def test_boilerplate_chunks_flags_planted_dups(spark, sf_smoke):
+    """Docs with a planted exact copy must have every chunk shared
+    (boiler_permille == 1000 on both the original and the copy); the
+    corpus-wide shared mass must be nonzero and bounded by n_chunks."""
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        text_boilerplate_chunks,
+    )
+
+    out = {r["doc_id"]: r for r in text_boilerplate_chunks(spark, sf_smoke).collect()}
+    exact_originals = [d for d in out if d < 100000 and d % 17 == 0]
+    assert exact_originals
+    for d in exact_originals:
+        assert out[d]["boiler_permille"] == 1000, d
+        assert out[d + 200000]["boiler_permille"] == 1000, d
+    for r in out.values():
+        assert 0 <= r["n_shared"] <= r["n_chunks"]
+
+
+def test_containment_estimator_calibrated_at_extremes(spark, sf_smoke):
+    """Background (adjacent-id) pairs anchor decile 0, planted dups
+    anchor decile 10; the signature-based estimate must be within
+    150 permille of exact containment at both extremes."""
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        dedup_minhash_containment_estimate,
+    )
+
+    rows = {
+        r["cont_decile"]: r
+        for r in dedup_minhash_containment_estimate(spark, sf_smoke).collect()
+    }
+    assert 0 in rows and 10 in rows
+    assert rows[0]["n_pairs"] > 0 and rows[10]["n_pairs"] > 0
+    assert rows[0]["avg_abs_err_permille"] <= 150
+    assert rows[10]["avg_abs_err_permille"] <= 150
+
+
+def test_pca_power_iteration_matches_numpy(spark, sf_smoke):
+    """Three quantized power iterations must agree with numpy's exact
+    eigendecomposition of the same SQ8 second-moment matrix: loading
+    direction cosine > 0.999 and eigenvalue within 2%."""
+    import numpy as np
+
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        embedding_pca_power_iteration,
+    )
+
+    out = embedding_pca_power_iteration(spark, sf_smoke).collect()
+    got = np.array([r["loading_micro"] for r in sorted(out, key=lambda r: r["dim"])])
+    lam = out[0]["lambda_floor"]
+
+    emb = load_testdata(spark, sf_smoke, "embeddings").collect()
+    vs = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    mn, mx = vs.min(), vs.max()
+    codes = np.clip(np.floor((vs - mn) * 256.0 / max(mx - mn, 1e-12)), 0, 255)
+    s_mat = codes.T @ codes
+    w_eig, v_eig = np.linalg.eigh(s_mat)
+    top_val, top_vec = w_eig[-1], v_eig[:, -1]
+    if top_vec.sum() < 0:
+        top_vec = -top_vec  # power iteration from all-ones → positive orientation
+
+    cos = float(got @ top_vec) / (np.linalg.norm(got) * np.linalg.norm(top_vec))
+    assert cos > 0.999, cos
+    assert abs(lam - top_val) / top_val < 0.02, (lam, top_val)

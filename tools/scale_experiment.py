@@ -82,6 +82,9 @@ QUERIES = [
     ("quality_adaptive_thresholds", [1, 3, 10]),
     ("ann_recall_pq", [1, 3, 10]),
     ("pipeline_filter_ablation", [1, 3, 10]),
+    ("text_boilerplate_chunks", [1, 3, 10]),
+    ("dedup_minhash_containment_estimate", [1, 3, 10]),
+    ("embedding_pca_power_iteration", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
