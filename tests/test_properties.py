@@ -492,3 +492,41 @@ def test_lsh_star_capping_preserves_components(spark):
             lsh_candidate_pairs(bands, "doc_id", hot_bucket_cap=4)
         )
         assert exact == capped, f"seed {seed}"
+
+
+def test_partition_count_invariance(spark):
+    """Results must not depend on parallelism — the distributed-
+    correctness axis the DuckDB oracle can't see (it runs at one fixed
+    conf).  Order-dependent float accumulation, per-partition state
+    leaks, or nondeterministic tie-breaks would all show up as a diff
+    between shuffle.partitions=3 and =32.  Representatives: a float-free
+    agg pipeline (dsir), a sketch pipeline (minhash calibration), and
+    the two driver-math queries whose exactness contract *claims*
+    order-independence (PCA, and the per-doc classifier)."""
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        dedup_minhash_estimate_calibration,
+        embedding_pca_power_iteration,
+        text_dsir_importance,
+        text_quality_classifier_hashed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            spark.catalog.clearCache()
+            results[n] = {
+                fn.__name__: sorted(map(tuple, fn(spark, sf).collect()))
+                for fn in (
+                    text_dsir_importance,
+                    dedup_minhash_estimate_calibration,
+                    embedding_pca_power_iteration,
+                    text_quality_classifier_hashed,
+                )
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name in results["3"]:
+        assert results["3"][name] == results["32"][name], name
