@@ -47,6 +47,11 @@ _PRIORITY = [
     # recall gate, the filter-ablation report, chunk-level boilerplate
     # detection, the MinHash containment-estimator calibration, and
     # power-iteration PCA — all check_oracle-green at three SFs) ---
+    # --- round-5 session-3 additions (check_oracle-green at 3 SFs) ---
+    "text_ccnet_perplexity_buckets",
+    "quantile_sketch_bottomk",
+    "pipeline_global_shuffle",
+    "pipeline_curriculum_order",
     "dedup_shingle_containment",
     "text_dsir_importance",
     "text_quality_classifier_hashed",
@@ -103,12 +108,17 @@ _PRIORITY = [
     # (events_asof_last_purchase trimmed with the session-2 window
     # squeeze: the as-of family is canaried by events_asof_next_purchase
     # above.)
-    "events_funnel",                    # funnel family
+    # (events_funnel trimmed with the session-3 window squeeze: the
+    # events family carries seven window entries — sessionization plus
+    # the six never-checked events_* above — and funnel is green r1-r4
+    # and untouched.)
     # (text_quality_stats trimmed with the session-2 window squeeze:
     # the text-quality family is canaried by text_gopher_quality_rules
     # plus the three new quality queries above.)
     "text_span_dup_stats",              # span-dedup family
-    "text_trigram_lm_score",            # LM-score family
+    # (text_trigram_lm_score trimmed with the session-3 window squeeze:
+    # the trigram-LM familiarity chain runs verbatim inside
+    # text_ccnet_perplexity_buckets above.)
     # (dedup_exact trimmed with the session-2 window squeeze: the
     # exact-dedup operator runs inside pipeline_full_train_prep and
     # pipeline_contamination_report above.)
@@ -117,8 +127,13 @@ _PRIORITY = [
     "similarity_ann_ivf",               # CHANGED/perf-watch r4 (re-row)
     "similarity_ann_ivf_kmeans",        # IVF-ANN family
     "multimodal_features",              # multimodal binary plumbing
-    "pipeline_decontaminate",           # train-prep pipeline family
-    "vocab_bpe_merges",                 # tokenizer family
+    # (pipeline_decontaminate trimmed with the session-3 window
+    # squeeze: the decontamination operator runs inside
+    # pipeline_full_train_prep and pipeline_contamination_report,
+    # both in the window above.)
+    # (vocab_bpe_merges trimmed with the session-3 window squeeze: the
+    # BPE family has a green r4 driver row via vocab_bpe_encode, whose
+    # chain replays the merges; merges itself green r3 and untouched.)
     "approx_distinct_stats",            # approx-sketch family
     # (trimmed to keep the window at exactly 50 when the four
     # session-2 additions entered: dedup_clusters — CC loop unchanged,

@@ -7792,3 +7792,476 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-3 additions: CCNet perplexity buckets, mergeable
+# bottom-k quantile sketch, deterministic global training shuffle,
+# curriculum-order phases.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ccnet_perplexity_buckets",
+    r"""
+    WITH lowered AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+    pos AS (
+        SELECT doc_id, lang, t,
+               unnest(generate_series(1, greatest(length(t) - 2, 0))) AS i
+        FROM lowered WHERE length(t) >= 3
+    ),
+    tg AS (SELECT doc_id, lang, substr(t, i, 3) AS tg FROM pos),
+    counts AS (SELECT tg, COUNT(*) AS n FROM tg GROUP BY tg),
+    scored AS (
+        SELECT g.doc_id, g.lang,
+               COUNT(*) AS n_trigrams,
+               (1000 * SUM(length(format('{:b}', c.n)) - 1)) // COUNT(*)
+                   AS fam
+        FROM tg g JOIN counts c ON c.tg = g.tg
+        GROUP BY g.doc_id, g.lang
+    ),
+    hist AS (SELECT lang, fam, COUNT(*) AS c FROM scored GROUP BY lang, fam),
+    cum AS (
+        SELECT lang, fam,
+               SUM(c) OVER (PARTITION BY lang ORDER BY fam) AS cum,
+               SUM(c) OVER (PARTITION BY lang) AS n
+        FROM hist
+    ),
+    cuts AS (
+        SELECT lang,
+               MIN(CASE WHEN 3 * cum >= n THEN fam END) AS c1,
+               MIN(CASE WHEN 3 * cum >= 2 * n THEN fam END) AS c2
+        FROM cum GROUP BY lang
+    ),
+    tagged AS (
+        SELECT s.lang,
+               CASE WHEN s.fam <= k.c1 THEN 'tail'
+                    WHEN s.fam <= k.c2 THEN 'middle'
+                    ELSE 'head' END AS bucket,
+               s.n_trigrams, s.fam
+        FROM scored s JOIN cuts k ON k.lang = s.lang
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_trigrams) AS BIGINT) AS total_trigrams,
+           CAST(SUM(fam) // COUNT(*) AS BIGINT) AS avg_familiarity_permille
+    FROM tagged
+    GROUP BY lang, bucket
+    ORDER BY lang, bucket
+    """,
+)
+def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing per language
+    (Wenzek et al. 2020): score every document with the char-trigram
+    LM familiarity (the integer-exact KenLM stand-in shared with
+    ``text_trigram_lm_score``), then split each language into terciles
+    and report per-bucket mass — the op CCNet uses to keep 'head'
+    (fluent) text and drop or down-sample the 'tail'.
+
+    Scale shape — the part that matters at 100 TB: terciles are NOT
+    computed with a corpus-wide ntile window (that is a full sort of
+    every document within each language partition, and the dominant
+    language IS the skew).  Instead the integer score domain is
+    bounded (permille of floor(log2 count) ≤ ~60,000 values), so a
+    (lang, score) HISTOGRAM — one map-side-combinable groupBy — holds
+    the full distribution in |langs|·|domain| rows; the cumulative
+    window and cutoff extraction run over that tiny relation, and the
+    per-document bucket tag is a broadcast join + map-side CASE.  This
+    is the histogram-quantile pattern production pipelines use for
+    integer-valued scores: exact, one extra scan, no per-doc sort.
+    Tie policy: every doc with score <= cutoff lands in the lower
+    bucket, so bucket sizes are N/3 up to tie inflation —
+    deterministic on both engines with no doc_id tiebreak needed."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    chars = (
+        docs.select("doc_id", "lang", F.split(F.lower("text"), "(?!^)").alias("cs"))
+        .filter(F.size("cs") >= 4)
+        .transform(tracked_persist)
+    )
+    tg = chars.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "explode(transform(sequence(1, size(cs) - 3),"
+            " i -> concat(cs[i-1], cs[i], cs[i+1])))"
+        ).alias("tg"),
+    )
+    counts = tg.groupBy("tg").agg(F.count("*").alias("n"))
+    bucket = F.length(F.expr("bin(n)")) - 1
+    scored = (
+        tg.join(F.broadcast(counts), "tg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum(bucket).alias("bucket_sum"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_trigrams",
+            F.expr("div(1000 * bucket_sum, n_trigrams)").alias("fam"),
+        )
+        .transform(tracked_persist)
+    )
+    hist = scored.groupBy("lang", "fam").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("lang").orderBy("fam")
+    wl = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "fam",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wl).alias("n"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("fam"))).alias("c1"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("fam"))).alias("c2"),
+    )
+    tagged = scored.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        F.when(F.col("fam") <= F.col("c1"), F.lit("tail"))
+        .when(F.col("fam") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+        "n_trigrams",
+        "fam",
+    )
+    return (
+        tagged.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_trigrams").alias("total_trigrams"),
+            F.sum("fam").alias("fam_sum"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            F.col("n_docs").cast("bigint"),
+            F.col("total_trigrams").cast("bigint"),
+            F.expr("div(fam_sum, n_docs)")
+            .cast("bigint")
+            .alias("avg_familiarity_permille"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@register(
+    "quantile_sketch_bottomk",
+    """
+    WITH keyed AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+               md5(CAST(l_orderkey AS VARCHAR) || '_'
+                   || CAST(l_linenumber AS VARCHAR)) AS h
+        FROM lineitem
+    ),
+    totals AS (SELECT flag, COUNT(*) AS n_rows FROM keyed GROUP BY flag),
+    samp AS (
+        SELECT flag, cents
+        FROM keyed
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY flag ORDER BY h) <= 256
+    ),
+    ranked AS (
+        SELECT flag, cents,
+               ROW_NUMBER() OVER (PARTITION BY flag
+                                  ORDER BY cents, flag) AS vr,
+               COUNT(*) OVER (PARTITION BY flag) AS ns
+        FROM samp
+    ),
+    est AS (
+        SELECT flag, MAX(ns) AS n_sample,
+               MAX(CASE WHEN 100 * vr < 50 * ns + 100 THEN cents END)
+                   AS est_p50_cents,
+               MAX(CASE WHEN 100 * vr < 90 * ns + 100 THEN cents END)
+                   AS est_p90_cents,
+               MAX(CASE WHEN 100 * vr < 99 * ns + 100 THEN cents END)
+                   AS est_p99_cents
+        FROM ranked GROUP BY flag
+    )
+    SELECT t.flag AS l_returnflag,
+           CAST(t.n_rows AS BIGINT) AS n_rows,
+           CAST(e.n_sample AS BIGINT) AS n_sample,
+           CAST(e.est_p50_cents AS BIGINT) AS est_p50_cents,
+           CAST(e.est_p90_cents AS BIGINT) AS est_p90_cents,
+           CAST(e.est_p99_cents AS BIGINT) AS est_p99_cents
+    FROM totals t JOIN est e ON e.flag = t.flag
+    ORDER BY l_returnflag
+    """,
+)
+def quantile_sketch_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch: per group, keep the 256 rows
+    with the SMALLEST deterministic content hash (a uniform sample —
+    the KMV idea applied to row sampling), then read any quantile off
+    the sorted sample.  Bottom-k-by-hash is a true mergeable sketch:
+    the union of two groups' bottom-k sets contains the union's
+    bottom-k, so partial sketches combine associatively across
+    partitions/days/shards without re-reading data — the 100 TB way to
+    get quantiles without a per-group full sort.
+
+    Scale shape: the rank<=k filter compiles to WindowGroupLimit
+    (Spark 3.5+), which takes the per-PARTITION top-k before the
+    shuffle — each upstream partition forwards at most k rows per
+    group, so the exchange carries O(groups · k · partitions) rows,
+    not the corpus.  The quantile read is a window over ≤k rows per
+    group.  Estimates are integer cents; the index rule is
+    ceil(q·ns) expressed as the integer comparison
+    100·vr < q·ns + 100, exact on both engines.  Accuracy vs the
+    exact quantile is the standard n^{-1/2} sampling error — asserted
+    in pytest, while the oracle here checks exact sketch replay."""
+    li = load_testdata(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("cast(floor(l_extendedprice * 100) as bigint)").alias("cents"),
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("_"),
+                F.col("l_linenumber").cast("string"),
+            ).cast("binary")
+        ).alias("h"),
+    )
+    totals = li.groupBy("flag").agg(F.count(F.lit(1)).alias("n_rows"))
+    wh = Window.partitionBy("flag").orderBy("h")
+    samp = (
+        li.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= 256)
+        .select("flag", "cents")
+    )
+    wv = Window.partitionBy("flag").orderBy("cents", "flag")
+    ws = Window.partitionBy("flag")
+    ranked = samp.select(
+        "flag",
+        "cents",
+        F.row_number().over(wv).alias("vr"),
+        F.count(F.lit(1)).over(ws).alias("ns"),
+    )
+
+    def _at(q: int):
+        return F.max(
+            F.when(100 * F.col("vr") < q * F.col("ns") + 100, F.col("cents"))
+        )
+
+    est = ranked.groupBy("flag").agg(
+        F.max("ns").alias("n_sample"),
+        _at(50).alias("est_p50_cents"),
+        _at(90).alias("est_p90_cents"),
+        _at(99).alias("est_p99_cents"),
+    )
+    return (
+        totals.join(est, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n_rows").cast("bigint"),
+            F.col("n_sample").cast("bigint"),
+            F.col("est_p50_cents").cast("bigint"),
+            F.col("est_p90_cents").cast("bigint"),
+            F.col("est_p99_cents").cast("bigint"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "pipeline_global_shuffle",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, h, CAST({_HEX12} AS BIGINT) % 16 AS shard
+        FROM keyed
+    ),
+    per AS (
+        SELECT shard, COUNT(*) AS n_docs,
+               arg_min(doc_id, h) AS first_doc_id,
+               MIN(substr(h, 1, 8)) AS min_h8
+        FROM sharded GROUP BY shard
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((1000 * 16 * n_docs) // SUM(n_docs) OVER () AS BIGINT)
+               AS load_permille,
+           CAST(first_doc_id AS BIGINT) AS first_doc_id,
+           min_h8
+    FROM per
+    ORDER BY shard
+    """,
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: the op that materializes
+    'shuffle the corpus once, reproducibly' before training.  Shard =
+    48-bit content hash mod 16; within a shard the training order is
+    the hash order.  Content hashing (not rand()) makes the shuffle
+    reproducible across reruns and engines, and re-shuffling for a new
+    epoch is just salting the hash input.
+
+    Scale shape: sharding is ONE hash-partition exchange — no global
+    sort; the within-shard order is sorted per shard at write time
+    (embarrassingly parallel, 1/16th of the data each).  The report
+    here aggregates per-shard occupancy map-side and checks balance:
+    load_permille = 1000 · n_shard · 16 / N (1000 = perfectly
+    uniform), the skew diagnostic a real pipeline alerts on.  The
+    final window runs over exactly 16 rows."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    sharded = keyed.select(
+        "doc_id",
+        "h",
+        (F.expr("cast(conv(substring(h, 1, 12), 16, 10) as bigint)") % 16).alias(
+            "shard"
+        ),
+    )
+    per = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min_by("doc_id", "h").alias("first_doc_id"),
+        F.min(F.substring("h", 1, 8)).alias("min_h8"),
+    )
+    wall = Window.partitionBy()
+    return (
+        per.withColumn("total", F.sum("n_docs").over(wall))
+        .select(
+            F.col("shard").cast("bigint"),
+            F.col("n_docs").cast("bigint"),
+            F.expr("div(1000 * 16 * n_docs, total)")
+            .cast("bigint")
+            .alias("load_permille"),
+            F.col("first_doc_id").cast("bigint"),
+            "min_h8",
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "pipeline_curriculum_order",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(text, '\s+') AS toks,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, h, len(toks) AS n_tokens,
+               (1000 * list_sum(list_transform(toks, s -> length(s))))
+                   // len(toks) AS difficulty
+        FROM t WHERE len(toks) > 0
+    ),
+    hist AS (SELECT difficulty, COUNT(*) AS c FROM m GROUP BY difficulty),
+    cum AS (
+        SELECT difficulty,
+               SUM(c) OVER (ORDER BY difficulty) AS cum,
+               SUM(c) OVER () AS n
+        FROM hist
+    ),
+    cuts AS (
+        SELECT MIN(CASE WHEN 4 * cum >= n THEN difficulty END) AS c1,
+               MIN(CASE WHEN 4 * cum >= 2 * n THEN difficulty END) AS c2,
+               MIN(CASE WHEN 4 * cum >= 3 * n THEN difficulty END) AS c3
+        FROM cum
+    ),
+    tagged AS (
+        SELECT CASE WHEN m.difficulty <= k.c1 THEN 1
+                    WHEN m.difficulty <= k.c2 THEN 2
+                    WHEN m.difficulty <= k.c3 THEN 3
+                    ELSE 4 END AS phase,
+               m.doc_id, m.h, m.n_tokens, m.difficulty
+        FROM m CROSS JOIN cuts k
+    )
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(difficulty) // COUNT(*) AS BIGINT)
+               AS avg_difficulty_permille,
+           CAST(arg_min(doc_id, h) AS BIGINT) AS first_doc_id
+    FROM tagged
+    GROUP BY phase
+    ORDER BY phase
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment (Bengio et al. 2009 shape):
+    score every document with an integer difficulty proxy (mean token
+    length in permille — longer words ≈ harder text), split the corpus
+    into 4 phases easy→hard by GLOBAL quartile, and within each phase
+    fix a deterministic hash order (so each phase is internally
+    shuffled but reproducible).  Reports per-phase doc/token mass and
+    the first document each phase would feed the trainer.
+
+    Scale shape: global quartiles use the same bounded-domain
+    HISTOGRAM pattern as ``text_ccnet_perplexity_buckets`` — a
+    map-side-combinable groupBy(difficulty) holds the whole
+    distribution, the cumulative scan runs over that tiny relation,
+    and per-doc tagging is a broadcast of THREE integers.  No global
+    sort of documents anywhere; the trainer-facing order is hash
+    order within phase (sorted per output shard at write time).
+    first_doc_id = min_by(doc_id, hash) — one map-side-combinable
+    argmin."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", X.TOKEN_RE).alias("toks"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    m = (
+        t.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "h",
+            F.size("toks").alias("n_tokens"),
+            F.expr(
+                "div(1000 * aggregate(toks, 0L, (a, s) -> a + length(s)),"
+                " size(toks))"
+            ).alias("difficulty"),
+        )
+        .transform(tracked_persist)
+    )
+    hist = m.groupBy("difficulty").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy().orderBy("difficulty")
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "difficulty",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    cuts = cum.agg(
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("difficulty"))).alias("c1"),
+        F.min(
+            F.when(4 * F.col("cum") >= 2 * F.col("n"), F.col("difficulty"))
+        ).alias("c2"),
+        F.min(
+            F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("difficulty"))
+        ).alias("c3"),
+    )
+    tagged = m.join(F.broadcast(cuts)).select(
+        F.when(F.col("difficulty") <= F.col("c1"), F.lit(1))
+        .when(F.col("difficulty") <= F.col("c2"), F.lit(2))
+        .when(F.col("difficulty") <= F.col("c3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .alias("phase"),
+        "doc_id",
+        "h",
+        "n_tokens",
+        "difficulty",
+    )
+    return (
+        tagged.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("difficulty").alias("dsum"),
+            F.min_by("doc_id", "h").alias("first_doc_id"),
+        )
+        .select(
+            F.col("phase").cast("bigint"),
+            F.col("n_docs").cast("bigint"),
+            F.col("total_tokens").cast("bigint"),
+            F.expr("div(dsum, n_docs)")
+            .cast("bigint")
+            .alias("avg_difficulty_permille"),
+            F.col("first_doc_id").cast("bigint"),
+        )
+        .orderBy("phase")
+    )

@@ -370,6 +370,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                  # onto the 256-bucket weight table
         "ann_recall_pq",  # 10-row truth query set broadcast != join
                           # + the PQ ADC LUT broadcast (as similarity_ann_pq)
+        "pipeline_curriculum_order",  # 1-row quartile-cutoffs aggregate
+                                      # (3 integers) broadcast onto docs
     }
     offenders = {}
     for name, fn in m.queries().items():

@@ -85,6 +85,11 @@ QUERIES = [
     ("text_boilerplate_chunks", [1, 3, 10]),
     ("dedup_minhash_containment_estimate", [1, 3, 10]),
     ("embedding_pca_power_iteration", [1, 3, 10]),
+    # round-5 session-3 additions
+    ("text_ccnet_perplexity_buckets", [1, 3, 10]),
+    ("quantile_sketch_bottomk", [1, 3, 10]),
+    ("pipeline_global_shuffle", [1, 3, 10]),
+    ("pipeline_curriculum_order", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
