@@ -751,3 +751,146 @@ def test_pca_power_iteration_matches_numpy(spark, sf_smoke):
     cos = float(got @ top_vec) / (np.linalg.norm(got) * np.linalg.norm(top_vec))
     assert cos > 0.999, cos
     assert abs(lam - top_val) / top_val < 0.02, (lam, top_val)
+
+
+def test_ccnet_buckets_partition_and_order(spark, sf_smoke):
+    """Per language the three buckets partition the scored docs and the
+    per-bucket mean familiarity is ordered tail < middle < head (they
+    are score ranges, so ordering is structural — a violation means the
+    cutoff extraction is wrong)."""
+    import __spark_entry__ as entry_mod
+    from sales_azure_data_engineer_project_spark import functions as _  # noqa: F401
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+    from pyspark.sql import functions as F
+
+    rows = entry_mod.queries()["text_ccnet_perplexity_buckets"](
+        spark, sf_smoke
+    ).collect()
+    assert {r["bucket"] for r in rows} <= {"head", "middle", "tail"}
+
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+
+    docs = load_testdata(spark, sf_smoke, "documents")
+    scored_counts = {
+        r["lang"]: r["n"]
+        for r in docs.filter(F.length(F.lower("text")) >= 3)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, buckets in per_lang.items():
+        assert sum(b["n_docs"] for b in buckets.values()) == scored_counts[lang]
+        if {"tail", "middle", "head"} <= set(buckets):
+            t = buckets["tail"]["avg_familiarity_permille"]
+            m = buckets["middle"]["avg_familiarity_permille"]
+            h = buckets["head"]["avg_familiarity_permille"]
+            assert t <= m <= h, (lang, t, m, h)
+
+
+def test_bottomk_sketch_is_mergeable(spark, sf_smoke):
+    """The defining sketch property: bottom-k(A ∪ B) ==
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) — partial sketches combine
+    associatively, so per-shard/day sketches roll up without re-reading
+    data.  Checked in pure Python on the real keyed rows."""
+    import hashlib
+
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+
+    k = 256
+    li = load_testdata(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    rows = [
+        (
+            hashlib.md5(f"{r['l_orderkey']}_{r['l_linenumber']}".encode()).hexdigest(),
+            r["l_extendedprice"],
+        )
+        for r in li.collect()
+    ]
+    assert len(rows) > 2 * k  # the property is vacuous otherwise
+    mid = len(rows) // 2
+    a, b = rows[:mid], rows[mid:]
+
+    def bottomk(rs):
+        return sorted(rs)[:k]
+
+    merged_of_sketches = bottomk(bottomk(a) + bottomk(b))
+    direct = bottomk(a + b)
+    assert merged_of_sketches == direct
+
+
+def test_bottomk_estimates_are_sane(spark, sf_smoke):
+    """Monotone quantile estimates drawn from the group's own values,
+    sample size min(k, n_rows)."""
+    import __spark_entry__ as entry_mod
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+    from pyspark.sql import functions as F
+
+    out = entry_mod.queries()["quantile_sketch_bottomk"](spark, sf_smoke).collect()
+    li = load_testdata(spark, sf_smoke, "lineitem")
+    cents_by_flag = {
+        r["l_returnflag"]: set(r["cs"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.collect_set(
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("cs")
+        )
+        .collect()
+    }
+    n_by_flag = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in out:
+        flag = r["l_returnflag"]
+        assert r["n_rows"] == n_by_flag[flag]
+        assert r["n_sample"] == min(256, r["n_rows"])
+        assert r["est_p50_cents"] <= r["est_p90_cents"] <= r["est_p99_cents"]
+        for c in ("est_p50_cents", "est_p90_cents", "est_p99_cents"):
+            assert r[c] in cents_by_flag[flag], (flag, c, r[c])
+
+
+def test_global_shuffle_partitions_and_balances(spark, sf_smoke):
+    """Shards partition the corpus (Σ n_docs == N), shard ids live in
+    [0, 16), and the report is deterministic across reruns (content
+    hashing, not rand())."""
+    import __spark_entry__ as entry_mod
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+
+    fn = entry_mod.queries()["pipeline_global_shuffle"]
+    rows1 = [tuple(r) for r in fn(spark, sf_smoke).collect()]
+    rows2 = [tuple(r) for r in fn(spark, sf_smoke).collect()]
+    assert rows1 == rows2
+
+    n = load_testdata(spark, sf_smoke, "documents").count()
+    assert sum(r[1] for r in rows1) == n
+    assert all(0 <= r[0] < 16 for r in rows1)
+    # md5 is uniform: no shard should be empty or >3x fair share even
+    # at the smoke SF
+    assert all(0 < r[1] < 3 * (n / 16) + 16 for r in rows1)
+
+
+def test_curriculum_phases_partition_and_escalate(spark, sf_smoke):
+    """Phases 1..4 partition the tokenized docs and mean difficulty is
+    strictly ordered phase1 < ... < phase4 (structural: phases are
+    difficulty ranges)."""
+    import __spark_entry__ as entry_mod
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+    from sales_azure_data_engineer_project_spark.operators import text as X
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        entry_mod.queries()["pipeline_curriculum_order"](spark, sf_smoke).collect(),
+        key=lambda r: r["phase"],
+    )
+    assert [r["phase"] for r in rows] == list(range(1, len(rows) + 1))
+    docs = load_testdata(spark, sf_smoke, "documents")
+    n_tokenized = docs.filter(
+        F.size(F.split("text", X.TOKEN_RE)) > 0
+    ).count()
+    assert sum(r["n_docs"] for r in rows) == n_tokenized
+    diffs = [r["avg_difficulty_permille"] for r in rows]
+    assert diffs == sorted(diffs)

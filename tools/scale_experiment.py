@@ -101,6 +101,7 @@ def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
     ev = spark.read.parquet(os.path.join(base_dir, "events.parquet"))
+    li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
 
     def doc_copy(i: int):
         # closure-captured seed (NOTES pitfall: never seed a lambda via
@@ -135,16 +136,29 @@ def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
             *[c for c in ev.columns if c not in ("event_id", "ts", "user_id")],
         )
 
+    def li_copy(i: int):
+        # disjoint order-key space per copy, value distribution repeated
+        # verbatim: per-group (returnflag) row counts grow ∝ N while the
+        # quantile targets stay put — the natural growth model for the
+        # bottom-k sketch (sample size is fixed at k regardless of N)
+        return li.select(
+            (F.col("l_orderkey") + i * 1_000_000_000).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+
     d = doc_copy(0)
     e = emb_copy(0)
     v = ev_copy(0)
+    t = li_copy(0)
     for i in range(1, factor):
         d = d.unionByName(doc_copy(i))
         e = e.unionByName(emb_copy(i))
         v = v.unionByName(ev_copy(i))
+        t = t.unionByName(li_copy(i))
     d.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     e.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
     v.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    t.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
 
 
 def main() -> None:
