@@ -52,6 +52,9 @@ _PRIORITY = [
     "quantile_sketch_bottomk",
     "pipeline_global_shuffle",
     "pipeline_curriculum_order",
+    "pipeline_unimax_language_budget",
+    "dedup_cross_source_matrix",
+    "quality_score_calibration",
     "dedup_shingle_containment",
     "text_dsir_importance",
     "text_quality_classifier_hashed",
@@ -101,10 +104,14 @@ _PRIORITY = [
     # squeeze: rollup/grouping-sets green r1-r4 and untouched.)
     # (json_functions trimmed with the session-2 batch-3 window
     # squeeze: json family green r1-r4 and untouched.)
-    "stats_aggregates_exact",           # stats-agg family
+    # (stats_aggregates_exact trimmed with the session-3 batch-2
+    # squeeze: the stats family is canaried by quantile_sketch_bottomk
+    # and approx_distinct_stats in the window; green r1-r4, untouched.)
     # (null_safe_equality trimmed with the session-2 batch-3 window
     # squeeze: null-semantics green r1-r4 and untouched.)
-    "events_sessionization",            # events window family
+    # (events_sessionization trimmed with the session-3 batch-2
+    # squeeze: six never-checked events_* queries plus window_rank_suite
+    # canary the events/window families; green r1-r4, untouched.)
     # (events_asof_last_purchase trimmed with the session-2 window
     # squeeze: the as-of family is canaried by events_asof_next_purchase
     # above.)
@@ -125,7 +132,9 @@ _PRIORITY = [
     "dedup_minhash_lsh",                # MinHash-LSH family (perf-watch r4)
     "dedup_semantic_semdedup",          # CHANGED r5: k scales with N
     "similarity_ann_ivf",               # CHANGED/perf-watch r4 (re-row)
-    "similarity_ann_ivf_kmeans",        # IVF-ANN family
+    # (similarity_ann_ivf_kmeans trimmed with the session-3 batch-2
+    # squeeze: the IVF family is canaried by similarity_ann_ivf,
+    # similarity_ann_ivf_pq, and ann_recall_ivf in the window.)
     "multimodal_features",              # multimodal binary plumbing
     # (pipeline_decontaminate trimmed with the session-3 window
     # squeeze: the decontamination operator runs inside

@@ -541,6 +541,13 @@ def text_quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFram
     wider than the per-doc aggregate; weight lookup never leaves the
     executor."""
     docs = load_testdata(spark, sf_dir, "documents")
+    return _hashed_classifier_scores(spark, docs).orderBy("doc_id")
+
+
+def _hashed_classifier_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Per-doc hashed-linear-classifier margin (doc_id, n_toks, wsum,
+    avg_w_milli, keep) — shared by ``text_quality_classifier_hashed``
+    and the calibration query."""
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -574,7 +581,7 @@ def text_quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("wsum").cast("bigint"),
         avg_w.cast("bigint").alias("avg_w_milli"),
         (avg_w + 500 >= 0).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -7173,6 +7180,23 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per row; no shuffle at all (the ORDER BY is the driver's
     display sort, dropped by a downstream filter consumer)."""
     docs = load_testdata(spark, sf_dir, "documents")
+    m = _gopher_doc_metrics(docs)
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "mean_len_deci",
+        "symbol_permille",
+        "bullet_permille",
+        "ellipsis_permille",
+        "n_stop_distinct",
+        "passes",
+    ).orderBy("doc_id")
+
+
+def _gopher_doc_metrics(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher rule metrics + conjunctive ``passes`` flag —
+    shared by ``text_gopher_quality_rules`` and the calibration query
+    (one scan, all metrics from two split() arrays bound per row)."""
     t = docs.select(
         "doc_id",
         F.split("text", X.TOKEN_RE).alias("toks"),
@@ -7245,7 +7269,7 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ellipsis_permille") < 300)
             & (F.col("n_stop_distinct") >= 2)
         ).alias("passes"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -8264,4 +8288,372 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_doc_id").cast("bigint"),
         )
         .orderBy("phase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-3 batch 2: UniMax language budgets, cross-source
+# near-dup matrix, model-vs-heuristic quality calibration.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_unimax_language_budget",
+    r"""
+    WITH t AS (
+        SELECT lang,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    inv AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(len(toks)) AS avail
+        FROM t GROUP BY lang
+    ),
+    capd AS (SELECT lang, n_docs, avail, 2 * avail AS cap FROM inv),
+    win AS (
+        SELECT lang, n_docs, avail, cap,
+               ROW_NUMBER() OVER (ORDER BY cap, lang) AS j,
+               COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS p_prev,
+               COUNT(*) OVER () AS m,
+               (3 * SUM(avail) OVER ()) // 2 AS budget
+        FROM capd
+    ),
+    okd AS (
+        SELECT *, (cap * (m - j + 1) + p_prev <= budget) AS ok
+        FROM win
+    ),
+    tot AS (
+        SELECT *,
+               SUM(CASE WHEN ok THEN 1 ELSE 0 END) OVER () AS n_capped,
+               COALESCE(SUM(CASE WHEN ok THEN cap END) OVER (), 0)
+                   AS p_capped
+        FROM okd
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(avail AS BIGINT) AS tokens_available,
+           CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(CASE WHEN ok THEN cap
+                     ELSE (budget - p_capped) // (m - n_capped)
+                END AS BIGINT) AS allocated_tokens,
+           CAST((1000 * CASE WHEN ok THEN cap
+                             ELSE (budget - p_capped) // (m - n_capped)
+                        END) // avail AS BIGINT) AS epochs_permille,
+           ok AS capped
+    FROM tot
+    ORDER BY lang
+    """,
+)
+def pipeline_unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): given
+    per-language token inventories, a total training budget, and a
+    per-language epoch cap E, water-fill the budget — every language
+    gets the uniform share unless its full cap (E · available) is
+    smaller, in which case it takes the cap and the freed budget
+    redistributes to the rest.  The sampling policy that replaced
+    temperature sampling for massively-multilingual pretraining:
+    low-resource languages are bounded by repetition (epochs ≤ E), not
+    starved by proportional sampling.  Here E = 2 and budget =
+    ⌊3·total/2⌋ (both derived from the data so every SF exercises both
+    the capped and uncapped branches).
+
+    The sequential water-filling loop has a CLOSED FORM over languages
+    sorted by cap ascending: with prefix sums P and m languages,
+    language j is capped iff cap_j·(m−j+1) + P_{j−1} ≤ B (the
+    predicate is monotone in j because caps are sorted, so the capped
+    set is a prefix); everyone else splits B minus the capped mass
+    uniformly.  All integer arithmetic — exact on both engines.
+
+    Scale shape: ONE map-side-combinable groupBy(lang) over the corpus
+    (the only full-data pass); every window below it runs over the
+    |languages|-row relation — at 100 TB that is a few hundred rows on
+    one reducer, then a broadcast back to whoever samples.  This is
+    the standard two-tier shape for global-allocation operators:
+    heavy aggregation distributed, tiny allocation problem solved in
+    closed form inside the plan (no driver loop, no collect)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    inv = (
+        docs.select(
+            "lang",
+            F.size(
+                F.filter(F.split("text", X.TOKEN_RE), lambda x: x != "")
+            ).alias("n_toks"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("avail"),
+        )
+        .withColumn("cap", 2 * F.col("avail"))
+    )
+    w_ord = Window.orderBy("cap", "lang")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    win = inv.select(
+        "lang",
+        "n_docs",
+        "avail",
+        "cap",
+        F.row_number().over(w_ord).alias("j"),
+        F.coalesce(F.sum("cap").over(w_prev), F.lit(0)).alias("p_prev"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+        F.expr("div(3 * sum(avail) over (), 2)").alias("budget"),
+    ).withColumn(
+        "ok",
+        F.col("cap") * (F.col("m") - F.col("j") + 1) + F.col("p_prev")
+        <= F.col("budget"),
+    )
+    tot = win.select(
+        "*",
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).over(w_all).alias("n_capped"),
+        F.coalesce(
+            F.sum(F.when(F.col("ok"), F.col("cap"))).over(w_all), F.lit(0)
+        ).alias("p_capped"),
+    )
+    alloc = F.when(F.col("ok"), F.col("cap")).otherwise(
+        F.expr("div(budget - p_capped, m - n_capped)")
+    )
+    return (
+        tot.select(
+            "lang",
+            F.col("n_docs").cast("bigint"),
+            F.col("avail").cast("bigint").alias("tokens_available"),
+            F.col("cap").cast("bigint").alias("cap_tokens"),
+            alloc.cast("bigint").alias("allocated_tokens"),
+            F.expr(
+                "div(1000 * (case when ok then cap"
+                " else div(budget - p_capped, m - n_capped) end), avail)"
+            )
+            .cast("bigint")
+            .alias("epochs_permille"),
+            F.col("ok").alias("capped"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(concat_ws('|', h4, h5, h6, h7)) AS band_sig FROM sig
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS shared_bands
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    tagged AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               p.shared_bands
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a % 100000
+        JOIN documents db ON db.doc_id = p.id_b % 100000
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN shared_bands = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_strong,
+           (source_a <> source_b) AS cross_source
+    FROM tagged
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-mass matrix — the corpus-composition
+    diagnostic run before mixing sources into a training set: for
+    every source pair, how many near-dup candidate pairs (MinHash-LSH,
+    same banding as ``dedup_minhash_lsh``) span them.  High off-
+    diagonal mass means two 'independent' sources are actually the
+    same crawl twice and their mixture weights double-count; the
+    diagonal is within-source redundancy.  (On the planted corpus a
+    copy's source is its base doc's source — doc_id mod 100000.)
+
+    Scale shape: the LSH candidate set is the banded bucket join
+    (never all-pairs); the source lookup joins the CANDIDATE PAIR
+    relation — |pairs| ≪ N — against the doc→source map, a partitioned
+    equi-join on doc_id (in a production corpus `source` rides the
+    corpus rows and both lookups vanish into the band join's
+    projection).  The matrix itself is ≤ |sources|² rows from one
+    map-side-combined groupBy.  Cites reference test strategy
+    SURVEY.md §5 (planted-duplicate fixtures)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    pairs = D.lsh_candidate_pairs(bands, "doc_id")
+    src = load_testdata(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = (
+        pairs.withColumn("base_a", F.col("id_a") % 100000)
+        .withColumn("base_b", F.col("id_b") % 100000)
+        .join(
+            src.select(F.col("doc_id").alias("base_a"), F.col("source").alias("sa")),
+            "base_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("base_b"), F.col("source").alias("sb")),
+            "base_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "shared_bands",
+        )
+    )
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("shared_bands") == 2, 1).otherwise(0)).alias(
+                "n_strong"
+            ),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_pairs").cast("bigint"),
+            F.col("n_strong").cast("bigint"),
+            (F.col("source_a") != F.col("source_b")).alias("cross_source"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "quality_score_calibration",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(text, '\s+') AS toks,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               (len(toks) BETWEEN 50 AND 100000)
+               AND (CASE WHEN len(toks) > 0
+                    THEN (10 * list_sum(list_transform(toks, x -> length(x))))
+                         // len(toks) ELSE 0 END BETWEEN 30 AND 100)
+               AND (CASE WHEN len(toks) > 0
+                    THEN (1000 * len(list_filter(toks,
+                         x -> contains(x, '#') OR contains(x, '...'))))
+                         // len(toks) ELSE 0 END < 100)
+               AND (CASE WHEN len(lines) > 0
+                    THEN (1000 * len(list_filter(lines,
+                         x -> starts_with(x, '-') OR starts_with(x, '*'))))
+                         // len(lines) ELSE 0 END < 900)
+               AND (CASE WHEN len(lines) > 0
+                    THEN (1000 * len(list_filter(lines, x -> ends_with(x, '...'))))
+                         // len(lines) ELSE 0 END < 300)
+               AND (len(list_distinct(list_filter(toks, x -> x IN
+                   ('the','a','an','of','and','to','is','in','it','for'))))
+                   >= 2) AS passes
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(concat('qc:',
+                    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                       x -> x <> '')))), 1, 2))
+                    AS BIGINT) AS j
+        FROM documents
+    ),
+    wt AS (SELECT range AS j, ((range * 37 + 11) % 41) - 20 AS w
+           FROM range(256)),
+    doc AS (
+        SELECT f.doc_id, COUNT(*) AS n_toks, SUM(wt.w) AS wsum
+        FROM f JOIN wt ON f.j = wt.j
+        GROUP BY f.doc_id
+    ),
+    sc AS (
+        SELECT doc_id,
+               CASE WHEN wsum >= 0 THEN (1000 * wsum) // n_toks
+                    ELSE -((1000 * (-wsum)) // n_toks) END AS avg_w_milli
+        FROM doc
+    ),
+    joined AS (
+        SELECT (sc.avg_w_milli + 20000) // 2000 AS bucket,
+               sc.avg_w_milli, g.passes
+        FROM sc JOIN g ON g.doc_id = sc.doc_id
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN avg_w_milli + 500 >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gopher_pass,
+           CAST((1000 * SUM(CASE WHEN passes THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS gopher_pass_permille
+    FROM joined
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the model-based quality filter against the
+    heuristic battery: bucket documents by hashed-classifier margin
+    (fixed-width 2-unit buckets on the shifted milli scale — no
+    quantile sort) and report the Gopher-rule pass rate per bucket.
+    The diagnostic a pipeline runs before trusting a trained filter:
+    if pass rate doesn't rise with classifier score, the model and
+    the heuristics disagree and the cutoff needs review.  Reuses the
+    exact per-doc chains of ``text_quality_classifier_hashed`` and
+    ``text_gopher_quality_rules`` via shared helpers, so this query
+    and those can never drift apart.
+
+    Scale shape: the gopher flags are a narrow no-shuffle projection;
+    the classifier margin is explode → 256-row broadcast join →
+    map-side-combined groupBy(doc_id); the two per-doc frames join on
+    doc_id (co-partitioned by the same key) and collapse into a
+    ≤21-row bucket report via one more map-side-combined aggregate.
+    The bucket id is a pure integer expression — shifted to
+    non-negative so Spark's truncating div and DuckDB's flooring //
+    agree."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    g = _gopher_doc_metrics(docs).select("doc_id", "passes")
+    sc = _hashed_classifier_scores(spark, docs).select("doc_id", "avg_w_milli")
+    joined = sc.join(g, "doc_id").select(
+        F.expr("div(avg_w_milli + 20000, 2000)").alias("bucket"),
+        "avg_w_milli",
+        "passes",
+    )
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("avg_w_milli") + 500 >= 0, 1).otherwise(0)).alias(
+                "n_keep"
+            ),
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("n_gopher_pass"),
+        )
+        .select(
+            F.col("bucket").cast("bigint"),
+            F.col("n_docs").cast("bigint"),
+            F.col("n_keep").cast("bigint"),
+            F.col("n_gopher_pass").cast("bigint"),
+            F.expr("div(1000 * n_gopher_pass, n_docs)")
+            .cast("bigint")
+            .alias("gopher_pass_permille"),
+        )
+        .orderBy("bucket")
     )

@@ -894,3 +894,61 @@ def test_curriculum_phases_partition_and_escalate(spark, sf_smoke):
     assert sum(r["n_docs"] for r in rows) == n_tokenized
     diffs = [r["avg_difficulty_permille"] for r in rows]
     assert diffs == sorted(diffs)
+
+
+def test_unimax_waterfill_invariants(spark, sf_smoke):
+    """UniMax allocation: every language's allocation respects its cap,
+    capped languages take exactly the cap, uncapped languages share one
+    uniform quota, and the budget is conserved up to integer-division
+    remainder (< m tokens left on the table)."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["pipeline_unimax_language_budget"](
+        spark, sf_smoke
+    ).collect()
+    total = sum(r["tokens_available"] for r in rows)
+    budget = (3 * total) // 2
+    m = len(rows)
+    for r in rows:
+        assert r["allocated_tokens"] <= r["cap_tokens"]
+        assert r["cap_tokens"] == 2 * r["tokens_available"]
+        if r["capped"]:
+            assert r["allocated_tokens"] == r["cap_tokens"]
+    uncapped = {r["allocated_tokens"] for r in rows if not r["capped"]}
+    assert len(uncapped) <= 1  # uniform share
+    allocated = sum(r["allocated_tokens"] for r in rows)
+    if uncapped:
+        assert 0 <= budget - allocated < m
+    else:
+        assert allocated <= budget
+
+
+def test_cross_source_matrix_covers_all_lsh_pairs(spark, sf_smoke):
+    """The matrix's total pair mass equals the LSH candidate-pair count
+    (every pair lands in exactly one unordered source cell) and
+    source_a <= source_b everywhere."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    n_pairs = qs["dedup_minhash_lsh"](spark, sf_smoke).count()
+    rows = qs["dedup_cross_source_matrix"](spark, sf_smoke).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+        assert r["cross_source"] == (r["source_a"] != r["source_b"])
+        assert 0 <= r["n_strong"] <= r["n_pairs"]
+
+
+def test_calibration_buckets_partition_scored_docs(spark, sf_smoke):
+    """Bucket populations sum to the classifier-scored doc count and
+    every count is internally consistent."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    n_scored = qs["text_quality_classifier_hashed"](spark, sf_smoke).count()
+    rows = qs["quality_score_calibration"](spark, sf_smoke).collect()
+    assert sum(r["n_docs"] for r in rows) == n_scored
+    for r in rows:
+        assert 0 <= r["n_keep"] <= r["n_docs"]
+        assert 0 <= r["n_gopher_pass"] <= r["n_docs"]
+        assert r["gopher_pass_permille"] == (1000 * r["n_gopher_pass"]) // r["n_docs"]

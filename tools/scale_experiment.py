@@ -90,6 +90,9 @@ QUERIES = [
     ("quantile_sketch_bottomk", [1, 3, 10]),
     ("pipeline_global_shuffle", [1, 3, 10]),
     ("pipeline_curriculum_order", [1, 3, 10]),
+    ("pipeline_unimax_language_budget", [1, 3, 10]),
+    ("dedup_cross_source_matrix", [1, 3, 10]),
+    ("quality_score_calibration", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
