@@ -500,3 +500,24 @@ def test_runtime_bloom_filter_prunes_selective_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bottomk_sketch_plan_has_partial_window_group_limit(spark):
+    """The bottom-k quantile sketch's scale claim is that the rank<=k
+    filter compiles to a PARTIAL WindowGroupLimit below the exchange —
+    each map partition forwards at most k rows per group, so the
+    shuffle carries O(groups·k·partitions), never the data.  Pin that
+    plan shape so a regression (e.g. a filter spelling Spark can't
+    push) is caught here, not at 100 TB."""
+    import __spark_entry__ as m
+
+    df = m.queries()["quantile_sketch_bottomk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    assert partial, plan
+    # the Partial limit must sit BELOW its exchange (higher line index =
+    # deeper in the printed tree = executed earlier)
+    exch = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    assert any(p > min(exch) for p in partial), plan
