@@ -28,6 +28,7 @@ __all__ = [
     "stateful_dedup_bloom",
     "stateful_sessionize",
     "stateful_signature_dedup",
+    "stateful_bottomk_quantiles",
 ]
 
 
@@ -389,5 +390,92 @@ def stateful_embedding_dedup(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_bottomk_quantiles(
+    stream: DataFrame,
+    *,
+    key_col: str = "flag",
+    value_col: str = "cents",
+    hash_col: str = "h",
+    k: int = 256,
+) -> DataFrame:
+    """Streaming bottom-k-by-hash quantile sketch — the incremental
+    twin of the batch ``quantile_sketch_bottomk`` query: per key group
+    the state holds the k rows with the smallest content hash seen so
+    far (plus the exact running row count); every micro-batch that
+    touches a group re-emits its updated p50/p90/p99 estimate.
+
+    The bottom-k set is a TRUE mergeable sketch (bottom-k(A∪B) ==
+    bottom-k(bottom-k(A)∪B)), so folding each micro-batch into the
+    state IS the sketch merge — the streaming result after any number
+    of batches equals the batch sketch over the full history, which is
+    exactly what the companion test asserts.  State is O(k) per group
+    regardless of stream length; the quantile read-off uses the same
+    rank rule as the batch query (max value at sample positions
+    100·vr < q·ns + 100) so both engines/paths agree row-for-row."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), True),
+            T.StructField("n_sample", T.LongType(), True),
+            T.StructField("est_p50", T.LongType(), True),
+            T.StructField("est_p90", T.LongType(), True),
+            T.StructField("est_p99", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hs", T.ArrayType(T.StringType()), True),
+            T.StructField("vs", T.ArrayType(T.LongType()), True),
+            T.StructField("n_rows", T.LongType(), True),
+        ]
+    )
+
+    def sketch_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hs, vs, n_rows = list(state.get[0]), list(state.get[1]), state.get[2]
+        else:
+            hs, vs, n_rows = [], [], 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            hs.extend(pdf[hash_col].astype(str))
+            vs.extend(int(x) for x in pdf[value_col])
+            if len(hs) > k:
+                order = sorted(range(len(hs)), key=lambda i: hs[i])[:k]
+                hs = [hs[i] for i in order]
+                vs = [vs[i] for i in order]
+        order = sorted(range(len(hs)), key=lambda i: hs[i])[:k]
+        hs = [hs[i] for i in order]
+        vs = [vs[i] for i in order]
+        state.update((hs, vs, n_rows))
+
+        sample = sorted(vs)
+        ns = len(sample)
+
+        def est(q: int) -> int:
+            picks = [sample[vr - 1] for vr in range(1, ns + 1) if 100 * vr < q * ns + 100]
+            return max(picks)
+
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_rows": [n_rows],
+                "n_sample": [ns],
+                "est_p50": [est(50)],
+                "est_p90": [est(90)],
+                "est_p99": [est(99)],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        sketch_group,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

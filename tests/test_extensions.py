@@ -952,3 +952,39 @@ def test_calibration_buckets_partition_scored_docs(spark, sf_smoke):
         assert 0 <= r["n_keep"] <= r["n_docs"]
         assert 0 <= r["n_gopher_pass"] <= r["n_docs"]
         assert r["gopher_pass_permille"] == (1000 * r["n_gopher_pass"]) // r["n_docs"]
+
+
+def test_unimax_closed_form_equals_sequential_waterfill(spark, sf_smoke):
+    """Differential test of the closed form: simulate UniMax's
+    SEQUENTIAL water-filling (the paper's algorithm — repeatedly give
+    every remaining language the uniform share; any language whose cap
+    is smaller takes the cap and exits) in plain Python on the real
+    per-language inventories and require the Spark/closed-form
+    allocation to match exactly."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["pipeline_unimax_language_budget"](
+        spark, sf_smoke
+    ).collect()
+    avail = {r["lang"]: r["tokens_available"] for r in rows}
+    got = {r["lang"]: r["allocated_tokens"] for r in rows}
+    budget = (3 * sum(avail.values())) // 2
+
+    remaining = dict(avail)
+    alloc: dict = {}
+    b = budget
+    # sequential water-filling with integer shares, languages whose cap
+    # (2*avail) is under the current uniform share exit each round
+    while remaining:
+        share = b // len(remaining)
+        capped = {l for l, a in remaining.items() if 2 * a <= share}
+        if not capped:
+            # everyone takes the uniform share and we're done
+            for l in remaining:
+                alloc[l] = share
+            break
+        for l in capped:
+            alloc[l] = 2 * remaining[l]
+            b -= alloc[l]
+            del remaining[l]
+    assert got == alloc

@@ -519,3 +519,80 @@ def test_stateful_embedding_dedup(spark, tmp_path):
     run_drain()
     got = {r["vec_id"] for r in spark.read.parquet(out).collect()}
     assert got == {1, 2, 5}, f"replay/near-dup must drop, newcomer passes: {got}"
+
+
+def test_stateful_bottomk_quantiles_matches_batch_sketch(spark, tmp_path):
+    """The streaming bottom-k sketch after N micro-batches must equal
+    the batch bottom-k sketch over the concatenated history — the
+    mergeability property exercised live through
+    applyInPandasWithState state folding."""
+    import hashlib
+
+    from sales_azure_data_engineer_project_spark.streaming.stateful import (
+        stateful_bottomk_quantiles,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "flag string, cents long, h string"
+
+    def mk_rows(lo, hi):
+        return [
+            (
+                "AB"[i % 2],
+                (i * 37) % 1000,
+                hashlib.md5(f"row{i}".encode()).hexdigest(),
+            )
+            for i in range(lo, hi)
+        ]
+
+    def run_drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            stateful_bottomk_quantiles(stream, k=32)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(mk_rows(0, 300), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_drain()
+    spark.createDataFrame(mk_rows(300, 700), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_drain()
+
+    # latest emission per flag (update mode appends one row per touched
+    # group per drain; the max-n_rows row is the latest)
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        if r["flag"] not in latest or r["n_rows"] > latest[r["flag"]]["n_rows"]:
+            latest[r["flag"]] = r
+
+    # batch reference over the full history in pure python
+    all_rows = mk_rows(0, 700)
+    for flag in ("A", "B"):
+        grp = [(h, c) for f, c, h in all_rows if f == flag]
+        assert latest[flag]["n_rows"] == len(grp)
+        sample = sorted(c for _, c in sorted(grp)[:32])
+        ns = len(sample)
+        assert latest[flag]["n_sample"] == ns
+
+        def est(q):
+            return max(sample[vr - 1] for vr in range(1, ns + 1) if 100 * vr < q * ns + 100)
+
+        assert latest[flag]["est_p50"] == est(50)
+        assert latest[flag]["est_p90"] == est(90)
+        assert latest[flag]["est_p99"] == est(99)
