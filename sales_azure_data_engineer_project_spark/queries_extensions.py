@@ -8657,3 +8657,273 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-4 additions: hard-negative mining, k-anonymity audit,
+# temperature-scaled mixture sampling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_hard_negatives",
+    """
+    WITH n AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        FROM n q JOIN n c ON c.vec_id != q.vec_id AND c.label != q.label
+        WHERE q.vec_id < 10
+    ),
+    ranked AS (
+        SELECT query_id, query_label, neighbor_id, neighbor_label, cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(query_label AS INTEGER) AS query_label,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(neighbor_label AS INTEGER) AS neighbor_label,
+           CAST(CAST(ROUND(cos_raw, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each query vector, the top-k most-similar vectors carrying a
+    DIFFERENT label.  These near-boundary negatives are what makes
+    bi-encoder training data effective (DPR / Contriever recipe); the
+    mining op is exactly the ANN scan with a label-disagreement
+    predicate fused into the join condition.
+
+    Scale shape: identical to ``similarity_cosine_topk`` — bounded
+    query set broadcast against the corpus scan, the label filter
+    rides the join condition so disqualified candidates never reach
+    the ranking window.  At production scale the brute scan swaps for
+    any of the cell-restricted tiers (IVF/PQ) with the same label
+    predicate pushed into the candidate join; the gate queries
+    (``ann_recall_*``) calibrate that swap.  Double fold in index
+    order == DuckDB list_dot_product bitwise (NOTES recipe), so exact
+    threshold compares are safe."""
+    emb = _fan_out(load_testdata(spark, sf_dir, "embeddings"))
+    nv = S.with_norm(emb)
+    cand = nv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"),
+    )
+    q = nv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"),
+    )
+    scored = (
+        cand.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neighbor_label")),
+        )
+        .withColumn("cos_sim", S.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("query_label").cast("int"),
+            F.col("neighbor_id").cast("bigint"),
+            F.col("neighbor_label").cast("int"),
+            F.round("cos_sim", 6).cast("decimal(10,6)").cast("double").alias("cos_sim"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "quality_k_anonymity",
+    """
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000000)
+                   // 100000 AS acct_band
+        FROM customer
+    ),
+    grp AS (
+        SELECT c_nationkey, c_mktsegment, acct_band, COUNT(*) AS sz
+        FROM qi GROUP BY 1, 2, 3
+    ),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT CAST(k AS INTEGER) AS k,
+           CAST((SELECT COUNT(*) FROM grp) AS BIGINT) AS n_groups,
+           CAST((SELECT MIN(sz) FROM grp) AS BIGINT) AS min_group_size,
+           CAST((SELECT SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) FROM grp)
+                AS BIGINT) AS groups_below_k,
+           CAST((SELECT SUM(CASE WHEN sz < k THEN sz ELSE 0 END) FROM grp)
+                AS BIGINT) AS records_below_k,
+           CAST((1000 * (SELECT SUM(CASE WHEN sz < k THEN sz ELSE 0 END) FROM grp))
+                // (SELECT SUM(sz) FROM grp) AS BIGINT) AS at_risk_permille
+    FROM ks
+    ORDER BY k
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set — the privacy
+    gate a dataset release (or a training corpus carrying user
+    metadata) runs before publication: group by the QI tuple
+    (nation, market segment, $1000 account-balance band) and report,
+    for k ∈ {2, 5, 10}, how many equivalence classes and records fall
+    below k.  Records in small QI classes are re-identifiable by
+    linkage (Sweeney 2002); the fix is coarsening bands or suppressing
+    rows, both of which re-run this same audit.
+
+    Scale shape: ONE map-side-combined groupBy over the QI tuple
+    (group count bounded by the QI domain, not the table), then a
+    3×|k| conditional aggregate over the tiny group-size relation —
+    the k rows come from a literal array explode, never a second table
+    scan.  The balance band is computed in exact DECIMAL cents and
+    shifted non-negative so Spark's truncating div and DuckDB's
+    flooring // agree."""
+    cust = load_testdata(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "div(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            " + 100000000, 100000)"
+        ).alias("acct_band"),
+    )
+    grp = qi.groupBy("c_nationkey", "c_mktsegment", "acct_band").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    stats = grp.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("sz").alias("min_group_size"),
+        F.sum("sz").alias("n_records"),
+        *[
+            F.sum(F.when(F.col("sz") < k, 1).otherwise(0)).alias(f"gb{k}")
+            for k in (2, 5, 10)
+        ],
+        *[
+            F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0)).alias(f"rb{k}")
+            for k in (2, 5, 10)
+        ],
+    )
+    ks = stats.select(
+        F.explode(F.array(*[F.lit(k) for k in (2, 5, 10)])).alias("k"), "*"
+    )
+    return ks.select(
+        F.col("k").cast("int"),
+        F.col("n_groups").cast("bigint"),
+        F.col("min_group_size").cast("bigint"),
+        F.when(F.col("k") == 2, F.col("gb2"))
+        .when(F.col("k") == 5, F.col("gb5"))
+        .otherwise(F.col("gb10"))
+        .cast("bigint")
+        .alias("groups_below_k"),
+        F.when(F.col("k") == 2, F.col("rb2"))
+        .when(F.col("k") == 5, F.col("rb5"))
+        .otherwise(F.col("rb10"))
+        .cast("bigint")
+        .alias("records_below_k"),
+        F.expr(
+            "div(1000 * (CASE WHEN k = 2 THEN rb2 WHEN k = 5 THEN rb5"
+            " ELSE rb10 END), n_records)"
+        )
+        .cast("bigint")
+        .alias("at_risk_permille"),
+    ).orderBy("k")
+
+
+@register(
+    "sample_temperature_mixture",
+    r"""
+    WITH per AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_tokens, n_docs,
+               (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                + CASE WHEN (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
+                            * (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
+                            <= n_tokens THEN 1 ELSE 0 END
+                - CASE WHEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                            * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                            > n_tokens THEN 1 ELSE 0 END) AS wt
+        FROM per
+    ),
+    tot AS (SELECT SUM(wt) AS sw, SUM(n_tokens) AS st FROM w)
+    SELECT w.source,
+           w.n_tokens, CAST(w.n_docs AS BIGINT) AS n_docs,
+           CAST(w.wt AS BIGINT) AS wt,
+           CAST((1000 * w.n_tokens) // tot.st AS BIGINT) AS prop_permille,
+           CAST((1000 * w.wt) // tot.sw AS BIGINT) AS temp_permille,
+           CAST((1000000 * w.wt) // (tot.sw * w.n_tokens) AS BIGINT)
+               AS epochs_per_token_micro
+    FROM w, tot
+    ORDER BY source
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the T5/mT5 recipe, α=0.5):
+    each source's sampling weight is n_tokens^α, flattening the
+    head-heavy natural distribution so low-resource sources are not
+    starved.  Reports, per source, the natural (proportional) and
+    temperature-scaled sampling rates plus the implied per-token
+    repetition rate — the number a data-constrained run checks against
+    the ~4-epoch diminishing-returns bar (Muennighoff et al. 2023).
+
+    Scale shape: ONE map-side-combined groupBy(source) over the corpus
+    (token counting is a narrow codegen'd split), then all allocation
+    math runs on the |sources|-row relation against a 1-row total
+    broadcast — the same two-tier shape as the UniMax budget query.
+    α=0.5 is computed as an EXACT integer sqrt on both engines: the
+    double sqrt is corrected by ±1 with integer square compares, so a
+    1-ulp libm disagreement cannot flip the weight."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", X.TOKEN_RE))).cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    s0 = "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"
+    w = per.withColumn(
+        "wt",
+        F.expr(
+            f"{s0} + (CASE WHEN ({s0} + 1) * ({s0} + 1) <= n_tokens THEN 1 ELSE 0 END)"
+            f" - (CASE WHEN {s0} * {s0} > n_tokens THEN 1 ELSE 0 END)"
+        ),
+    ).transform(tracked_persist)
+    tot = w.agg(
+        F.sum("wt").alias("sw"), F.sum("n_tokens").alias("st")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.col("n_docs").cast("bigint"),
+            F.col("wt").cast("bigint"),
+            F.expr("div(1000 * n_tokens, st)").cast("bigint").alias("prop_permille"),
+            F.expr("div(1000 * wt, sw)").cast("bigint").alias("temp_permille"),
+            F.expr("div(1000000 * wt, sw * n_tokens)")
+            .cast("bigint")
+            .alias("epochs_per_token_micro"),
+        )
+        .orderBy("source")
+    )

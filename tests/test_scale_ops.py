@@ -372,6 +372,12 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                           # + the PQ ADC LUT broadcast (as similarity_ann_pq)
         "pipeline_curriculum_order",  # 1-row quartile-cutoffs aggregate
                                       # (3 integers) broadcast onto docs
+        "similarity_hard_negatives",  # bounded 10-query broadcast ×
+                                      # corpus with the label-mismatch
+                                      # predicate in the join condition
+                                      # (same shape as similarity_cosine_topk)
+        "sample_temperature_mixture",  # 1-row Σweight/Σtokens total
+                                       # broadcast onto |sources| rows
     }
     offenders = {}
     for name, fn in m.queries().items():
