@@ -8927,3 +8927,320 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_sequence_packing",
+    rf"""
+    WITH keyed AS (
+        SELECT doc_id,
+               len(string_split_regex(text, '\s+')) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, n_tok, h, CAST({{hex12}} AS BIGINT) % 8 AS shard
+        FROM keyed
+    ),
+    run AS (
+        SELECT shard, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sharded
+    ),
+    marked AS (
+        SELECT shard, n_tok, cum,
+               CASE WHEN (cum - n_tok) // 256 != (cum - 1) // 256
+                    THEN 1 ELSE 0 END AS is_split
+        FROM run
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST((SUM(n_tok) + 255) // 256 AS BIGINT) AS n_seqs,
+           CAST(SUM(is_split) AS BIGINT) AS n_split_docs,
+           CAST((1000 * SUM(n_tok)) // (256 * ((SUM(n_tok) + 255) // 256))
+                AS BIGINT) AS fill_permille
+    FROM marked
+    GROUP BY shard
+    ORDER BY shard
+    """.format(hex12=_HEX12),
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chop, the GPT pretraining layout):
+    documents are concatenated in deterministic hash order within each
+    shard and cut into fixed 256-token training sequences.  Reports,
+    per shard, the sequence count, the docs that straddle a cut
+    boundary (the cross-document-attention contamination a packer
+    trades against padding waste), and the fill rate — the numbers
+    that decide between plain chopping, best-fit packing, and masking
+    strategies for a given corpus length profile.
+
+    Scale shape: ONE hash-partition Exchange(shard) feeds a per-shard
+    running-sum window (shards sort independently in parallel — no
+    global sort), then a map-side-combined groupBy(shard) collapses to
+    8 report rows.  Boundary math is pure non-negative integer
+    division, identical under Spark's truncating div and DuckDB's
+    flooring //."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.size(F.split("text", X.TOKEN_RE)).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    sharded = keyed.select(
+        "doc_id",
+        "n_tok",
+        "h",
+        (F.expr("cast(conv(substring(h, 1, 12), 16, 10) as bigint)") % 8).alias(
+            "shard"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = sharded.withColumn("cum", F.sum("n_tok").over(w))
+    marked = run.select(
+        "shard",
+        "n_tok",
+        F.when(
+            F.expr("div(cum - n_tok, 256)") != F.expr("div(cum - 1, 256)"), 1
+        )
+        .otherwise(0)
+        .alias("is_split"),
+    )
+    return (
+        marked.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("is_split").alias("n_split_docs"),
+        )
+        .select(
+            F.col("shard").cast("bigint"),
+            F.col("n_docs").cast("bigint"),
+            F.col("n_tokens").cast("bigint"),
+            F.expr("div(n_tokens + 255, 256)").cast("bigint").alias("n_seqs"),
+            F.col("n_split_docs").cast("bigint"),
+            F.expr("div(1000 * n_tokens, 256 * div(n_tokens + 255, 256))")
+            .cast("bigint")
+            .alias("fill_permille"),
+        )
+        .select(
+            "shard", "n_docs", "n_tokens", "n_seqs", "n_split_docs", "fill_permille"
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "text_bm25_topk",
+    r"""
+    WITH tk AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+    stats AS (
+        SELECT COUNT(*) AS n, (1000 * SUM(dl)) // COUNT(*) AS avgdl_milli
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    idf AS (
+        SELECT tok, length(bin(n // df)) - 1 AS idf
+        FROM df, stats
+    ),
+    q AS (
+        SELECT doc_id AS query_id, unnest(list_distinct(toks[1:6])) AS tok
+        FROM tk WHERE doc_id < 8
+    ),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               SUM(idf.idf * ((tf.tf * 2200 * 1000) //
+                   (tf.tf * 1000 +
+                    (1200 * (250 + (750000 * dl.dl) // stats.avgdl_milli)) // 1000)))
+                   AS score_milli
+        FROM q
+        JOIN tf ON tf.tok = q.tok
+        JOIN idf ON idf.tok = q.tok
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        WHERE tf.doc_id != q.query_id
+        GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score_milli,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score_milli DESC, doc_id) AS INTEGER) AS rk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(score_milli AS BIGINT) AS score_milli, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over a distributed inverted index — the lexical
+    search tier a curation pipeline runs next to embedding ANN (hybrid
+    retrieval, hard-negative mining for retriever training, and
+    fuzzy decontamination all sit on this op).  k1=1.2, b=0.75 in
+    fixed-point milli arithmetic; idf = floor(log2(N/df)) via the
+    libm-free ``length(bin(n)) - 1`` derivation, so scores are
+    integer-exact on both engines and stopwords (df == N) zero out
+    naturally.
+
+    Scale shape: the inverted index is ONE map-side-combined
+    groupBy(doc_id, term); document frequency is a vocab-bounded
+    aggregate; the bounded 8-query term set broadcasts into the
+    posting-list equi-join on term, so only postings of query terms
+    are ever scanned — the per-(query, doc) accumulation is one more
+    combinable aggregate and the final ranking window sees only
+    matched candidates.  At 100 TB the postings partition by term;
+    a hot stopword term carries idf 0 and can be pruned before the
+    join (df == N ⇒ zero contribution)."""
+    docs = _fan_out(load_testdata(spark, sf_dir, "documents").select("doc_id", "text"))
+    tk = docs.select(
+        "doc_id", F.split("text", X.TOKEN_RE).alias("toks")
+    ).transform(tracked_persist)
+    dl = tk.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("div(1000 * sum(dl), count(1))").alias("avgdl_milli"),
+    )
+    tf = (
+        tk.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats.select("n"))).select(
+        "tok", (F.length(F.expr("bin(div(n, df))")) - 1).cast("long").alias("idf")
+    )
+    q = (
+        tk.filter(F.col("doc_id") < 8)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.slice("toks", 1, 6))).alias("tok"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(q), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl_milli")))
+        .withColumn(
+            "term_score",
+            F.expr(
+                "idf * div(tf * 2200 * 1000,"
+                " tf * 1000 + div(1200 * (250 + div(750000 * dl, avgdl_milli)), 1000))"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("doc_id").cast("bigint"),
+            F.col("score_milli").cast("bigint"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "text_tokenizer_fertility",
+    r"""
+    WITH t AS (
+        SELECT lang,
+               length(text) AS n_chars,
+               octet_length(encode(text)) AS n_bytes,
+               len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+               len(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+               )) AS bpe_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST((1000 * SUM(bpe_tokens)) // SUM(ws_tokens) AS BIGINT)
+               AS fertility_milli,
+           CAST((1000 * SUM(n_bytes)) // SUM(bpe_tokens) AS BIGINT)
+               AS bytes_per_piece_milli,
+           CAST((1000 * SUM(n_chars)) // SUM(bpe_tokens) AS BIGINT)
+               AS chars_per_piece_milli
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — pieces emitted per whitespace
+    word, the equity metric multilingual pipelines audit (a tokenizer
+    with 3× fertility on one language triples its effective sequence
+    cost and silently shrinks its compute share; cf. the UniMax /
+    NLLB tokenizer analyses).  Also reports bytes-per-piece — the
+    compression view that decides vocab-size trades.  Uses the GPT-2
+    pre-tokenizer split (verified Java/RE2-identical over this corpus,
+    same pattern as ``text_token_counts``) as the piece counter.
+
+    Scale shape: a narrow map-only projection (regex + split inside
+    whole-stage codegen, no UDF) followed by ONE map-side-combined
+    groupBy(lang) — output is |languages| rows; nothing else
+    shuffles."""
+    docs = _fan_out(load_testdata(spark, sf_dir, "documents"))
+    bpe_pat = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    t = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.size(F.split(F.trim(F.col("text")), X.TOKEN_RE)).cast("long").alias(
+            "ws_tokens"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_pat), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint"),
+            F.col("ws_tokens").cast("bigint"),
+            F.col("bpe_tokens").cast("bigint"),
+            F.expr("div(1000 * bpe_tokens, ws_tokens)")
+            .cast("bigint")
+            .alias("fertility_milli"),
+            F.expr("div(1000 * sum_bytes, bpe_tokens)")
+            .cast("bigint")
+            .alias("bytes_per_piece_milli"),
+            F.expr("div(1000 * sum_chars, bpe_tokens)")
+            .cast("bigint")
+            .alias("chars_per_piece_milli"),
+        )
+        .orderBy("lang")
+    )

@@ -988,3 +988,189 @@ def test_unimax_closed_form_equals_sequential_waterfill(spark, sf_smoke):
             b -= alloc[l]
             del remaining[l]
     assert got == alloc
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-4 additions
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_labels_differ_and_bounded_by_unrestricted(spark, sf_smoke):
+    """Every mined negative carries a label different from its query's,
+    ranks are consecutive with non-increasing similarity, and the top
+    hard negative can never be MORE similar than the unrestricted
+    top-1 neighbor (the label filter only removes candidates)."""
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        similarity_cosine_topk,
+        similarity_hard_negatives,
+    )
+
+    hard = similarity_hard_negatives(spark, sf_smoke).collect()
+    assert hard
+    by_q: dict = {}
+    for r in hard:
+        assert r["neighbor_label"] != r["query_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+    top_any = {
+        r["query_id"]: r["cos_sim"]
+        for r in similarity_cosine_topk(spark, sf_smoke).collect()
+        if r["rk"] == 1
+    }
+    for q, rows in by_q.items():
+        assert rows[0]["cos_sim"] <= top_any[q] + 1e-9
+
+
+def test_k_anonymity_planted_small_groups(spark):
+    """A fixture with one 3-record QI class and one singleton: k=2
+    flags exactly the singleton; k=5 flags all 4 records."""
+    import os
+    import tempfile
+
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        quality_k_anonymity,
+    )
+
+    rows = [
+        # three customers sharing (nation 1, SEG_A, same $1000 band)
+        (1, "a", 1, 1500.00, "SEG_A"),
+        (2, "b", 1, 1600.00, "SEG_A"),
+        (3, "c", 1, 1999.99, "SEG_A"),
+        # one re-identifiable singleton
+        (4, "d", 2, 8000.00, "SEG_B"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        out = {r["k"]: r for r in quality_k_anonymity(spark, d).collect()}
+    assert out[2]["n_groups"] == 2 and out[2]["min_group_size"] == 1
+    assert out[2]["groups_below_k"] == 1 and out[2]["records_below_k"] == 1
+    assert out[2]["at_risk_permille"] == 250
+    assert out[5]["groups_below_k"] == 2 and out[5]["records_below_k"] == 4
+    assert out[10]["records_below_k"] == 4
+
+
+def test_temperature_mixture_exact_isqrt_and_flattening(spark, sf_smoke):
+    """The weight must equal math.isqrt(n_tokens) exactly (the ±1
+    correction defends the libm sqrt), and temperature scaling must
+    flatten the mixture: the temp share spread across sources is no
+    wider than the proportional spread."""
+    import math
+
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        sample_temperature_mixture,
+    )
+
+    rows = sample_temperature_mixture(spark, sf_smoke).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["wt"] == math.isqrt(r["n_tokens"])
+    prop = [r["prop_permille"] for r in rows]
+    temp = [r["temp_permille"] for r in rows]
+    assert max(temp) - min(temp) <= max(prop) - min(prop)
+
+
+def test_sequence_packing_python_differential(spark, sf_smoke):
+    """Full Python replay of the packer on the same corpus: shard by
+    md5(doc_id) 48-bit prefix mod 8, concat in (hash, doc_id) order,
+    chop at 256 — every reported number must match exactly."""
+    import hashlib
+    import re
+
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        pipeline_sequence_packing,
+    )
+
+    docs = load_testdata(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    per_shard: dict = {}
+    for r in docs:
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        shard = int(h[:12], 16) % 8
+        n_tok = len(re.split(r"\s+", r["text"]))
+        per_shard.setdefault(shard, []).append((h, r["doc_id"], n_tok))
+    expect = {}
+    for shard, items in per_shard.items():
+        items.sort()
+        cum = 0
+        splits = 0
+        for _, _, n in items:
+            start, end = cum, cum + n
+            if start // 256 != (end - 1) // 256:
+                splits += 1
+            cum = end
+        n_seqs = (cum + 255) // 256
+        expect[shard] = (
+            len(items), cum, n_seqs, splits, 1000 * cum // (256 * n_seqs)
+        )
+    got = {
+        r["shard"]: (
+            r["n_docs"], r["n_tokens"], r["n_seqs"], r["n_split_docs"],
+            r["fill_permille"],
+        )
+        for r in pipeline_sequence_packing(spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_bm25_planted_relevant_doc_ranks_first(spark):
+    """A doc stuffed with the query's rare terms must outrank docs that
+    share only a corpus-universal term (df == N ⇒ idf 0 ⇒ the
+    stopword contributes nothing)."""
+    import os
+    import tempfile
+
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        text_bm25_topk,
+    )
+
+    docs = [(0, "zebra yak the quartz")]
+    for i in range(1, 8):
+        docs.append((i, f"the filler{i} filler{i} common common"))
+    docs.append((9, "zebra yak the zebra quartz"))
+    docs.append((10, "the common common"))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = text_bm25_topk(spark, d).collect()
+    q0 = sorted([r for r in out if r["query_id"] == 0], key=lambda r: r["rk"])
+    assert q0 and q0[0]["doc_id"] == 9
+    # docs sharing only the universal 'the' never score above zero-idf
+    for r in q0:
+        if r["doc_id"] == 10:
+            assert r["score_milli"] == 0
+
+
+def test_tokenizer_fertility_hand_counted(spark):
+    """GPT-2 piece counts on hand-tokenizable strings: contraction
+    splits and punctuation runs raise fertility above 1000 exactly as
+    the regex defines."""
+    import os
+    import tempfile
+
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        text_tokenizer_fertility,
+    )
+
+    # 'hello world' -> ['hello', ' world'] (2 pieces, 2 ws tokens)
+    # "don't stop!" -> ['don', "'t", ' stop', '!'] (4 pieces, 2 ws tokens)
+    rows = [
+        (1, "hello world", "aa", "s", 11),
+        (2, "don't stop!", "bb", "s", 11),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["lang"]: r for r in text_tokenizer_fertility(spark, d).collect()}
+    assert out["aa"]["bpe_tokens"] == 2 and out["aa"]["ws_tokens"] == 2
+    assert out["aa"]["fertility_milli"] == 1000
+    assert out["bb"]["bpe_tokens"] == 4 and out["bb"]["ws_tokens"] == 2
+    assert out["bb"]["fertility_milli"] == 2000

@@ -378,6 +378,10 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                       # (same shape as similarity_cosine_topk)
         "sample_temperature_mixture",  # 1-row Σweight/Σtokens total
                                        # broadcast onto |sources| rows
+        "text_bm25_topk",  # 1-row corpus stats (N, avgdl) broadcast
+                           # onto the vocab-bounded idf table and the
+                           # posting join; retrieval joins are all
+                           # term equi-joins
     }
     offenders = {}
     for name, fn in m.queries().items():
