@@ -18,8 +18,12 @@ from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: 
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# The driver verifies the FIRST 50 registered queries.  After round 4,
-# 136 of the 165 registered queries have green driver CORRECTNESS rows
+# The driver verifies the FIRST 50 registered queries.  Session-4
+# update: the 6 session-4 additions join the front of the window (42
+# never-driver-checked + 8 canaries; the never-checked set is every
+# round-4/5 addition, all check_oracle-green at three SFs).  After
+# round 4, 136 of the then-165 registered queries have green driver
+# CORRECTNESS rows
 # (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04, latest row green for each — 137
 # checked minus the demoted dedup_lsh_recall); this round-5 order
 # front-loads the 29 queries the driver has NEVER checked (the 14
@@ -47,6 +51,15 @@ _PRIORITY = [
     # recall gate, the filter-ablation report, chunk-level boilerplate
     # detection, the MinHash containment-estimator calibration, and
     # power-iteration PCA — all check_oracle-green at three SFs) ---
+    # --- round-5 session-4 additions (check_oracle-green at 3 SFs:
+    # hard-negative mining, k-anonymity audit, temperature mixture,
+    # sequence packing, BM25 retrieval, tokenizer fertility) ---
+    "similarity_hard_negatives",
+    "quality_k_anonymity",
+    "sample_temperature_mixture",
+    "pipeline_sequence_packing",
+    "text_bm25_topk",
+    "text_tokenizer_fertility",
     # --- round-5 session-3 additions (check_oracle-green at 3 SFs) ---
     "text_ccnet_perplexity_buckets",
     "quantile_sketch_bottomk",
@@ -93,12 +106,14 @@ _PRIORITY = [
     # exercised implicitly by nearly every query) — are multiply-proven
     # and untouched) ---
     "flagship_revenue_by_nation_year",  # star join + agg (also entry())
-    "pricing_summary",                  # grouped sum family
-    "customers_with_orders",            # semi/anti-join family
-    "top_orders",                       # multi-key sort family
+    # (pricing_summary, customers_with_orders, top_orders,
+    # window_rank_suite, q3_shipping_priority, text_span_dup_stats
+    # trimmed with the session-4 window squeeze: all green r4 rows and
+    # untouched since; their families stay canaried by flagship +
+    # q5 (joins/aggs/sorts), the six never-checked events_* window
+    # entries (window functions), and dedup_minhash_lsh /
+    # text_boilerplate_chunks (span/text dedup).)
     "dim_dense_keys",                   # surrogate-key family
-    "window_rank_suite",                # window-function suite
-    "q3_shipping_priority",             # TPC-H core
     "q5_supplier_volume_by_region",     # TPC-H 6-way join
     # (grouping_sets_revenue trimmed with the session-2 batch-3 window
     # squeeze: rollup/grouping-sets green r1-r4 and untouched.)
@@ -122,7 +137,6 @@ _PRIORITY = [
     # (text_quality_stats trimmed with the session-2 window squeeze:
     # the text-quality family is canaried by text_gopher_quality_rules
     # plus the three new quality queries above.)
-    "text_span_dup_stats",              # span-dedup family
     # (text_trigram_lm_score trimmed with the session-3 window squeeze:
     # the trigram-LM familiarity chain runs verbatim inside
     # text_ccnet_perplexity_buckets above.)

@@ -93,6 +93,18 @@ QUERIES = [
     ("pipeline_unimax_language_budget", [1, 3, 10]),
     ("dedup_cross_source_matrix", [1, 3, 10]),
     ("quality_score_calibration", [1, 3, 10]),
+    # round-5 session-4 additions.  Doc copies own disjoint vocab, so
+    # BM25's per-term posting lists stay constant-size while term count
+    # grows ∝ N (index build dominates, the web growth model) and the
+    # bounded copy-0 query set keeps probe cost fixed.  Customer copies
+    # repeat the QI distribution verbatim: class count constant, class
+    # sizes ∝ N — one combinable groupBy either way.
+    ("similarity_hard_negatives", [1, 3, 10]),
+    ("quality_k_anonymity", [1, 3, 10]),
+    ("sample_temperature_mixture", [1, 3, 10]),
+    ("pipeline_sequence_packing", [1, 3, 10]),
+    ("text_bm25_topk", [1, 3, 10]),
+    ("text_tokenizer_fertility", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
@@ -105,6 +117,7 @@ def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
     emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
     ev = spark.read.parquet(os.path.join(base_dir, "events.parquet"))
     li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
+    cu = spark.read.parquet(os.path.join(base_dir, "customer.parquet"))
 
     def doc_copy(i: int):
         # closure-captured seed (NOTES pitfall: never seed a lambda via
@@ -149,19 +162,30 @@ def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
             *[c for c in li.columns if c != "l_orderkey"],
         )
 
+    def cu_copy(i: int):
+        # disjoint customer keys, QI tuple distribution repeated: the
+        # k-anonymity class COUNT stays constant while class sizes grow
+        return cu.select(
+            (F.col("c_custkey") + i * 10_000_000).alias("c_custkey"),
+            *[c for c in cu.columns if c != "c_custkey"],
+        )
+
     d = doc_copy(0)
     e = emb_copy(0)
     v = ev_copy(0)
     t = li_copy(0)
+    u = cu_copy(0)
     for i in range(1, factor):
         d = d.unionByName(doc_copy(i))
         e = e.unionByName(emb_copy(i))
         v = v.unionByName(ev_copy(i))
         t = t.unionByName(li_copy(i))
+        u = u.unionByName(cu_copy(i))
     d.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     e.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
     v.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
     t.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    u.write.mode("overwrite").parquet(os.path.join(out_dir, "customer.parquet"))
 
 
 def main() -> None:
