@@ -55,6 +55,8 @@ _PRIORITY = [
     # hard-negative mining, k-anonymity audit, temperature mixture,
     # sequence packing, BM25 retrieval, tokenizer fertility) ---
     "similarity_hard_negatives",
+    "quality_knn_label_noise",
+    "embedding_outliers_topk",
     "quality_k_anonymity",
     "sample_temperature_mixture",
     "pipeline_sequence_packing",
@@ -113,8 +115,9 @@ _PRIORITY = [
     # q5 (joins/aggs/sorts), the six never-checked events_* window
     # entries (window functions), and dedup_minhash_lsh /
     # text_boilerplate_chunks (span/text dedup).)
-    "dim_dense_keys",                   # surrogate-key family
-    "q5_supplier_volume_by_region",     # TPC-H 6-way join
+    # (dim_dense_keys and q5_supplier_volume_by_region trimmed when
+    # the two label-quality queries entered: both green r4 and
+    # untouched; TPC-H joins stay canaried by flagship.)
     # (grouping_sets_revenue trimmed with the session-2 batch-3 window
     # squeeze: rollup/grouping-sets green r1-r4 and untouched.)
     # (json_functions trimmed with the session-2 batch-3 window

@@ -9244,3 +9244,198 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _embedding_outliers_oracle_sql() -> str:
+    """DuckDB twin of ``embedding_outliers_topk``: replays the trained
+    cells (same ``_kmeans_cells_cte`` chain as
+    ``embedding_cluster_quality``), computes the integer-exact scaled
+    distance² of every member to its cluster's final mean, and keeps
+    the top-3 farthest per cluster."""
+    return _kmeans_cells_cte() + """,
+    cn AS (SELECT cluster, COUNT(*) AS n FROM cells GROUP BY cluster),
+    fu AS (
+        SELECT c.cluster, t.i AS pos, CAST(SUM(s.cvec[t.i]) AS BIGINT) AS sm
+        FROM cells c JOIN cv s ON s.vec_id = c.vec_id
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY c.cluster, t.i
+    ),
+    fm AS (SELECT cluster, list(sm ORDER BY pos) AS sml FROM fu GROUP BY cluster),
+    pv AS (
+        SELECT c.cluster, c.vec_id,
+               list_sum(list_transform(range(1, 65),
+                   t -> CAST(cn.n * s.cvec[t] - fm.sml[t] AS BIGINT)
+                        * CAST(cn.n * s.cvec[t] - fm.sml[t] AS BIGINT))) AS d2s
+        FROM cells c
+        JOIN cv s ON s.vec_id = c.vec_id
+        JOIN fm ON fm.cluster = c.cluster
+        JOIN cn ON cn.cluster = c.cluster
+    ),
+    ranked AS (
+        SELECT cluster, vec_id, d2s,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                    ORDER BY d2s DESC, vec_id) AS INTEGER) AS rk
+        FROM pv
+    )
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(d2s AS BIGINT) AS d2s_scaled, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY cluster, rk
+    """
+
+
+@register("embedding_outliers_topk", _embedding_outliers_oracle_sql())
+def embedding_outliers_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier mining — the OOD-pruning curation step
+    (SemDeDup's complement: instead of dropping what clusters too
+    tightly, surface what barely belongs anywhere): per trained
+    quantizer cell, the 3 members FARTHEST from the cell's final mean.
+    These are the mislabeled / out-of-distribution / garbage-encoding
+    candidates a pipeline routes to review or drops before training.
+    Distance² is scaled by |cluster|² so every term is integer-exact
+    on both engines (same trick as ``embedding_cluster_quality``,
+    whose chain this shares verbatim up to the ranking).
+
+    Scale shape: final-mean partial sums = one (k·d)-row combinable
+    shuffle; per-vector distance = posexplode + broadcast joins of the
+    k·d sums; the ranking window partitions by cluster (parallel
+    across cells, each a bounded-size group under the k ∝ N quantizer
+    regime)."""
+    cells = _sq8_kmeans_cells(spark, sf_dir, k=8, iters=3)
+    pe = cells.select("vec_id", "cluster", F.posexplode("cvec").alias("pos", "x"))
+    sums = pe.groupBy("cluster", "pos").agg(F.sum("x").cast("bigint").alias("sm"))
+    cn = cells.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    term = (F.col("n") * F.col("x") - F.col("sm")).cast("bigint")
+    pv = (
+        pe.join(F.broadcast(sums), ["cluster", "pos"])
+        .join(F.broadcast(cn), "cluster")
+        .select("vec_id", "cluster", (term * term).alias("t2"))
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum("t2").alias("d2s"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("d2s").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pv.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("cluster").cast("int"),
+            F.col("vec_id").cast("bigint"),
+            F.col("d2s").cast("bigint").alias("d2s_scaled"),
+            "rk",
+        )
+        .orderBy("cluster", "rk")
+    )
+
+
+@register(
+    "quality_knn_label_noise",
+    """
+    WITH n AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.label AS neighbor_label,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw,
+               c.vec_id AS neighbor_id
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 50
+    ),
+    ranked AS (
+        SELECT query_id, query_label, neighbor_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS rk
+        FROM scored
+    ),
+    per AS (
+        SELECT query_id, query_label,
+               SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END)
+                   AS n_same
+        FROM ranked WHERE rk <= 5
+        GROUP BY query_id, query_label
+    )
+    SELECT CAST(query_label AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN 2 * n_same < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST((1000 * SUM(n_same)) // (5 * COUNT(*)) AS BIGINT)
+               AS agreement_permille
+    FROM per
+    GROUP BY query_label
+    ORDER BY label
+    """,
+)
+def quality_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise estimation (the Confident-Learning / cleanlab
+    signal): for each probe vector, how many of its 5 exact nearest
+    neighbors share its label; a probe whose neighborhood majority
+    DISAGREES is a likely label error.  Reported per label — the
+    per-class noise-rate table that decides relabeling or per-class
+    loss weighting before training.
+
+    Scale shape: the bounded 50-probe set broadcasts against one
+    corpus scan (same calibration-gate contract as the ``ann_recall``
+    family — cost is |Q|·N with |Q| fixed); the full-corpus production
+    sweep swaps the brute scan for the IVF cell-restricted kNN with
+    this query as its recall/agreement gate.  Neighbor counting is a
+    5-row-per-probe aggregate; the report is |labels| rows."""
+    emb = _fan_out(load_testdata(spark, sf_dir, "embeddings"))
+    nv = S.with_norm(emb)
+    cand = nv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"),
+    )
+    q = nv.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"),
+    )
+    scored = cand.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        (S.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cos_raw"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    per = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .groupBy("query_id", "query_label")
+        .agg(
+            F.sum(
+                F.when(F.col("neighbor_label") == F.col("query_label"), 1).otherwise(0)
+            ).alias("n_same")
+        )
+    )
+    return (
+        per.groupBy("query_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.when(2 * F.col("n_same") < 5, 1).otherwise(0)).alias("n_flagged"),
+            F.sum("n_same").alias("sum_same"),
+        )
+        .select(
+            F.col("query_label").cast("int").alias("label"),
+            F.col("n_probes").cast("bigint"),
+            F.col("n_flagged").cast("bigint"),
+            F.expr("div(1000 * sum_same, 5 * n_probes)")
+            .cast("bigint")
+            .alias("agreement_permille"),
+        )
+        .orderBy("label")
+    )

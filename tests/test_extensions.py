@@ -1174,3 +1174,67 @@ def test_tokenizer_fertility_hand_counted(spark):
     assert out["aa"]["fertility_milli"] == 1000
     assert out["bb"]["bpe_tokens"] == 4 and out["bb"]["ws_tokens"] == 2
     assert out["bb"]["fertility_milli"] == 2000
+
+
+def test_knn_label_noise_flags_planted_mislabel(spark):
+    """Two tight, well-separated clusters; one probe carries the wrong
+    label — it must be flagged (its whole neighborhood disagrees) and
+    every correctly-labeled probe must not be."""
+    import os
+    import tempfile
+
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        quality_knn_label_noise,
+    )
+
+    def vec(axis, jitter):
+        v = [0.0] * 64
+        v[axis] = 10.0
+        v[axis + 2] = jitter
+        return v
+
+    rows = []
+    # labels 0 and 1: 8 clean members each, probed (vec_id < 50)
+    for i in range(8):
+        rows.append((i, vec(0, 0.1 * i), 0))
+        rows.append((10 + i, vec(1, 0.1 * i), 1))
+    # planted mislabel: sits in cluster 0's region but labeled 1
+    rows.append((30, vec(0, 0.45), 1))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).write.parquet(
+            os.path.join(d, "embeddings.parquet")
+        )
+        out = {r["label"]: r for r in quality_knn_label_noise(spark, d).collect()}
+    assert out[0]["n_flagged"] == 0
+    assert out[1]["n_flagged"] == 1  # exactly the planted mislabel
+    # the mislabel sits inside cluster 0, so it may appear in label-0
+    # neighborhoods (lowering agreement below 1000) but never flips a
+    # clean probe's majority
+    assert out[0]["agreement_permille"] >= 800
+    assert out[1]["agreement_permille"] < 1000
+
+
+def test_embedding_outliers_consistent_with_cluster_radius(spark, sf_smoke):
+    """The rank-1 outlier's scaled distance² per cluster must equal the
+    radius embedding_cluster_quality reports for that cluster (the two
+    queries share the distance chain verbatim), and ranks must be
+    consecutive with non-increasing distances."""
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        embedding_cluster_quality,
+        embedding_outliers_topk,
+    )
+
+    radius = {
+        r["cluster"]: r["radius_scaled"]
+        for r in embedding_cluster_quality(spark, sf_smoke).collect()
+    }
+    by_c: dict = {}
+    for r in embedding_outliers_topk(spark, sf_smoke).collect():
+        by_c.setdefault(r["cluster"], []).append(r)
+    assert set(by_c) == set(radius)
+    for c, rows in by_c.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        ds = [r["d2s_scaled"] for r in rows]
+        assert ds == sorted(ds, reverse=True)
+        assert ds[0] == radius[c]

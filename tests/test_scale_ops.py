@@ -378,6 +378,12 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                       # (same shape as similarity_cosine_topk)
         "sample_temperature_mixture",  # 1-row Σweight/Σtokens total
                                        # broadcast onto |sources| rows
+        "quality_knn_label_noise",  # bounded 50-probe broadcast ×
+                                    # corpus != join (calibration-gate
+                                    # contract, as the ann_recall family)
+        "embedding_outliers_topk",  # shared _sq8_kmeans_cells 1-row
+                                    # sq8 stats broadcast (as
+                                    # embedding_cluster_quality)
         "text_bm25_topk",  # 1-row corpus stats (N, avgdl) broadcast
                            # onto the vocab-bounded idf table and the
                            # posting join; retrieval joins are all

@@ -105,6 +105,8 @@ QUERIES = [
     ("pipeline_sequence_packing", [1, 3, 10]),
     ("text_bm25_topk", [1, 3, 10]),
     ("text_tokenizer_fertility", [1, 3, 10]),
+    ("quality_knn_label_noise", [1, 3, 10]),
+    ("embedding_outliers_topk", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
