@@ -55,6 +55,8 @@ _PRIORITY = [
     # hard-negative mining, k-anonymity audit, temperature mixture,
     # sequence packing, BM25 retrieval, tokenizer fertility) ---
     "similarity_hard_negatives",
+    "stats_bootstrap_ci",
+    "quality_metadata_consistency",
     "quality_knn_label_noise",
     "embedding_outliers_topk",
     "quality_k_anonymity",
@@ -152,7 +154,9 @@ _PRIORITY = [
     # (similarity_ann_ivf_kmeans trimmed with the session-3 batch-2
     # squeeze: the IVF family is canaried by similarity_ann_ivf,
     # similarity_ann_ivf_pq, and ann_recall_ivf in the window.)
-    "multimodal_features",              # multimodal binary plumbing
+    # (multimodal_features and approx_distinct_stats trimmed when the
+    # bootstrap-CI + metadata-audit queries entered: both green r4
+    # rows, untouched since.)
     # (pipeline_decontaminate trimmed with the session-3 window
     # squeeze: the decontamination operator runs inside
     # pipeline_full_train_prep and pipeline_contamination_report,
@@ -160,7 +164,6 @@ _PRIORITY = [
     # (vocab_bpe_merges trimmed with the session-3 window squeeze: the
     # BPE family has a green r4 driver row via vocab_bpe_encode, whose
     # chain replays the merges; merges itself green r3 and untouched.)
-    "approx_distinct_stats",            # approx-sketch family
     # (trimmed to keep the window at exactly 50 when the four
     # session-2 additions entered: dedup_clusters — CC loop unchanged,
     # green r4, machinery exercised by dedup_graph_pagerank above;

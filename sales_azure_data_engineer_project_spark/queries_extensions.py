@@ -9439,3 +9439,245 @@ def quality_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# Poisson(1) CDF cutoffs scaled to 2^32 (floor(CDF(k) * 2^32) for
+# k = 0..4): a uniform 32-bit hash value below cutoff k draws weight k.
+# Shared verbatim by the Spark expression and the DuckDB twin so the
+# bootstrap replicas are bit-identical on both engines.
+_POIS1_CUTS = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+
+
+def _pois1_weight_sql(u: str) -> str:
+    """CASE expression mapping a uniform 32-bit value to a Poisson(1)
+    draw via inverse-CDF — pure integer compares, engine-portable."""
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CUTS)
+    )
+    return f"(CASE {branches} ELSE 5 END)"
+
+
+
+
+def _boot_u_sql(r: int, engine: str) -> str:
+    """The r-th replica's uniform 32-bit draw: an 8-hex window of one
+    of four per-row md5 hashes (4 disjoint windows per hash — 16
+    independent values from 4 hash evaluations)."""
+    g, j = divmod(r, 4)
+    suf = "abcd"[g]
+    if engine == "duck":
+        return f"CAST('0x' || substr(md5(key || ':{suf}'), {8 * j + 1}, 8) AS BIGINT)"
+    return f"cast(conv(substring(h{suf}, {8 * j + 1}, 8), 16, 10) as bigint)"
+
+
+def _boot_sum_cols_sql(engine: str) -> str:
+    cols = []
+    for r in range(16):
+        w = _pois1_weight_sql(_boot_u_sql(r, engine))
+        cols.append(f"SUM({w} * cents) AS swc{r}, SUM({w}) AS sw{r}")
+    return ",\n               ".join(cols)
+
+
+def _boot_sum_exprs_spark() -> list:
+    out = []
+    for r in range(16):
+        w = _pois1_weight_sql(_boot_u_sql(r, "spark"))
+        out.append((f"swc{r}", f"sum({w} * cents)"))
+        out.append((f"sw{r}", f"sum({w})"))
+    return out
+
+
+def _boot_mean_cols_sql() -> str:
+    return ",\n               ".join(
+        f"(1000 * swc{r}) // (100 * sw{r}) AS b{r}" for r in range(16)
+    )
+
+
+_B_ALL = ", ".join(f"b{r}" for r in range(16))
+
+
+@register(
+    "stats_bootstrap_ci",
+    f"""
+    WITH li AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               concat_ws('|', l_orderkey, l_linenumber, l_extendedprice,
+                         l_quantity) AS key
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT flag, COUNT(*) AS n_rows, SUM(cents) AS sum_cents,
+               {_boot_sum_cols_sql("duck")}
+        FROM li GROUP BY flag
+    ),
+    boot AS (
+        SELECT flag, n_rows, sum_cents,
+               {_boot_mean_cols_sql()}
+        FROM agg
+    )
+    SELECT flag,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST((1000 * sum_cents) // (100 * n_rows) AS BIGINT) AS mean_milli,
+           CAST(LEAST({_B_ALL}) AS BIGINT) AS boot_min_milli,
+           CAST(GREATEST({_B_ALL}) AS BIGINT) AS boot_max_milli,
+           CAST(GREATEST({_B_ALL}) - LEAST({_B_ALL}) AS BIGINT) AS spread_milli
+    FROM boot
+    ORDER BY flag
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence bands (the MapReduce bootstrap,
+    Chamandy et al. 2012): instead of resampling-with-replacement —
+    impossible in one distributed pass — each row draws an independent
+    Poisson(1) weight per replica from a content hash, giving 16
+    simultaneous resample estimates of the per-group mean.  Reports
+    the point estimate and the min/max/spread of the replica means —
+    the error bar a pipeline attaches to any metric it monitors.
+    Four md5 calls per row yield 16 independent 32-bit draws via
+    disjoint hex windows; weights are inverse-CDF with shared integer
+    cutoffs, so both engines reproduce every replica bit-for-bit.
+
+    Scale shape: ALL 16 replicas are columns of ONE map-side-combined
+    groupBy(flag) — no row expansion, no extra shuffle; the exchange
+    carries |groups|·partitions rows of 34 integers.  min/max over
+    replicas is a LEAST/GREATEST projection on the |groups|-row
+    result.  No driver-side randomness — reruns and engines agree
+    exactly."""
+    li = _fan_out(load_testdata(spark, sf_dir, "lineitem")).select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.concat_ws(
+            "|", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+        ).alias("key"),
+    )
+    hashed = li.select(
+        "flag",
+        "cents",
+        *[
+            F.md5(F.concat(F.col("key"), F.lit(f":{s}")).cast("binary")).alias(
+                f"h{s}"
+            )
+            for s in "abcd"
+        ],
+    )
+    # weights projected ONCE before the aggregate: each inverse-CDF
+    # CASE appears a single time in the plan (32 sum operands then
+    # reference plain columns), keeping the codegen'd expression tree
+    # small — the all-in-agg spelling measured ~7 s of fixed
+    # compilation cost at sf0.1
+    weighted = hashed.select(
+        "flag",
+        "cents",
+        *[
+            F.expr(_pois1_weight_sql(_boot_u_sql(r, "spark"))).alias(f"w{r}")
+            for r in range(16)
+        ],
+    )
+    agg = weighted.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        *[
+            c
+            for r in range(16)
+            for c in (
+                F.sum(F.col(f"w{r}") * F.col("cents")).alias(f"swc{r}"),
+                F.sum(f"w{r}").alias(f"sw{r}"),
+            )
+        ],
+    )
+    boot = agg.select(
+        "flag",
+        "n_rows",
+        "sum_cents",
+        *[
+            F.expr(f"div(1000 * swc{r}, 100 * sw{r})").alias(f"b{r}")
+            for r in range(16)
+        ],
+    )
+    return boot.select(
+        "flag",
+        F.col("n_rows").cast("bigint"),
+        F.expr("div(1000 * sum_cents, 100 * n_rows)").cast("bigint").alias(
+            "mean_milli"
+        ),
+        F.least(*[F.col(f"b{r}") for r in range(16)])
+        .cast("bigint")
+        .alias("boot_min_milli"),
+        F.greatest(*[F.col(f"b{r}") for r in range(16)])
+        .cast("bigint")
+        .alias("boot_max_milli"),
+        (
+            F.greatest(*[F.col(f"b{r}") for r in range(16)])
+            - F.least(*[F.col(f"b{r}") for r in range(16)])
+        )
+        .cast("bigint")
+        .alias("spread_milli"),
+    ).orderBy("flag")
+
+
+@register(
+    "quality_metadata_consistency",
+    """
+    WITH t AS (
+        SELECT source, length(text) AS actual, n_chars
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN actual != n_chars THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mismatch,
+           CAST(MAX(abs(actual - n_chars)) AS BIGINT) AS max_abs_drift,
+           CAST((1000 * SUM(CASE WHEN actual != n_chars THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS mismatch_permille,
+           CAST(MIN(actual) AS BIGINT) AS min_len,
+           CAST(MAX(actual) AS BIGINT) AS max_len
+    FROM t
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def quality_metadata_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-consistency audit: recompute a derived column
+    (``n_chars``) from the payload and reconcile against the stored
+    metadata, per source.  Stale or drifted metadata is how length
+    filters, pricing, and dedup keys silently rot after upstream
+    re-encodes; this is the freshness check a lakehouse runs on every
+    ingest batch (the same contract as the pipeline's quality
+    expectations, expressed as a registered audit).
+
+    Scale shape: narrow map-only reconcile in whole-stage codegen +
+    ONE map-side-combined groupBy(source) — |sources| output rows,
+    nothing else shuffles."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.length("text").cast("long").alias("actual"),
+        F.col("n_chars").cast("long").alias("meta"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("actual") != F.col("meta"), 1).otherwise(0)).alias(
+                "n_mismatch"
+            ),
+            F.max(F.abs(F.col("actual") - F.col("meta"))).alias("max_abs_drift"),
+            F.min("actual").alias("min_len"),
+            F.max("actual").alias("max_len"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint"),
+            F.col("n_mismatch").cast("bigint"),
+            F.col("max_abs_drift").cast("bigint"),
+            F.expr("div(1000 * n_mismatch, n_docs)")
+            .cast("bigint")
+            .alias("mismatch_permille"),
+            F.col("min_len").cast("bigint"),
+            F.col("max_len").cast("bigint"),
+        )
+        .orderBy("source")
+    )

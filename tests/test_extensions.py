@@ -1238,3 +1238,91 @@ def test_embedding_outliers_consistent_with_cluster_radius(spark, sf_smoke):
         ds = [r["d2s_scaled"] for r in rows]
         assert ds == sorted(ds, reverse=True)
         assert ds[0] == radius[c]
+
+
+def test_bootstrap_ci_python_differential(spark):
+    """Exact Python replay of the Poisson-bootstrap on a small fixture:
+    identical md5-derived inverse-CDF weights, identical integer-milli
+    replica means — the determinism that makes the error bars
+    reproducible across engines and reruns."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _POIS1_CUTS,
+        stats_bootstrap_ci,
+    )
+
+    rows = []
+    for i in range(30):
+        flag = "AB"[i % 2]
+        price = float(100 + 7 * i) + 0.25  # clean 2-decimal doubles
+        rows.append((1000 + i, 1, 1, i % 7, 10.0, price, 0.0, 0.0, flag, "O"))
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    ]
+
+    def weight(key, r):
+        g, j = divmod(r, 4)
+        h = hashlib.md5(f"{key}:{'abcd'[g]}".encode()).hexdigest()
+        u = int(h[8 * j : 8 * j + 8], 16)
+        for k, c in enumerate(_POIS1_CUTS):
+            if u < c:
+                return k
+        return 5
+
+    expect = {}
+    for flag in "AB":
+        sub = [r for r in rows if r[8] == flag]
+        cents = {
+            f"{r[0]}|{r[3]}|{r[5]}|{r[4]}": round(r[5] * 100) for r in sub
+        }
+        boots = []
+        for rep in range(16):
+            num = sum(weight(k, rep) * c for k, c in cents.items())
+            den = sum(weight(k, rep) for k in cents)
+            boots.append(1000 * num // (100 * den))
+        mean = 1000 * sum(cents.values()) // (100 * len(cents))
+        expect[flag] = (
+            len(sub), mean, min(boots), max(boots), max(boots) - min(boots)
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, cols).write.parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        got = {
+            r["flag"]: (
+                r["n_rows"], r["mean_milli"], r["boot_min_milli"],
+                r["boot_max_milli"], r["spread_milli"],
+            )
+            for r in stats_bootstrap_ci(spark, d).collect()
+        }
+    assert got == expect
+
+
+def test_metadata_consistency_flags_planted_drift(spark):
+    """A doc whose stored n_chars disagrees with its payload by 7 must
+    be the only mismatch, with the drift magnitude reported."""
+    import os
+    import tempfile
+
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        quality_metadata_consistency,
+    )
+
+    rows = [
+        (1, "hello world", "en", "sA", 11),
+        (2, "goodbye", "en", "sA", 14),   # planted: off by 7
+        (3, "ok then", "en", "sB", 7),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["source"]: r for r in quality_metadata_consistency(spark, d).collect()}
+    assert out["sA"]["n_mismatch"] == 1 and out["sA"]["max_abs_drift"] == 7
+    assert out["sA"]["mismatch_permille"] == 500
+    assert out["sB"]["n_mismatch"] == 0 and out["sB"]["max_abs_drift"] == 0

@@ -159,3 +159,59 @@ def test_full_train_prep_funnel_monotone(spark):
     split_toks = sum(rows[s]["n_tokens"] for s in ("split_train", "split_val", "split_test") if s in rows)
     assert split_docs == rows["decontaminate"]["n_units"]
     assert split_toks == rows["decontaminate"]["n_tokens"]
+
+
+def test_ffd_packing_invariants_and_beats_singleton(spark):
+    """FFD packing: no bin exceeds the budget (except dedicated
+    overflow bins), bin count sits between the volume lower bound and
+    the one-doc-per-bin upper bound, placement is deterministic across
+    reruns, and every doc appears exactly once."""
+    import math
+
+    from sales_azure_data_engineer_project_spark.operators.packing import (
+        pack_first_fit_decreasing,
+        packing_report,
+    )
+
+    rows = []
+    for i in range(200):
+        # lengths 10..209 across 4 shards, plus two oversize docs
+        rows.append((i, (i * 37) % 200 + 10, i % 4))
+    rows.append((900, 5000, 0))
+    rows.append((901, 600, 1))
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "shard"])
+    B = 512
+    out = pack_first_fit_decreasing(df, budget=B).collect()
+    assert len(out) == len(rows)
+    assert {r["doc_id"] for r in out} == {r[0] for r in rows}
+    fills: dict = {}
+    for r in out:
+        if not r["overflow"]:
+            key = (r["shard"], r["bin_idx"])
+            fills[key] = fills.get(key, 0) + r["n_tok"]
+        else:
+            assert r["n_tok"] > B
+    assert all(v <= B for v in fills.values())
+    # per-shard bin count bounds
+    per_shard: dict = {}
+    for r in out:
+        s = per_shard.setdefault(r["shard"], {"bins": set(), "tok": 0, "n": 0})
+        s["bins"].add(r["bin_idx"])
+        s["n"] += 1
+        if not r["overflow"]:
+            s["tok"] += r["n_tok"]
+    for s in per_shard.values():
+        assert len(s["bins"]) >= math.ceil(s["tok"] / B)
+        assert len(s["bins"]) <= s["n"]
+    # determinism
+    again = pack_first_fit_decreasing(df, budget=B).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # report consistency
+    rep = {r["shard"]: r for r in packing_report(
+        pack_first_fit_decreasing(df, budget=B), budget=B
+    ).collect()}
+    for shard, s in per_shard.items():
+        assert rep[shard]["n_bins"] == len(s["bins"])
+        assert rep[shard]["n_overflow"] == sum(
+            1 for r in out if r["shard"] == shard and r["overflow"]
+        )

@@ -86,6 +86,17 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # fail LOUDLY on unknown filters: a typo'd or flag-style argument
+    # ("--only", "a,b,c") would otherwise match nothing and print a
+    # vacuous "0 failures"
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        raise SystemExit(
+            f"unknown query name(s) {unknown}; usage: check_oracle.py "
+            "[sf_dir] [query_name ...] (names are space-separated)"
+        )
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"sf_dir {sf_dir!r} is not a directory")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

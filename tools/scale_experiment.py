@@ -107,6 +107,8 @@ QUERIES = [
     ("text_tokenizer_fertility", [1, 3, 10]),
     ("quality_knn_label_noise", [1, 3, 10]),
     ("embedding_outliers_topk", [1, 3, 10]),
+    ("stats_bootstrap_ci", [1, 3, 10]),
+    ("quality_metadata_consistency", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
