@@ -9035,10 +9035,11 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_bm25_topk",
-    r"""
-    WITH tk AS (
+def _bm25_ctes(topn: int) -> str:
+    """DuckDB CTE chain for the shared BM25 lexical-retrieval tier
+    (arithmetic contract documented on ``text_bm25_topk``); terminates
+    in ``lexr`` = (query_id, doc_id, score_milli, rk ≤ topn)."""
+    return rf"""tk AS (
         SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
     ),
     dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
@@ -9074,38 +9075,22 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE tf.doc_id != q.query_id
         GROUP BY q.query_id, tf.doc_id
     ),
-    ranked AS (
-        SELECT query_id, doc_id, score_milli,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY score_milli DESC, doc_id) AS INTEGER) AS rk
-        FROM scored
-    )
-    SELECT CAST(query_id AS BIGINT) AS query_id,
-           CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(score_milli AS BIGINT) AS score_milli, rk
-    FROM ranked WHERE rk <= 5
-    ORDER BY query_id, rk
-    """,
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval over a distributed inverted index — the lexical
-    search tier a curation pipeline runs next to embedding ANN (hybrid
-    retrieval, hard-negative mining for retriever training, and
-    fuzzy decontamination all sit on this op).  k1=1.2, b=0.75 in
-    fixed-point milli arithmetic; idf = floor(log2(N/df)) via the
-    libm-free ``length(bin(n)) - 1`` derivation, so scores are
-    integer-exact on both engines and stopwords (df == N) zero out
-    naturally.
+    lexr AS (
+        SELECT * FROM (
+            SELECT query_id, doc_id, score_milli,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score_milli DESC, doc_id) AS INTEGER) AS rk
+            FROM scored)
+        WHERE rk <= {topn}
+    )"""
 
-    Scale shape: the inverted index is ONE map-side-combined
-    groupBy(doc_id, term); document frequency is a vocab-bounded
-    aggregate; the bounded 8-query term set broadcasts into the
-    posting-list equi-join on term, so only postings of query terms
-    are ever scanned — the per-(query, doc) accumulation is one more
-    combinable aggregate and the final ranking window sees only
-    matched candidates.  At 100 TB the postings partition by term;
-    a hot stopword term carries idf 0 and can be pruned before the
-    join (df == N ⇒ zero contribution)."""
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str, *, topn: int) -> DataFrame:
+    """Shared BM25 tier: (query_id, doc_id, score_milli, rk ≤ topn).
+
+    Exactly the chain documented on ``text_bm25_topk`` — the inverted
+    index as ONE map-side-combined groupBy(doc, term), vocab-bounded
+    df, broadcast bounded query terms into the posting equi-join."""
     docs = _fan_out(load_testdata(spark, sf_dir, "documents").select("doc_id", "text"))
     tk = docs.select(
         "doc_id", F.split("text", X.TOKEN_RE).alias("toks")
@@ -9152,7 +9137,42 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 5)
+        .filter(F.col("rk") <= topn)
+    )
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH {_bm25_ctes(5)}
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(score_milli AS BIGINT) AS score_milli, rk
+    FROM lexr
+    ORDER BY query_id, rk
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over a distributed inverted index — the lexical
+    search tier a curation pipeline runs next to embedding ANN (hybrid
+    retrieval, hard-negative mining for retriever training, and
+    fuzzy decontamination all sit on this op).  k1=1.2, b=0.75 in
+    fixed-point milli arithmetic; idf = floor(log2(N/df)) via the
+    libm-free ``length(bin(n)) - 1`` derivation, so scores are
+    integer-exact on both engines and stopwords (df == N) zero out
+    naturally.
+
+    Scale shape: the inverted index is ONE map-side-combined
+    groupBy(doc_id, term); document frequency is a vocab-bounded
+    aggregate; the bounded 8-query term set broadcasts into the
+    posting-list equi-join on term, so only postings of query terms
+    are ever scanned — the per-(query, doc) accumulation is one more
+    combinable aggregate and the final ranking window sees only
+    matched candidates.  At 100 TB the postings partition by term;
+    a hot stopword term carries idf 0 and can be pruned before the
+    join (df == N ⇒ zero contribution)."""
+    return (
+        _bm25_ranked(spark, sf_dir, topn=5)
         .select(
             F.col("query_id").cast("bigint"),
             F.col("doc_id").cast("bigint"),
@@ -9680,4 +9700,598 @@ def quality_metadata_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_len").cast("bigint"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5: hybrid retrieval fusion, Bloom decontamination
+# pre-filter, k-center coreset selection, HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hybrid_rrf_topk",
+    f"""
+    WITH {_bm25_ctes(20)},
+    nv AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    vscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        FROM nv q JOIN nv c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+    ),
+    vecr AS (
+        SELECT * FROM (
+            SELECT query_id, neighbor_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rk
+            FROM vscored)
+        WHERE rk <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+               COALESCE(l.doc_id, v.neighbor_id) AS doc_id,
+               COALESCE(l.rk, 0) AS lex_rk,
+               COALESCE(v.rk, 0) AS vec_rk,
+               COALESCE(1000000 // (60 + l.rk), 0)
+                 + COALESCE(1000000 // (60 + v.rk), 0) AS rrf_micro
+        FROM lexr l FULL OUTER JOIN vecr v
+          ON v.query_id = l.query_id AND v.neighbor_id = l.doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(lex_rk AS INTEGER) AS lex_rk,
+           CAST(vec_rk AS INTEGER) AS vec_rk,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rrf_micro DESC, doc_id) AS rk FROM fused)
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009, the fusion rule Elasticsearch/Vespa/RAG stacks default to):
+    each query's BM25 top-20 and embedding-cosine top-20 are fused by
+    rrf = Σ 1/(60 + rank), so a document surfaced by BOTH views
+    outranks one surfaced by either alone.  Ranks — not raw scores —
+    are fused, which is what makes the lexical (integer milli-BM25)
+    and vector (double cosine) tiers commensurable without score
+    normalization; the fused score is computed in exact integer
+    micro-units, div(1e6, 60 + rk).  Documents aligned to vectors by
+    the crossmodal id join contract (doc_id == vec_id).
+
+    Scale shape: both tiers are already-proven bounded-query chains —
+    the BM25 posting equi-join (``text_bm25_topk``) and the broadcast
+    brute-force cosine scan (``similarity_cosine_topk``; the ANN tiers
+    swap in at scale) — and fusion itself touches only the ≤40·|Q|
+    surviving (query, doc) rows: a full-outer equi-join on
+    (query_id, doc_id) plus one final per-query window.  Nothing new
+    shuffles at corpus scale; RRF cost is independent of N."""
+    lex = _bm25_ranked(spark, sf_dir, topn=20).select(
+        "query_id", "doc_id", F.col("rk").alias("lex_rk")
+    )
+    emb = _fan_out(load_testdata(spark, sf_dir, "embeddings"))
+    vec = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=20).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("doc_id"),
+        F.col("rk").alias("vec_rk"),
+    )
+    fused = (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("lex_rk", F.lit(0)).alias("lex_rk"),
+            F.coalesce("vec_rk", F.lit(0)).alias("vec_rk"),
+        )
+        .withColumn(
+            "rrf_micro",
+            F.when(F.col("lex_rk") > 0, F.expr("div(1000000, 60 + lex_rk)")).otherwise(
+                F.lit(0)
+            )
+            + F.when(F.col("vec_rk") > 0, F.expr("div(1000000, 60 + vec_rk)")).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("doc_id").cast("bigint"),
+            F.col("lex_rk").cast("int"),
+            F.col("vec_rk").cast("int"),
+            F.col("rrf_micro").cast("bigint"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+def _hexat(col: str, start: int, n: int) -> str:
+    """DuckDB SQL: integer value of ``n`` hex chars of ``col`` starting
+    at 1-based ``start`` (generalizes ``_HEX12`` to offsets)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({col}, {start + i}, 1)) - 1)"
+            f" * {16 ** (n - 1 - i)}"
+            for i in range(n)
+        )
+        + ")"
+    )
+
+
+_BLOOM_M = 65536   # bits  (2048 64-word rows at 32 bits/word)
+_BLOOM_K = 4       # probes per span (md5 hex windows 1-6, 7-12, 13-18, 19-24)
+
+
+def _bloom_pos_sql(hcol: str, i: int) -> str:
+    return f"({_hexat(hcol, 1 + 6 * i, 6)} % {_BLOOM_M})"
+
+
+@register(
+    "pipeline_bloom_decontam",
+    rf"""
+    WITH {_CORPUS_SQL},
+    t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
+    spans AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 8
+                 THEN list_transform(generate_series(1, len(toks)-7),
+                      i -> concat_ws(' ', {_SPAN8}))
+                 ELSE []::VARCHAR[] END)) AS span
+        FROM t
+    ),
+    sp AS (
+        SELECT doc_id, md5(span) AS h,
+               (doc_id % 10 = 0 AND doc_id < 100000) AS is_eval
+        FROM spans
+    ),
+    ev AS (SELECT DISTINCT h FROM sp WHERE is_eval),
+    evp AS (
+        SELECT DISTINCT (p // 32) AS word,
+               (1::BIGINT << CAST(p % 32 AS INTEGER)) AS mask
+        FROM (SELECT unnest([{", ".join(_bloom_pos_sql("h", i) for i in range(_BLOOM_K))}]) AS p
+              FROM ev)
+    ),
+    bloom AS (SELECT word, bit_or(mask) AS bw FROM evp GROUP BY word),
+    tr AS (SELECT doc_id, h FROM sp WHERE NOT is_eval),
+    trp AS (
+        SELECT doc_id, h,
+               unnest([{", ".join(_bloom_pos_sql("h", i) for i in range(_BLOOM_K))}]) AS p
+        FROM tr
+    ),
+    hits AS (
+        SELECT t.doc_id, t.h,
+               SUM(CASE WHEN b.bw IS NOT NULL
+                         AND (b.bw & (1::BIGINT << CAST(t.p % 32 AS INTEGER))) != 0
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM trp t LEFT JOIN bloom b ON b.word = t.p // 32
+        GROUP BY t.doc_id, t.h
+    ),
+    cand AS (SELECT doc_id, h FROM hits WHERE n_hit = {_BLOOM_K}),
+    candx AS (
+        SELECT c.doc_id, CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END AS exact
+        FROM cand c LEFT JOIN ev e ON e.h = c.h
+    ),
+    perdoc AS (
+        SELECT doc_id, COUNT(*) AS n_cand, SUM(exact) AS n_exact
+        FROM candx GROUP BY doc_id
+    ),
+    agg AS (
+        SELECT COALESCE(COUNT(*), 0) AS n_bloom_docs,
+               COALESCE(SUM(CASE WHEN n_exact > 0 THEN 1 ELSE 0 END), 0) AS n_exact_docs,
+               COALESCE(SUM(CASE WHEN n_exact = 0 THEN 1 ELSE 0 END), 0) AS n_fp_docs,
+               COALESCE(SUM(n_cand), 0) AS n_bloom_spans,
+               COALESCE(SUM(n_exact), 0) AS n_exact_spans
+        FROM perdoc
+    ),
+    tagg AS (SELECT COUNT(DISTINCT doc_id) AS n_train_docs FROM tr),
+    bagg AS (SELECT CAST(SUM(bit_count(bw)) AS BIGINT) AS bits_set FROM bloom)
+    SELECT CAST(n_train_docs AS BIGINT) AS n_train_docs,
+           CAST(n_bloom_docs AS BIGINT) AS n_bloom_docs,
+           CAST(n_exact_docs AS BIGINT) AS n_exact_docs,
+           CAST(n_fp_docs AS BIGINT) AS n_fp_docs,
+           CAST(n_bloom_spans AS BIGINT) AS n_bloom_spans,
+           CAST(n_exact_spans AS BIGINT) AS n_exact_spans,
+           CAST((1000 * (n_bloom_spans - n_exact_spans))
+                // greatest(n_bloom_spans, 1) AS BIGINT) AS span_fp_permille,
+           CAST(bits_set AS BIGINT) AS bloom_bits_set,
+           CAST((1000 * bits_set) // {_BLOOM_M} AS BIGINT) AS fill_permille
+    FROM tagg, agg, bagg
+    """,
+)
+def pipeline_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-filter with measured false-
+    positive rate — the production shape of eval-overlap checking at
+    corpus scale: the eval 8-token span set is folded into a CONSTANT
+    8 KB bitmap (m=65536 bits, k=4 md5-derived probes), the bitmap
+    broadcasts to every scan task, and only spans whose 4 probe bits
+    are all set (Bloom candidates — a superset of true hits, Bloom
+    filters have no false negatives) proceed to the exact span join.
+    Reports the doc/span candidate counts, the exactly-confirmed
+    subset, the false-positive residue the filter would admit, and the
+    bitmap fill rate (fill ≈ 50% is the classic sizing optimum; higher
+    means m is undersized for the eval set).
+
+    Complements ``pipeline_decontaminate`` (which ships the exact
+    span-join answer): at 100 TB the bitmap pre-filter drops ~all
+    clean spans at scan time for 8 KB of broadcast state instead of
+    shuffling every span into the semi-join, and the exact join runs
+    over the surviving sliver only.  All probe arithmetic is md5-hex
+    → integer, bit-identical on both engines.
+
+    Scale shape: bitmap build is a bounded aggregate over the
+    BENCHMARK-sized eval span set (≤2048 rows out); the training scan
+    is map-only probe + ONE groupBy(doc, span) combinable count; the
+    exact verification join sees only Bloom survivors.  Driver sees
+    nothing but the 1-row report."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+    sp = D.shingle_explode(corpus, "doc_id", "text", 8).select(
+        "doc_id", F.md5(F.col("sh").cast("binary")).alias("h"), is_eval.alias("is_eval")
+    )
+    sp = sp.transform(tracked_persist)
+
+    def probes():
+        cols = []
+        for i in range(_BLOOM_K):
+            pos = (
+                f"pmod(cast(conv(substring(h, {1 + 6 * i}, 6), 16, 10) as bigint),"
+                f" {_BLOOM_M})"
+            )
+            cols.append(
+                F.expr(
+                    f"named_struct('word', div({pos}, 32),"
+                    f" 'mask', shiftleft(cast(1 as bigint), cast({pos} % 32 as int)))"
+                )
+            )
+        return F.explode(F.array(*cols)).alias("pr")
+
+    ev = sp.filter("is_eval").select("h").distinct().transform(tracked_persist)
+    bloom = (
+        ev.select(probes())
+        .select(F.col("pr.word").alias("word"), F.col("pr.mask").alias("mask"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bw"))
+    )
+    tr = sp.filter(~F.col("is_eval")).select("doc_id", "h")
+    trp = tr.select("doc_id", "h", probes()).select(
+        "doc_id", "h", F.col("pr.word").alias("word"), F.col("pr.mask").alias("mask")
+    )
+    hits = (
+        trp.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("bw").isNotNull()
+                & (F.col("bw").bitwiseAND(F.col("mask")) != 0),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.sum("hit").alias("n_hit"))
+    )
+    cand = hits.filter(F.col("n_hit") == _BLOOM_K)
+    candx = cand.join(
+        F.broadcast(ev.withColumn("ex", F.lit(1))), "h", "left"
+    ).select("doc_id", F.coalesce("ex", F.lit(0)).alias("exact"))
+    perdoc = candx.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_cand"), F.sum("exact").alias("n_exact")
+    )
+    agg = perdoc.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_bloom_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_exact") > 0, 1).otherwise(0)), F.lit(0)
+        ).alias("n_exact_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_exact") == 0, 1).otherwise(0)), F.lit(0)
+        ).alias("n_fp_docs"),
+        F.coalesce(F.sum("n_cand"), F.lit(0)).alias("n_bloom_spans"),
+        F.coalesce(F.sum("n_exact"), F.lit(0)).alias("n_exact_spans"),
+    )
+    tagg = tr.agg(F.countDistinct("doc_id").alias("n_train_docs"))
+    bagg = bloom.agg(F.expr("cast(sum(bit_count(bw)) as bigint)").alias("bits_set"))
+    return (
+        tagg.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(bagg))
+        .select(
+            F.col("n_train_docs").cast("bigint"),
+            F.col("n_bloom_docs").cast("bigint"),
+            F.col("n_exact_docs").cast("bigint"),
+            F.col("n_fp_docs").cast("bigint"),
+            F.col("n_bloom_spans").cast("bigint"),
+            F.col("n_exact_spans").cast("bigint"),
+            F.expr(
+                "div(1000 * (n_bloom_spans - n_exact_spans),"
+                " greatest(n_bloom_spans, 1))"
+            )
+            .cast("bigint")
+            .alias("span_fp_permille"),
+            F.col("bits_set").cast("bigint").alias("bloom_bits_set"),
+            F.expr(f"div(1000 * bits_set, {_BLOOM_M})")
+            .cast("bigint")
+            .alias("fill_permille"),
+        )
+    )
+
+
+def _d2_sql(a: str, b: str) -> str:
+    """DuckDB SQL: exact integer squared L2 between two int lists."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST(({a}[i] - {b}[i]) AS BIGINT) * ({a}[i] - {b}[i])))"
+    )
+
+
+@register(
+    "sample_coreset_kcenter",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM (SELECT unnest(v) AS x FROM e)),
+    q AS (
+        SELECT vec_id,
+               list_transform(v, x -> least(255, greatest(0,
+                   CAST(floor((x - mn) * 256.0 / greatest(mx - mn, 1e-12)) AS INTEGER)))) AS qv
+        FROM e, mm
+    ),
+    c1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+    d1 AS (SELECT p.vec_id, p.qv, {_d2_sql("p.qv", "c.qv")} AS d
+           FROM q p CROSS JOIN c1 c),
+    p2 AS (SELECT vec_id, qv, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+    d2 AS (SELECT p.vec_id, p.qv, least(p.d, {_d2_sql("p.qv", "c.qv")}) AS d
+           FROM d1 p CROSS JOIN p2 c),
+    p3 AS (SELECT vec_id, qv, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+    d3 AS (SELECT p.vec_id, p.qv, least(p.d, {_d2_sql("p.qv", "c.qv")}) AS d
+           FROM d2 p CROSS JOIN p3 c),
+    p4 AS (SELECT vec_id, qv, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1),
+    d4 AS (SELECT least(p.d, {_d2_sql("p.qv", "c.qv")}) AS d
+           FROM d3 p CROSS JOIN p4 c),
+    r4 AS (SELECT MAX(d) AS d FROM d4)
+    SELECT CAST(1 AS INTEGER) AS pick_idx, CAST(c1.vec_id AS BIGINT) AS vec_id,
+           CAST(p2.d AS BIGINT) AS radius2 FROM c1, p2
+    UNION ALL SELECT 2, CAST(p2.vec_id AS BIGINT), CAST(p3.d AS BIGINT) FROM p2, p3
+    UNION ALL SELECT 3, CAST(p3.vec_id AS BIGINT), CAST(p4.d AS BIGINT) FROM p3, p4
+    UNION ALL SELECT 4, CAST(p4.vec_id AS BIGINT), CAST(r4.d AS BIGINT) FROM p4, r4
+    ORDER BY pick_idx
+    """,
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the
+    farthest-point diversity sampler behind active-learning coresets,
+    Sener & Savarese 2018) — pick 4 maximally-spread exemplars: seed
+    with the lowest id, then 3× pick the point farthest from the
+    selected set.  Reports each pick plus the coverage radius (the
+    max-min squared distance every point has to the selected set)
+    AFTER that pick — the 2-approximation certificate of the optimal
+    k-center cost, and the curve a curator reads to choose k.
+
+    Distances run in the shared SQ8 integer domain
+    (``operators/similarity.sq8_codes``) so the argmax — and therefore
+    every pick — is bit-exact on both engines (a double tie could
+    diverge; integer ties break by vec_id deterministically).
+
+    Scale shape: each of the 3 rounds is one broadcast of the single
+    new center into a map-only min-update + ONE TakeOrderedAndProject
+    argmax (k·O(N) total, the textbook distributed greedy k-center);
+    the running min-distance frame is persisted so round i+1 scans it,
+    not the lineage.  Driver sees only 1-row picks.  At real k the
+    same loop runs k rounds with O(1) state per round
+    (cf. operators/kmeans.py for the driver-bounded-iteration
+    contract)."""
+    emb = _fan_out(load_testdata(spark, sf_dir, "embeddings"))
+    codes = S.sq8_codes(emb).transform(tracked_persist)
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    c1 = codes.orderBy("vec_id").limit(1)
+    d = codes.crossJoin(
+        F.broadcast(c1.select(F.col("codes").alias("c")))
+    ).select("vec_id", "codes", d2(F.col("codes"), F.col("c")).alias("d"))
+    rows = []
+    prev_pick = c1.select("vec_id")
+    for idx in range(2, 5):
+        d = d.transform(tracked_persist)
+        pick = d.orderBy(F.col("d").desc(), F.col("vec_id").asc()).limit(1)
+        rows.append(
+            prev_pick.crossJoin(F.broadcast(pick.select(F.col("d").alias("radius2"))))
+            .select(
+                F.lit(idx - 1).cast("int").alias("pick_idx"),
+                F.col("vec_id").cast("bigint"),
+                F.col("radius2").cast("bigint"),
+            )
+        )
+        d = d.crossJoin(
+            F.broadcast(pick.select(F.col("codes").alias("c")))
+        ).select(
+            "vec_id",
+            "codes",
+            F.least(F.col("d"), d2(F.col("codes"), F.col("c"))).alias("d"),
+        )
+        prev_pick = pick.select("vec_id")
+    r4 = d.agg(F.max("d").alias("radius2"))
+    rows.append(
+        prev_pick.crossJoin(F.broadcast(r4)).select(
+            F.lit(4).cast("int").alias("pick_idx"),
+            F.col("vec_id").cast("bigint"),
+            F.col("radius2").cast("bigint"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("pick_idx")
+
+
+import math as _math
+
+# LinearCounting small-range correction lookup, m = 256: lc_milli[V] =
+# round(m·ln(m/V)·1000) for V empty registers.  Precomputed to integer
+# literals so BOTH engines evaluate the identical constant — no libm
+# in either plan (the repo-wide libm-free parity contract).
+_HLL_LC_CASE = (
+    "(CASE (256 - r) "
+    + " ".join(
+        f"WHEN {v} THEN {round(256 * _math.log(256 / v) * 1000)}"
+        for v in range(1, 256)
+    )
+    + " ELSE 0 END)"
+)
+
+
+@register(
+    "approx_distinct_hll",
+    f"""
+    WITH vals AS (
+        SELECT 'l_orderkey' AS column_name, CAST(l_orderkey AS VARCHAR) AS val FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+    ),
+    rr AS (
+        SELECT column_name,
+               {_hexat("md5(val)", 1, 2)} AS reg,
+               {_hexat("md5(val)", 3, 12)} AS v48,
+               val
+        FROM vals
+    ),
+    m AS (
+        SELECT column_name, reg,
+               MAX(least(CASE WHEN v48 = 0 THEN 49
+                              ELSE 49 - length(bin(v48)) END, 30)) AS mj
+        FROM rr GROUP BY column_name, reg
+    ),
+    z AS (
+        SELECT column_name, COUNT(*) AS r,
+               SUM(1::BIGINT << CAST(30 - mj AS INTEGER)) AS zpart
+        FROM m GROUP BY column_name
+    ),
+    ex AS (SELECT column_name, COUNT(DISTINCT val) AS exact_distinct FROM vals
+           GROUP BY column_name),
+    est AS (
+        SELECT column_name,
+               CASE WHEN raw_milli <= 640000 AND r < 256
+                    THEN {_HLL_LC_CASE} ELSE raw_milli END AS est_milli
+        FROM (
+            SELECT column_name, r,
+                   (1846528 * (70368744177664000 //
+                       (zpart + (256 - r) * 1073741824))) // 2570790 AS raw_milli
+            FROM z)
+    )
+    SELECT est.column_name,
+           CAST(est.est_milli AS BIGINT) AS est_milli,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST((1000 * abs(est.est_milli - 1000 * ex.exact_distinct))
+                // (1000 * ex.exact_distinct) AS BIGINT) AS err_permille
+    FROM est JOIN ex ON ex.column_name = est.column_name
+    ORDER BY est.column_name
+    """,
+)
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007 — the
+    register design behind Spark's own ``approx_count_distinct`` and
+    every warehouse's APPROX_COUNT_DISTINCT), run side-by-side with
+    the exact count to report realized error: m=256 registers indexed
+    by the first md5 hex byte, rank = leading-zero count of the next
+    48 hash bits, register state = max rank.  Complements the KMV
+    sketch (``approx_distinct_kmv``): HLL is the constant-memory
+    (m · 6 bits), mergeable, union-able production sketch.
+
+    Engine parity: rank derives from ``49 − length(bin(v48))`` —
+    libm-free — and the harmonic mean runs scaled by 2^30 in EXACT
+    integer arithmetic (Σ 2^(30−M_j) + empty·2^30; ranks capped at 30,
+    beyond any cardinality both engines see at test SFs), with
+    α_256 = 0.7213/(1 + 1.079/256) carried as the exact rational
+    1846528/2570790.  The standard small-range LinearCounting
+    correction (E ≤ 2.5m with empty registers → m·ln(m/V)) applies via
+    a precomputed 255-entry integer lookup (``_HLL_LC_CASE``), keeping
+    both plans libm-free; without it the raw estimator reads ~2.4×
+    high at n=100 (measured).  A production variant lifts the cap and
+    widens to decimal(38) before the α multiply.
+
+    Scale shape: ONE map-side-combined groupBy(column, register) —
+    ≤ 3·256 rows out of the heavy aggregate regardless of N (this is
+    the whole point of the sketch: merge is register-wise max, so
+    partial aggregation does all the work) — followed by |columns|-row
+    estimate math.  The exact COUNT(DISTINCT) twin is the sf-bounded
+    calibration side, same contract as the KMV query."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    vals = _fan_out(
+        li.selectExpr(
+            "stack(3,"
+            " 'l_orderkey', cast(l_orderkey as string),"
+            " 'l_partkey', cast(l_partkey as string),"
+            " 'l_suppkey', cast(l_suppkey as string)) as (column_name, val)"
+        )
+    ).transform(tracked_persist)
+    rr = vals.select(
+        "column_name",
+        "val",
+        F.expr("cast(conv(substring(md5(cast(val as binary)), 1, 2), 16, 10) as int)").alias(
+            "reg"
+        ),
+        F.expr(
+            "cast(conv(substring(md5(cast(val as binary)), 3, 12), 16, 10) as bigint)"
+        ).alias("v48"),
+    )
+    m = rr.groupBy("column_name", "reg").agg(
+        F.expr(
+            "max(least(case when v48 = 0 then 49"
+            " else 49 - length(bin(v48)) end, 30))"
+        ).alias("mj")
+    )
+    z = m.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(30 - mj as int))")).alias(
+            "zpart"
+        ),
+    )
+    est = z.select(
+        "column_name",
+        "r",
+        F.expr(
+            "div(1846528 * div(70368744177664000,"
+            " zpart + (256 - r) * 1073741824), 2570790)"
+        ).alias("raw_milli"),
+    ).select(
+        "column_name",
+        F.expr(
+            f"case when raw_milli <= 640000 and r < 256"
+            f" then {_HLL_LC_CASE} else raw_milli end"
+        ).alias("est_milli"),
+    )
+    ex = vals.groupBy("column_name").agg(
+        F.countDistinct("val").alias("exact_distinct")
+    )
+    return (
+        est.join(ex, "column_name")
+        .select(
+            "column_name",
+            F.col("est_milli").cast("bigint"),
+            F.col("exact_distinct").cast("bigint"),
+            F.expr(
+                "div(1000 * abs(est_milli - 1000 * exact_distinct),"
+                " 1000 * exact_distinct)"
+            )
+            .cast("bigint")
+            .alias("err_permille"),
+        )
+        .orderBy("column_name")
     )

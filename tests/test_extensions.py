@@ -1326,3 +1326,81 @@ def test_metadata_consistency_flags_planted_drift(spark):
     assert out["sA"]["n_mismatch"] == 1 and out["sA"]["max_abs_drift"] == 7
     assert out["sA"]["mismatch_permille"] == 500
     assert out["sB"]["n_mismatch"] == 0 and out["sB"]["max_abs_drift"] == 0
+
+
+def test_hybrid_rrf_fuses_both_tiers(spark, sf_smoke):
+    """RRF output must reproduce div(1e6, 60+rk) per tier exactly, rank
+    by fused score, and agree with the standalone BM25 tier on lexical
+    ranks (the helper refactor must not change the chain)."""
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    rows = Q.QUERIES["text_hybrid_rrf_topk"](spark, sf_smoke).collect()
+    assert rows, "hybrid retrieval returned nothing"
+    per_q = {}
+    for r in rows:
+        lex = 1000000 // (60 + r["lex_rk"]) if r["lex_rk"] > 0 else 0
+        vec = 1000000 // (60 + r["vec_rk"]) if r["vec_rk"] > 0 else 0
+        assert r["rrf_micro"] == lex + vec
+        per_q.setdefault(r["query_id"], []).append((r["rk"], r["rrf_micro"]))
+    for qid, lst in per_q.items():
+        lst.sort()
+        assert len(lst) == 5
+        scores = [s for _, s in lst]
+        assert scores == sorted(scores, reverse=True), f"rank order broken for {qid}"
+    lex5 = {
+        (r["query_id"], r["doc_id"]): r["rk"]
+        for r in Q.QUERIES["text_bm25_topk"](spark, sf_smoke).collect()
+    }
+    hyb = {(r["query_id"], r["doc_id"]): r["lex_rk"] for r in rows}
+    for key, rk in lex5.items():
+        if key in hyb and hyb[key] > 0:
+            assert hyb[key] == rk, f"lexical rank drifted for {key}"
+
+
+def test_bloom_decontam_no_false_negatives(spark, sf_smoke):
+    """Bloom filters admit false positives but NEVER false negatives:
+    the exactly-confirmed doc set inside the Bloom report must equal
+    the doc set the exact-join decontaminate query flags."""
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    rep = Q.QUERIES["pipeline_bloom_decontam"](spark, sf_smoke).collect()[0]
+    exact_docs = Q.QUERIES["pipeline_decontaminate"](spark, sf_smoke).count()
+    assert rep["n_exact_docs"] == exact_docs
+    assert rep["n_bloom_docs"] >= rep["n_exact_docs"]
+    assert rep["n_fp_docs"] == rep["n_bloom_docs"] - rep["n_exact_docs"]
+    assert rep["n_bloom_spans"] >= rep["n_exact_spans"]
+    assert 0 < rep["bloom_bits_set"] <= 65536
+
+
+def test_kcenter_radius_monotone_and_picks_distinct(spark, sf_smoke):
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    rows = sorted(
+        Q.QUERIES["sample_coreset_kcenter"](spark, sf_smoke).collect(),
+        key=lambda r: r["pick_idx"],
+    )
+    assert [r["pick_idx"] for r in rows] == [1, 2, 3, 4]
+    picks = [r["vec_id"] for r in rows]
+    assert len(set(picks)) == 4, "centers must be distinct"
+    radii = [r["radius2"] for r in rows]
+    assert radii == sorted(radii, reverse=True), "coverage radius must shrink"
+    assert radii[-1] >= 0
+
+
+def test_hll_error_within_band(spark, sf_smoke):
+    """HLL with LinearCounting small-range correction: realized error
+    stays within the expected band at every tested cardinality (the
+    uncorrected raw estimator reads ~2.4x high at n=100)."""
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    rows = Q.QUERIES["approx_distinct_hll"](spark, sf_smoke).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["exact_distinct"] > 0
+        assert r["err_permille"] <= 200, (
+            f"{r['column_name']}: est {r['est_milli']} vs {r['exact_distinct']}"
+        )

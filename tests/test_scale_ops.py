@@ -388,6 +388,16 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                            # onto the vocab-bounded idf table and the
                            # posting join; retrieval joins are all
                            # term equi-joins
+        "text_hybrid_rrf_topk",  # both tiers' proven shapes: the BM25
+                                 # 1-row stats broadcast + the bounded
+                                 # 8-query cosine broadcast != join;
+                                 # fusion itself is an equi-join
+        "pipeline_bloom_decontam",  # 1-row report aggregates (train
+                                    # count, candidate counts, bitmap
+                                    # popcount) crossJoined into one row
+        "sample_coreset_kcenter",  # 1-row center picks broadcast into
+                                   # each min-update round + the shared
+                                   # sq8 1-row stats broadcast
     }
     offenders = {}
     for name, fn in m.queries().items():
