@@ -10295,3 +10295,341 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 2: theta-sketch set operations, exact
+# distributed KS two-sample test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_set_ops_kmv",
+    """
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    hx AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS v32
+        FROM pairs
+    ),
+    rk AS (
+        SELECT event_type, v32,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v32) AS rk
+        FROM hx
+    ),
+    sk AS (SELECT event_type, v32 FROM rk WHERE rk <= 64),
+    tt AS (
+        SELECT event_type,
+               CASE WHEN COUNT(*) = 64 THEN MAX(v32)
+                    ELSE 4294967296 END AS theta
+        FROM sk GROUP BY event_type
+    ),
+    tp AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               greatest(least(a.theta, b.theta), 1) AS theta
+        FROM tt a JOIN tt b ON a.event_type < b.event_type
+    ),
+    ua AS (SELECT p.type_a, p.type_b, p.theta, s.v32
+           FROM tp p JOIN sk s ON s.event_type = p.type_a),
+    ub AS (SELECT p.type_a, p.type_b, p.theta, s.v32
+           FROM tp p JOIN sk s ON s.event_type = p.type_b),
+    uni AS (
+        SELECT DISTINCT type_a, type_b, v32
+        FROM (SELECT * FROM ua UNION ALL SELECT * FROM ub)
+        WHERE v32 < theta
+    ),
+    nu AS (SELECT type_a, type_b, COUNT(*) AS n_u FROM uni
+           GROUP BY type_a, type_b),
+    ni AS (
+        SELECT a.type_a, a.type_b, COUNT(*) AS n_i
+        FROM ua a JOIN ub b
+          ON b.type_a = a.type_a AND b.type_b = a.type_b AND b.v32 = a.v32
+        WHERE a.v32 < a.theta
+        GROUP BY a.type_a, a.type_b
+    ),
+    exn AS (SELECT event_type, COUNT(*) AS n FROM pairs GROUP BY event_type),
+    exi AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               COUNT(*) AS exact_inter
+        FROM pairs x JOIN pairs y
+          ON y.user_id = x.user_id AND x.event_type < y.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(na.n + nb.n - COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_union,
+           CAST((COALESCE(u.n_u, 0) * 4294967296) // p.theta AS BIGINT) AS est_union,
+           CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter,
+           CAST((COALESCE(i.n_i, 0) * 4294967296) // p.theta AS BIGINT) AS est_inter,
+           CAST((1000 * COALESCE(e.exact_inter, 0))
+                // (na.n + nb.n - COALESCE(e.exact_inter, 0)) AS BIGINT)
+               AS jaccard_exact_milli,
+           CAST((1000 * COALESCE(i.n_i, 0))
+                // greatest(COALESCE(u.n_u, 0), 1) AS BIGINT) AS jaccard_est_milli,
+           CAST((1000 * abs((COALESCE(u.n_u, 0) * 4294967296) // p.theta
+                 - (na.n + nb.n - COALESCE(e.exact_inter, 0))))
+                // (na.n + nb.n - COALESCE(e.exact_inter, 0)) AS BIGINT)
+               AS err_union_permille
+    FROM tp p
+    JOIN exn na ON na.event_type = p.type_a
+    JOIN exn nb ON nb.event_type = p.type_b
+    LEFT JOIN exi e ON e.type_a = p.type_a AND e.type_b = p.type_b
+    LEFT JOIN nu u ON u.type_a = p.type_a AND u.type_b = p.type_b
+    LEFT JOIN ni i ON i.type_a = p.type_a AND i.type_b = p.type_b
+    ORDER BY 1, 2
+    """,
+)
+def approx_set_ops_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations (Dasgupta et al., the DataSketches
+    theta family): estimate |A∪B|, |A∩B| and Jaccard between the user
+    sets of every event-type pair from k=64 KMV sketches, next to the
+    exact answers.  θ for a pair is the smaller of the two kth-minimum
+    hash values; every sketch hash below θ is an inclusion-probability-
+    θ/2³² sample of the union, so |A∪B| ≈ |S_∪|·2³²/θ and |A∩B| ≈
+    |S_∩|·2³²/θ — the estimator that lets a 100 TB curation run answer
+    "how much does source A overlap source B" from two constant-size
+    summaries instead of a corpus-scale join.  Hash = first 8 md5 hex
+    chars as a 2³²-scaled integer (the ``approx_distinct_kmv``
+    convention), all arithmetic integer floor-div, so both engines
+    produce bit-identical estimates; sets smaller than k fall back to
+    θ=2³² (the sketch is exact there).
+
+    Scale shape: ONE distinct on (type, user) + ONE per-type top-k
+    window builds all sketches; everything downstream — the type-pair
+    grid, union/intersect sample counts, estimates — runs over ≤
+    |types|²·k sketch rows.  The exact union/intersection twin (a
+    user-keyed self-equi-join) is the sf-bounded calibrator, same
+    contract as the other approx_* queries.  At production the
+    sketches persist per source/day and merge associatively; nothing
+    rescans history."""
+    ev = (
+        load_testdata(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .transform(tracked_persist)
+    )
+    hx = ev.select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(cast(cast(user_id as string) as binary)),"
+            " 1, 8), 16, 10) as bigint)"
+        ).alias("v32"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("v32")
+    sk = (
+        hx.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 64)
+        .select("event_type", "v32")
+        .transform(tracked_persist)
+    )
+    tt = sk.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) == 64, F.max("v32"))
+        .otherwise(F.lit(4294967296))
+        .alias("theta")
+    )
+    a = tt.select(F.col("event_type").alias("type_a"), F.col("theta").alias("tha"))
+    b = tt.select(F.col("event_type").alias("type_b"), F.col("theta").alias("thb"))
+    tp = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.greatest(F.least("tha", "thb"), F.lit(1)).alias("theta"),
+        )
+        .transform(tracked_persist)
+    )
+    ua = F.broadcast(tp).join(
+        sk.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select("type_a", "type_b", "theta", "v32")
+    ub = F.broadcast(tp).join(
+        sk.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select("type_a", "type_b", "theta", "v32")
+    nu = (
+        ua.unionByName(ub)
+        .filter(F.col("v32") < F.col("theta"))
+        .select("type_a", "type_b", "v32")
+        .distinct()
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_u"))
+    )
+    ni = (
+        ua.filter(F.col("v32") < F.col("theta"))
+        .join(ub.select("type_a", "type_b", "v32"), ["type_a", "type_b", "v32"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+    exn = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    x = ev.select(F.col("event_type").alias("type_a"), "user_id")
+    y = ev.select(F.col("event_type").alias("type_b"), "user_id")
+    exi = (
+        x.join(y, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    out = (
+        tp.join(F.broadcast(exn.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))), "type_a")
+        .join(F.broadcast(exn.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))), "type_b")
+        .join(F.broadcast(exi), ["type_a", "type_b"], "left")
+        .join(F.broadcast(nu), ["type_a", "type_b"], "left")
+        .join(F.broadcast(ni), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "theta",
+            F.coalesce("exact_inter", F.lit(0)).alias("xi"),
+            F.coalesce("n_u", F.lit(0)).alias("n_u"),
+            F.coalesce("n_i", F.lit(0)).alias("n_i"),
+            (F.col("n_a") + F.col("n_b")).alias("nab"),
+        )
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.expr("nab - xi").cast("bigint").alias("exact_union"),
+        F.expr("div(n_u * 4294967296, theta)").cast("bigint").alias("est_union"),
+        F.col("xi").cast("bigint").alias("exact_inter"),
+        F.expr("div(n_i * 4294967296, theta)").cast("bigint").alias("est_inter"),
+        F.expr("div(1000 * xi, nab - xi)").cast("bigint").alias("jaccard_exact_milli"),
+        F.expr("div(1000 * n_i, greatest(n_u, 1))")
+        .cast("bigint")
+        .alias("jaccard_est_milli"),
+        F.expr(
+            "div(1000 * abs(div(n_u * 4294967296, theta) - (nab - xi)), nab - xi)"
+        )
+        .cast("bigint")
+        .alias("err_union_permille"),
+    ).orderBy("type_a", "type_b")
+
+
+@register(
+    "stats_ks_two_sample",
+    """
+    WITH vals AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    tot AS (SELECT grp, COUNT(*) AS n_grp FROM vals GROUP BY grp),
+    nall AS (SELECT COUNT(*) AS n_all FROM vals),
+    cnt AS (SELECT grp, v, COUNT(*) AS c FROM vals GROUP BY grp, v),
+    grid AS (SELECT v, COUNT(*) AS nt FROM vals GROUP BY v),
+    flags AS (SELECT DISTINCT grp FROM vals),
+    dense AS (
+        SELECT f.grp, g.v, g.nt, COALESCE(c.c, 0) AS c
+        FROM grid g CROSS JOIN flags f
+        LEFT JOIN cnt c ON c.grp = f.grp AND c.v = g.v
+    ),
+    cums AS (
+        SELECT grp, v,
+               SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum_c,
+               SUM(nt) OVER (PARTITION BY grp ORDER BY v) AS cum_t
+        FROM dense
+    ),
+    d AS (
+        SELECT cu.grp, cu.v,
+               abs(cu.cum_c * (n.n_all - t.n_grp)
+                   - (cu.cum_t - cu.cum_c) * t.n_grp) AS diff,
+               t.n_grp, n.n_all
+        FROM cums cu JOIN tot t ON t.grp = cu.grp, nall n
+    ),
+    mx AS (SELECT grp, n_grp, n_all, MAX(diff) AS maxdiff
+           FROM d GROUP BY grp, n_grp, n_all),
+    loc AS (
+        SELECT d.grp, MIN(d.v) AS ks_at_centi
+        FROM d JOIN mx ON mx.grp = d.grp AND d.diff = mx.maxdiff
+        GROUP BY d.grp
+    )
+    SELECT m.grp AS l_returnflag,
+           CAST(m.n_grp AS BIGINT) AS n_grp,
+           CAST(m.n_all - m.n_grp AS BIGINT) AS n_rest,
+           CAST(m.maxdiff AS BIGINT) AS diff_scaled,
+           CAST((1000000 * m.maxdiff) // (m.n_grp * (m.n_all - m.n_grp))
+               AS BIGINT) AS d_micro,
+           CAST(l.ks_at_centi AS BIGINT) AS ks_at_centi
+    FROM mx m JOIN loc l ON l.grp = m.grp
+    ORDER BY l_returnflag
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic, one-vs-rest per
+    return flag over the extended-price distribution — the
+    distribution-shift gate a data pipeline runs between corpus slices
+    (did this source/shard/day drift?).  D = max_v |F_grp(v) −
+    F_rest(v)| is computed EXACTLY in integer arithmetic: the max is
+    over |cum_grp·n_rest − cum_rest·n_grp| (common-denominator form),
+    reported both raw (``diff_scaled``) and as ``d_micro`` =
+    ⌊10⁶·D⌋, plus the price point attaining it (ties broken to the
+    smallest — deterministic on both engines; prices are exact
+    centi-units so the double→int conversion is collision-free).
+
+    The distributed heart is ``operators/prefixsum.bucketed_cumsum``:
+    a GLOBAL window (`SUM OVER (ORDER BY v)` with no partition — the
+    oracle's spelling, and the classic single-task scale-killer) is
+    replaced by per-bucket partial sums + broadcast exclusive offsets
+    + a window partitioned by (grp, bucket), so ECDFs over arbitrarily
+    many distinct values never serialize onto one task.
+
+    Scale shape: two map-side-combined groupBys (value grid, per-group
+    counts), the bounded 3-row flag grid broadcast into the dense
+    frame, the two-level scan (widest shuffle = groupBy(grp, v)), one
+    max-agg, and an equi-join-back for the argmax location.  At 100 TB
+    n_grp·n_rest exceeds 2⁶³ for micro-scaling — widen the final
+    division to decimal(38,0); the comparisons themselves stay in
+    bigint common-denominator form far longer."""
+    from .operators.prefixsum import bucketed_cumsum
+
+    li = _fan_out(
+        load_testdata(spark, sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("grp"),
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("v"),
+        )
+    ).transform(tracked_persist)
+    cnt = li.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    grid = li.groupBy("v").agg(F.count(F.lit(1)).alias("nt"))
+    flags = li.select("grp").distinct()
+    dense = (
+        grid.crossJoin(F.broadcast(flags))
+        .join(cnt, ["grp", "v"], "left")
+        .select("grp", "v", "nt", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    cums = bucketed_cumsum(dense, ["grp"], "v", ["c", "nt"], bucket_width=100_000)
+    tot = li.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grp"))
+    nall = li.agg(F.count(F.lit(1)).alias("n_all"))
+    d = (
+        cums.join(F.broadcast(tot), "grp")
+        .crossJoin(F.broadcast(nall))
+        .select(
+            "grp",
+            "v",
+            "n_grp",
+            "n_all",
+            F.abs(
+                F.col("cum_c") * (F.col("n_all") - F.col("n_grp"))
+                - (F.col("cum_nt") - F.col("cum_c")) * F.col("n_grp")
+            ).alias("diff"),
+        )
+        .transform(tracked_persist)
+    )
+    mx = d.groupBy("grp", "n_grp", "n_all").agg(F.max("diff").alias("maxdiff"))
+    loc = (
+        d.join(
+            mx.select("grp", F.col("maxdiff").alias("diff")), ["grp", "diff"]
+        )
+        .groupBy("grp")
+        .agg(F.min("v").alias("ks_at_centi"))
+    )
+    return (
+        mx.join(F.broadcast(loc), "grp")
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            F.col("n_grp").cast("bigint"),
+            (F.col("n_all") - F.col("n_grp")).cast("bigint").alias("n_rest"),
+            F.col("maxdiff").cast("bigint").alias("diff_scaled"),
+            F.expr("div(1000000 * maxdiff, n_grp * (n_all - n_grp))")
+            .cast("bigint")
+            .alias("d_micro"),
+            F.col("ks_at_centi").cast("bigint"),
+        )
+        .orderBy("l_returnflag")
+    )

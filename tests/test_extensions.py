@@ -1404,3 +1404,86 @@ def test_hll_error_within_band(spark, sf_smoke):
         assert r["err_permille"] <= 200, (
             f"{r['column_name']}: est {r['est_milli']} vs {r['exact_distinct']}"
         )
+
+
+def test_bucketed_cumsum_matches_global_window(spark):
+    """The two-level scan must equal the naive global-window cumsum
+    exactly, across groups, bucket boundaries, and zero-count rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from sales_azure_data_engineer_project_spark.operators.prefixsum import bucketed_cumsum
+
+    rows = [
+        (g, v, (v * 7 + ord(g) * 3) % 5)
+        for g in ("a", "b")
+        for v in list(range(0, 25)) + [99, 100, 101, 250]
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long, x long")
+    got = {
+        (r["grp"], r["v"]): r["cum_x"]
+        for r in bucketed_cumsum(df, ["grp"], "v", ["x"], bucket_width=10).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("v")
+    want = {
+        (r["grp"], r["v"]): r["ref"]
+        for r in df.withColumn("ref", F.sum("x").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_ks_two_sample_differential(spark, sf_smoke):
+    """d_micro and the argmax location must match a NumPy ECDF
+    recomputation from the raw rows."""
+    import numpy as np
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    got = {
+        r["l_returnflag"]: r
+        for r in Q.QUERIES["stats_ks_two_sample"](spark, sf_smoke).collect()
+    }
+    import pyarrow.parquet as pq
+    import os
+
+    t = pq.read_table(
+        os.path.join(sf_smoke, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    ).to_pandas()
+    v = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    grp = t["l_returnflag"].to_numpy()
+    grid = np.unique(v)
+    n_all = len(v)
+    for flag in np.unique(grp):
+        a = np.sort(v[grp == flag])
+        b = np.sort(v[grp != flag])
+        ca = np.searchsorted(a, grid, side="right").astype(object)
+        cb = np.searchsorted(b, grid, side="right").astype(object)
+        diff = abs(ca * len(b) - cb * len(a))
+        maxdiff = max(diff)
+        r = got[str(flag)]
+        assert r["n_grp"] == len(a) and r["n_rest"] == len(b)
+        assert r["diff_scaled"] == maxdiff
+        assert r["d_micro"] == (1_000_000 * maxdiff) // (len(a) * len(b))
+        assert r["ks_at_centi"] == int(grid[diff == maxdiff].min())
+
+
+def test_set_ops_kmv_invariants(spark, sf_smoke):
+    """10 unordered type pairs; intersection ≤ union on both the exact
+    and estimated sides; Jaccards in [0, 1000]; the k=64 estimate
+    stays inside a generous 3σ band (RSE ≈ 1/√62 ≈ 12.7%)."""
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    rows = Q.QUERIES["approx_set_ops_kmv"](spark, sf_smoke).collect()
+    assert len(rows) == 10
+    assert len({(r["type_a"], r["type_b"]) for r in rows}) == 10
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 <= r["exact_inter"] <= r["exact_union"]
+        assert 0 <= r["est_inter"] <= r["est_union"]
+        assert 0 <= r["jaccard_exact_milli"] <= 1000
+        assert 0 <= r["jaccard_est_milli"] <= 1000
+        assert r["err_union_permille"] <= 400, (
+            f"{r['type_a']}×{r['type_b']}: est {r['est_union']}"
+            f" vs exact {r['exact_union']}"
+        )

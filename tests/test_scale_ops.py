@@ -398,6 +398,13 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "sample_coreset_kcenter",  # 1-row center picks broadcast into
                                    # each min-update round + the shared
                                    # sq8 1-row stats broadcast
+        "approx_set_ops_kmv",  # bounded 5×5 event-type grid builds the
+                               # pair relation; all sketch/exact joins
+                               # are equi-joins
+        "stats_ks_two_sample",  # bounded 3-row flag grid × value grid
+                                # + 1-row corpus total broadcast; the
+                                # cumsum itself is the two-level
+                                # partitioned scan (no global window)
     }
     offenders = {}
     for name, fn in m.queries().items():

@@ -109,6 +109,16 @@ QUERIES = [
     ("embedding_outliers_topk", [1, 3, 10]),
     ("stats_bootstrap_ci", [1, 3, 10]),
     ("quality_metadata_consistency", [1, 3, 10]),
+    # round-5 session-5 additions.  RRF's tiers are both bounded-query
+    # (copy-0 ids < 8), so only the BM25 index build grows; the Bloom
+    # eval set is copy-0-only (doc_id < 100000) — bitmap constant,
+    # train-span probe stream ∝ N; k-center is k map scans ∝ N; HLL is
+    # one combinable register aggregate (orderkey distincts grow ∝ N,
+    # partkey/suppkey repeat → registers saturate early either way).
+    ("text_hybrid_rrf_topk", [1, 3, 10]),
+    ("pipeline_bloom_decontam", [1, 3, 10]),
+    ("sample_coreset_kcenter", [1, 3, 10]),
+    ("approx_distinct_hll", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
