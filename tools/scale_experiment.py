@@ -119,6 +119,14 @@ QUERIES = [
     ("pipeline_bloom_decontam", [1, 3, 10]),
     ("sample_coreset_kcenter", [1, 3, 10]),
     ("approx_distinct_hll", [1, 3, 10]),
+    # session-5 batch 2.  Event copies own disjoint users → per-type
+    # distinct grows ∝ N while sketches stay k=64 (Partial
+    # WindowGroupLimit caps map output pre-shuffle); lineitem copies
+    # repeat the price distribution verbatim → the KS value grid stays
+    # CONSTANT while per-value counts grow ∝ N (one combinable
+    # groupBy), so the two-level cumsum's work is flat.
+    ("approx_set_ops_kmv", [1, 3, 10]),
+    ("stats_ks_two_sample", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
