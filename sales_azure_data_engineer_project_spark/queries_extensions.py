@@ -10633,3 +10633,265 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 3: priority sampling, sketch mergeability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_priority_topk",
+    f"""
+    WITH it AS (
+        SELECT l_returnflag AS grp, l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    pr AS (
+        SELECT grp, l_orderkey, l_linenumber, w,
+               (w * 4294967296) // ({_hexat("md5(concat_ws('#', l_orderkey, l_linenumber))", 1, 8)} + 1) AS q
+        FROM it
+    ),
+    rk AS (
+        SELECT grp, w, q,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                    ORDER BY q DESC, l_orderkey, l_linenumber) AS rk
+        FROM pr
+    ),
+    tau AS (SELECT grp, q AS tau FROM rk WHERE rk = 129),
+    smp AS (
+        SELECT r.grp, SUM(greatest(r.w, COALESCE(t.tau, 0))) AS est,
+               COUNT(*) AS sample_k
+        FROM rk r LEFT JOIN tau t ON t.grp = r.grp
+        WHERE r.rk <= 128
+        GROUP BY r.grp
+    ),
+    ex AS (SELECT grp, COUNT(*) AS n_items, SUM(w) AS exact_total
+           FROM it GROUP BY grp)
+    SELECT e.grp AS l_returnflag,
+           CAST(e.n_items AS BIGINT) AS n_items,
+           CAST(s.sample_k AS BIGINT) AS sample_k,
+           CAST(COALESCE(t.tau, 0) AS BIGINT) AS tau_centi,
+           CAST(e.exact_total AS BIGINT) AS exact_total_centi,
+           CAST(s.est AS BIGINT) AS est_total_centi,
+           CAST((1000 * abs(s.est - e.exact_total)) // e.exact_total AS BIGINT)
+               AS err_permille
+    FROM ex e
+    JOIN smp s ON s.grp = e.grp
+    LEFT JOIN tau t ON t.grp = e.grp
+    ORDER BY 1
+    """,
+)
+def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup 2007 — the weighted
+    bottom-k scheme warehouses use for unbiased subset-sum estimates
+    from a FIXED-size sample): each row gets priority q = w/u with u
+    a hash-uniform in (0,1]; keep the k=128 highest-priority rows per
+    return flag; the estimator Σ max(w_i, τ) over the sample — τ the
+    (k+1)th priority — is provably unbiased for Σw.  Reported beside
+    the exact per-group revenue total with realized error, like the
+    other sketch calibrators (KMV/HLL/CMS).  Groups smaller than k
+    degrade to the exact total (τ = 0).
+
+    Everything is integer-exact on both engines: w in price
+    centi-units, u as (first-8-md5-hex + 1)/2³², q = w·2³²//u32
+    (floor), ties broken by (orderkey, linenumber) so sample
+    membership and τ are bit-identical.
+
+    Scale shape: one map computes priorities; the per-group top-129 is
+    a rank window that gets Spark's Partial WindowGroupLimit (each map
+    task emits ≤129 rows per group pre-shuffle — the same bounded
+    shape as the KMV sketch build); the estimate is one aggregate over
+    ≤128·|groups| rows.  The exact-total twin is the sf-bounded
+    calibration side.  At 100 TB the sample IS the product: a 128-row
+    summary per group answers any later subset-sum question without
+    rescanning."""
+    li = _fan_out(
+        load_testdata(spark, sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("grp"),
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("w"),
+        )
+    )
+    pr = li.withColumn(
+        "q",
+        F.expr(
+            "div(w * 4294967296,"
+            " cast(conv(substring(md5(cast(concat_ws('#', l_orderkey,"
+            " l_linenumber) as binary)), 1, 8), 16, 10) as bigint) + 1)"
+        ),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("q").desc(), "l_orderkey", "l_linenumber"
+    )
+    rk = (
+        pr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 129)
+        .transform(tracked_persist)
+    )
+    tau = rk.filter(F.col("rk") == 129).select("grp", F.col("q").alias("tau"))
+    smp = (
+        rk.filter(F.col("rk") <= 128)
+        .join(F.broadcast(tau), "grp", "left")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.greatest("w", F.coalesce("tau", F.lit(0)))).alias("est"),
+            F.count(F.lit(1)).alias("sample_k"),
+        )
+    )
+    ex = li.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum("w").alias("exact_total")
+    )
+    return (
+        ex.join(F.broadcast(smp), "grp")
+        .join(F.broadcast(tau), "grp", "left")
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            F.col("n_items").cast("bigint"),
+            F.col("sample_k").cast("bigint"),
+            F.coalesce("tau", F.lit(0)).cast("bigint").alias("tau_centi"),
+            F.col("exact_total").cast("bigint").alias("exact_total_centi"),
+            F.col("est").cast("bigint").alias("est_total_centi"),
+            F.expr("div(1000 * abs(est - exact_total), exact_total)")
+            .cast("bigint")
+            .alias("err_permille"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "approx_distinct_hll_merged",
+    f"""
+    WITH vals AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    rr AS (
+        SELECT day, {_hexat("h", 1, 2)} AS reg, {_hexat("h", 3, 12)} AS v48, h
+        FROM vals
+    ),
+    daily AS (
+        SELECT day, reg,
+               MAX(least(CASE WHEN v48 = 0 THEN 49
+                              ELSE 49 - length(bin(v48)) END, 30)) AS mj
+        FROM rr GROUP BY day, reg
+    ),
+    merged AS (SELECT reg, MAX(mj) AS mj FROM daily GROUP BY reg),
+    direct AS (
+        SELECT reg,
+               MAX(least(CASE WHEN v48 = 0 THEN 49
+                              ELSE 49 - length(bin(v48)) END, 30)) AS mj
+        FROM rr GROUP BY reg
+    ),
+    est AS (
+        SELECT src,
+               CASE WHEN raw_milli <= 640000 AND r < 256
+                    THEN {_HLL_LC_CASE} ELSE raw_milli END AS est_milli
+        FROM (
+            SELECT src, r,
+                   (1846528 * (70368744177664000 //
+                       (zpart + (256 - r) * 1073741824))) // 2570790 AS raw_milli
+            FROM (
+                SELECT 'merged' AS src, COUNT(*) AS r,
+                       SUM(1::BIGINT << CAST(30 - mj AS INTEGER)) AS zpart
+                FROM merged
+                UNION ALL
+                SELECT 'direct', COUNT(*),
+                       SUM(1::BIGINT << CAST(30 - mj AS INTEGER))
+                FROM direct))
+    ),
+    ex AS (SELECT COUNT(DISTINCT h) AS exact_distinct FROM vals),
+    nd AS (SELECT COUNT(DISTINCT day) AS n_days FROM vals)
+    SELECT CAST(nd.n_days AS BIGINT) AS n_days,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(d.est_milli AS BIGINT) AS est_direct_milli,
+           CAST(m.est_milli AS BIGINT) AS est_merged_milli,
+           CAST(CASE WHEN m.est_milli = d.est_milli THEN 1 ELSE 0 END
+               AS INTEGER) AS merged_equals_direct,
+           CAST((1000 * abs(m.est_milli - 1000 * ex.exact_distinct))
+                // (1000 * ex.exact_distinct) AS BIGINT) AS err_permille
+    FROM ex, nd,
+         (SELECT est_milli FROM est WHERE src = 'merged') m,
+         (SELECT est_milli FROM est WHERE src = 'direct') d
+    """,
+)
+def approx_distinct_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY — the property that makes the sketch a
+    pipeline primitive rather than a one-shot query: per-day register
+    states (the "daily sketch table" a 100 TB ingest materializes
+    incrementally) merged by register-wise max must yield the SAME
+    registers — and therefore the bit-identical estimate — as one
+    direct pass over all days.  Reports both estimates, the equality
+    flag, and realized error vs the exact multi-day distinct-user
+    count.  Same m=256 / integer-harmonic-mean / LinearCounting
+    machinery as ``approx_distinct_hll`` (contract documented there).
+
+    Scale shape: the daily sketch build is one map-side-combined
+    groupBy(day, reg) — ≤256 rows out per day regardless of volume;
+    the merge is a groupBy(reg) over |days|·256 rows; nothing ever
+    rescans history.  The direct pass and exact count are the
+    sf-bounded calibration sides."""
+    ev = _fan_out(
+        load_testdata(spark, sf_dir, "events").select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.md5(F.col("user_id").cast("string").cast("binary")).alias("h"),
+        )
+    ).transform(tracked_persist)
+    rr = ev.select(
+        "day",
+        "h",
+        F.expr("cast(conv(substring(h, 1, 2), 16, 10) as int)").alias("reg"),
+        F.expr("cast(conv(substring(h, 3, 12), 16, 10) as bigint)").alias("v48"),
+    )
+    rank = (
+        "max(least(case when v48 = 0 then 49"
+        " else 49 - length(bin(v48)) end, 30))"
+    )
+    daily = rr.groupBy("day", "reg").agg(F.expr(rank).alias("mj"))
+    merged = daily.groupBy("reg").agg(F.max("mj").alias("mj"))
+    direct = rr.groupBy("reg").agg(F.expr(rank).alias("mj"))
+
+    def estimate(regs: DataFrame, label: str) -> DataFrame:
+        z = regs.agg(
+            F.count(F.lit(1)).alias("r"),
+            F.sum(
+                F.expr("shiftleft(cast(1 as bigint), cast(30 - mj as int))")
+            ).alias("zpart"),
+        )
+        return z.select(
+            F.expr(
+                "case when div(1846528 * div(70368744177664000,"
+                " zpart + (256 - r) * 1073741824), 2570790) <= 640000"
+                " and r < 256 then " + _HLL_LC_CASE + " else"
+                " div(1846528 * div(70368744177664000,"
+                " zpart + (256 - r) * 1073741824), 2570790) end"
+            ).alias(f"est_{label}_milli")
+        )
+
+    ex = ev.agg(F.countDistinct("h").alias("exact_distinct"))
+    nd = ev.agg(F.countDistinct("day").alias("n_days"))
+    return (
+        nd.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(estimate(direct, "direct")))
+        .crossJoin(F.broadcast(estimate(merged, "merged")))
+        .select(
+            F.col("n_days").cast("bigint"),
+            F.col("exact_distinct").cast("bigint"),
+            F.col("est_direct_milli").cast("bigint"),
+            F.col("est_merged_milli").cast("bigint"),
+            F.when(F.col("est_merged_milli") == F.col("est_direct_milli"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("merged_equals_direct"),
+            F.expr(
+                "div(1000 * abs(est_merged_milli - 1000 * exact_distinct),"
+                " 1000 * exact_distinct)"
+            )
+            .cast("bigint")
+            .alias("err_permille"),
+        )
+    )

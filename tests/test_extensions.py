@@ -1487,3 +1487,70 @@ def test_set_ops_kmv_invariants(spark, sf_smoke):
             f"{r['type_a']}×{r['type_b']}: est {r['est_union']}"
             f" vs exact {r['exact_union']}"
         )
+
+
+def test_priority_sample_matches_python_reference(spark, sf_smoke):
+    """Sample membership, τ, and the Σ max(w, τ) estimator recomputed
+    exactly in Python from the raw rows; plus the 3σ error band."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    got = {
+        r["l_returnflag"]: r
+        for r in Q.QUERIES["sample_priority_topk"](spark, sf_smoke).collect()
+    }
+    t = pq.read_table(
+        os.path.join(sf_smoke, "lineitem.parquet"),
+        columns=["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).to_pandas()
+    by_grp = {}
+    for flag, ok, ln, px in t.itertuples(index=False):
+        w = int(round(px * 100))
+        u32 = int(hashlib.md5(f"{ok}#{ln}".encode()).hexdigest()[:8], 16) + 1
+        q = (w * 4294967296) // u32
+        by_grp.setdefault(flag, []).append((q, ok, ln, w))
+    for flag, rows in by_grp.items():
+        rows.sort(key=lambda x: (-x[0], x[1], x[2]))
+        tau = rows[128][0] if len(rows) > 128 else 0
+        est = sum(max(w, tau) for _, _, _, w in rows[:128])
+        exact = sum(w for _, _, _, w in rows)
+        r = got[flag]
+        assert r["n_items"] == len(rows)
+        assert r["sample_k"] == min(len(rows), 128)
+        assert r["tau_centi"] == tau
+        assert r["exact_total_centi"] == exact
+        assert r["est_total_centi"] == est
+        assert r["err_permille"] <= 350, f"{flag}: est {est} vs exact {exact}"
+
+
+def test_priority_sample_plan_has_partial_window_group_limit(spark, sf_smoke):
+    """The per-group top-129 rank must push a Partial WindowGroupLimit
+    below the shuffle (map tasks emit ≤129 rows per group)."""
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    plan = (
+        Q.QUERIES["sample_priority_topk"](spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_hll_merged_equals_direct(spark, sf_smoke):
+    """Register-wise max of per-day sketches must reproduce the direct
+    single-pass estimate bit-exactly (mergeability), within the error
+    band vs the exact count."""
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    r = Q.QUERIES["approx_distinct_hll_merged"](spark, sf_smoke).collect()[0]
+    assert r["n_days"] >= 2, "mergeability needs multiple daily sketches"
+    assert r["merged_equals_direct"] == 1
+    assert r["est_merged_milli"] == r["est_direct_milli"]
+    assert r["exact_distinct"] > 0 and r["err_permille"] <= 200

@@ -405,6 +405,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                 # + 1-row corpus total broadcast; the
                                 # cumsum itself is the two-level
                                 # partitioned scan (no global window)
+        "approx_distinct_hll_merged",  # 1-row estimate/exact aggregates
+                                       # crossJoined into the report row
     }
     offenders = {}
     for name, fn in m.queries().items():

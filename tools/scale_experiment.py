@@ -127,6 +127,11 @@ QUERIES = [
     # groupBy), so the two-level cumsum's work is flat.
     ("approx_set_ops_kmv", [1, 3, 10]),
     ("stats_ks_two_sample", [1, 3, 10]),
+    # session-5 batch 3.  Priority sampling: items per flag ∝ N but the
+    # WGL-capped sample stays 128; HLL merge: disjoint users ∝ N, the
+    # daily sketch build stays one combinable ≤256-rows-per-day agg.
+    ("sample_priority_topk", [1, 3, 10]),
+    ("approx_distinct_hll_merged", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
