@@ -10895,3 +10895,168 @@ def approx_distinct_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 4: chi-square independence, decayed engagement
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_chi2_independence",
+    """
+    WITH obs AS (
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               COUNT(*) AS o
+        FROM lineitem GROUP BY 1, 2
+    ),
+    rr AS (SELECT flag, SUM(o) AS r FROM obs GROUP BY flag),
+    cc AS (SELECT status, SUM(o) AS c FROM obs GROUP BY status),
+    nn AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+        SELECT o.flag, o.status, o.o, r.r, c.c, n.n,
+               o.o * n.n - r.r * c.c AS diff
+        FROM obs o
+        JOIN rr r ON r.flag = o.flag
+        JOIN cc c ON c.status = o.status, nn n
+    )
+    SELECT flag AS l_returnflag, status AS l_linestatus,
+           CAST(o AS BIGINT) AS observed,
+           CAST((1000 * r * c) // n AS BIGINT) AS expected_milli,
+           CAST(floor((1000000.0 * CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE))
+                / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE))) AS BIGINT) AS contrib_micro
+    FROM cells
+    ORDER BY 1, 2
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between return flag and
+    line status — the categorical-association audit a curation
+    pipeline runs between metadata dimensions (is source independent
+    of language? does the quality band depend on the shard?).  Per
+    cell: observed count, expected count under independence
+    (milli-exact integers: ⌊1000·R·C/N⌋), and the chi-square
+    contribution (O−E)²/E in micro-units via the common-denominator
+    form (O·N − R·C)²/(R·C·N²) — the integer numerator diff is exact;
+    the one double fold is written identically on both engines (the
+    repo's strict-fold parity contract).  Σ contrib_micro / 10⁶ is the
+    chi-square statistic; compare against the χ²((R−1)(C−1)) critical
+    value offline.
+
+    Scale shape: ONE map-side-combined groupBy over the two
+    categorical columns (cells bounded by the category-domain product,
+    not N), then row/column margins and the test statistic live
+    entirely on the bounded cell relation.  This never gets harder at
+    100 TB — the heavy aggregate's output is |flags|×|statuses|
+    rows."""
+    obs = (
+        _fan_out(
+            load_testdata(spark, sf_dir, "lineitem").select(
+                F.col("l_returnflag").alias("flag"),
+                F.col("l_linestatus").alias("status"),
+            )
+        )
+        .groupBy("flag", "status")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .transform(tracked_persist)
+    )
+    rr = obs.groupBy("flag").agg(F.sum("o").alias("r"))
+    cc = obs.groupBy("status").agg(F.sum("o").alias("c"))
+    nn = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rr), "flag")
+        .join(F.broadcast(cc), "status")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("diff", F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+    )
+    return cells.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("status").alias("l_linestatus"),
+        F.col("o").cast("bigint").alias("observed"),
+        F.expr("div(1000 * r * c, n)").cast("bigint").alias("expected_milli"),
+        F.expr(
+            "cast(floor((1000000.0 * cast(diff as double) * cast(diff as double))"
+            " / (cast(r as double) * cast(c as double) * cast(n as double)"
+            " * cast(n as double))) as bigint)"
+        ).alias("contrib_micro"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
+    "events_decayed_engagement",
+    """
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events),
+    ev AS (
+        SELECT event_type,
+               CAST(round(value * 1000) AS BIGINT) AS v_milli,
+               least(datediff('day', CAST(ts AS DATE), mxd), 210) AS age_days
+        FROM events, mx
+    ),
+    dec AS (
+        SELECT event_type,
+               v_milli // (1::BIGINT << CAST(age_days // 7 AS INTEGER))
+                   AS w7,
+               v_milli // (1::BIGINT << CAST(age_days // 30 AS INTEGER))
+                   AS w30
+        FROM ev
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w7) AS BIGINT) AS decayed_7d_milli,
+           CAST(SUM(w30) AS BIGINT) AS decayed_30d_milli,
+           CAST(SUM(CASE WHEN w7 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alive_7d
+    FROM dec GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement scoring — the recency-weighted
+    aggregate behind feature stores and freshness-aware mixture
+    weights (yesterday's signal counts more than last quarter's).
+    Each event's value decays by halving per half-life elapsed
+    (dyadic decay: weight = v ≫ ⌊age/halflife⌋ — integer-exact on
+    both engines, no libm), reported at 7-day and 30-day half-lives
+    per event type, with the count of events still contributing at
+    the 7-day rate.  Ages cap at 210 days so the shift stays in
+    bigint range; a production variant uses the standard
+    exp(−λ·age) in double.
+
+    Scale shape: one 1-row max-date aggregate broadcast into a
+    map-only decay projection, then ONE map-side-combined
+    groupBy(event_type) — combinable all the way down, streaming- and
+    incremental-friendly (the decayed sum re-bases by one more shift
+    per elapsed half-life)."""
+    ev0 = _fan_out(load_testdata(spark, sf_dir, "events").select("event_type", "value", "ts"))
+    mx = ev0.agg(F.max(F.to_date("ts")).alias("mxd"))
+    dec = (
+        ev0.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.expr("cast(round(value * 1000) as bigint)").alias("v_milli"),
+            F.expr("least(datediff(mxd, cast(ts as date)), 210)").alias("age_days"),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "div(v_milli, shiftleft(cast(1 as bigint),"
+                " cast(div(age_days, 7) as int)))"
+            ).alias("w7"),
+            F.expr(
+                "div(v_milli, shiftleft(cast(1 as bigint),"
+                " cast(div(age_days, 30) as int)))"
+            ).alias("w30"),
+        )
+    )
+    return (
+        dec.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("w7").cast("bigint").alias("decayed_7d_milli"),
+            F.sum("w30").cast("bigint").alias("decayed_30d_milli"),
+            F.sum(F.when(F.col("w7") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_alive_7d"),
+        )
+        .orderBy("event_type")
+    )

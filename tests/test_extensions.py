@@ -1554,3 +1554,73 @@ def test_hll_merged_equals_direct(spark, sf_smoke):
     assert r["merged_equals_direct"] == 1
     assert r["est_merged_milli"] == r["est_direct_milli"]
     assert r["exact_distinct"] > 0 and r["err_permille"] <= 200
+
+
+def test_chi2_independence_differential(spark, sf_smoke):
+    """Cell counts, milli-exact expecteds, and the double-fold
+    contribution recomputed from the raw rows."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in Q.QUERIES["stats_chi2_independence"](spark, sf_smoke).collect()
+    }
+    t = pq.read_table(
+        os.path.join(sf_smoke, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus"],
+    ).to_pandas()
+    obs = t.groupby(["l_returnflag", "l_linestatus"]).size()
+    rr = t.groupby("l_returnflag").size()
+    cc = t.groupby("l_linestatus").size()
+    n = len(t)
+    assert len(got) == len(obs)
+    for (f, s), o in obs.items():
+        r = got[(f, s)]
+        assert r["observed"] == o
+        assert r["expected_milli"] == (1000 * rr[f] * cc[s]) // n
+        diff = float(o * n - rr[f] * cc[s])
+        want = math.floor(
+            (1000000.0 * diff * diff)
+            / (float(rr[f]) * float(cc[s]) * float(n) * float(n))
+        )
+        assert r["contrib_micro"] == want
+
+
+def test_decayed_engagement_differential(spark, sf_smoke):
+    """Dyadic decay sums recomputed exactly in Python."""
+    import os
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    got = {
+        r["event_type"]: r
+        for r in Q.QUERIES["events_decayed_engagement"](spark, sf_smoke).collect()
+    }
+    t = pq.read_table(
+        os.path.join(sf_smoke, "events.parquet"),
+        columns=["event_type", "value", "ts"],
+    ).to_pandas()
+    days = t["ts"].dt.normalize()
+    mx = days.max()
+    age = (mx - days).dt.days.clip(upper=210)
+    vm = (t["value"] * 1000).round().astype(int)
+    w7 = vm // (2 ** (age // 7))
+    w30 = vm // (2 ** (age // 30))
+    agg = {}
+    for et, a, b in zip(t["event_type"], w7, w30):
+        d = agg.setdefault(et, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += int(a)
+        d[2] += int(b)
+        d[3] += 1 if a > 0 else 0
+    assert set(agg) == set(got)
+    for et, (ne, s7, s30, alive) in agg.items():
+        r = got[et]
+        assert (r["n_events"], r["decayed_7d_milli"], r["decayed_30d_milli"], r["n_alive_7d"]) == (ne, s7, s30, alive)

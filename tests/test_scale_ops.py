@@ -407,6 +407,10 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                 # partitioned scan (no global window)
         "approx_distinct_hll_merged",  # 1-row estimate/exact aggregates
                                        # crossJoined into the report row
+        "stats_chi2_independence",  # 1-row grand-total broadcast onto
+                                    # the bounded category-cell relation
+        "events_decayed_engagement",  # 1-row max-date broadcast into
+                                      # the map-only decay projection
     }
     offenders = {}
     for name, fn in m.queries().items():

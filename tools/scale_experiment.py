@@ -132,6 +132,10 @@ QUERIES = [
     # daily sketch build stays one combinable ≤256-rows-per-day agg.
     ("sample_priority_topk", [1, 3, 10]),
     ("approx_distinct_hll_merged", [1, 3, 10]),
+    # session-5 batch 4: both are single combinable groupBys over
+    # bounded output domains (category cells / event types).
+    ("stats_chi2_independence", [1, 3, 10]),
+    ("events_decayed_engagement", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
