@@ -11060,3 +11060,189 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 5: Mann-Whitney rank test, source-drift TVD
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mannwhitney_auc",
+    """
+    WITH vals AS (
+        SELECT event_type AS grp,
+               CAST(round(value * 1000) AS BIGINT) AS v
+        FROM events
+    ),
+    cnt AS (SELECT grp, v, COUNT(*) AS c FROM vals GROUP BY grp, v),
+    grid AS (SELECT v, COUNT(*) AS nt FROM vals GROUP BY v),
+    mid AS (
+        SELECT v, 2 * SUM(nt) OVER (ORDER BY v) - nt + 1 AS mid2
+        FROM grid
+    ),
+    tot AS (SELECT grp, COUNT(*) AS n_grp FROM vals GROUP BY grp),
+    nall AS (SELECT COUNT(*) AS n_all FROM vals),
+    r2 AS (
+        SELECT c.grp, SUM(c.c * m.mid2) AS r2_sum
+        FROM cnt c JOIN mid m ON m.v = c.v
+        GROUP BY c.grp
+    )
+    SELECT t.grp AS event_type,
+           CAST(t.n_grp AS BIGINT) AS n_grp,
+           CAST(n.n_all - t.n_grp AS BIGINT) AS n_rest,
+           CAST(r.r2_sum AS BIGINT) AS r2_sum,
+           CAST(r.r2_sum - t.n_grp * (t.n_grp + 1) AS BIGINT) AS u2,
+           CAST((1000000 * (r.r2_sum - t.n_grp * (t.n_grp + 1)))
+                // (2 * t.n_grp * (n.n_all - t.n_grp)) AS BIGINT) AS auc_micro
+    FROM tot t JOIN r2 r ON r.grp = t.grp, nall n
+    ORDER BY event_type
+    """,
+)
+def events_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test, one-vs-rest per event type over
+    the value distribution — the nonparametric shift detector that
+    (unlike KS) reads directly as an effect size: U/(n₁·n₂) is the
+    probability a random value from the group exceeds one from the
+    rest (the AUC).  Exact integer arithmetic throughout: ties get
+    textbook midranks carried as DOUBLED ranks (mid2 = 2·cum − m + 1,
+    always integral), the rank-sum and U are kept doubled (``r2_sum``,
+    ``u2``), and ``auc_micro`` = ⌊10⁶·U/(n₁·n₂)⌋ — bit-identical on
+    both engines, no float ranks anywhere.
+
+    Scale shape: value-grid counts are ONE map-side-combined groupBy;
+    global midranks come from ``operators/prefixsum.bucketed_cumsum``
+    in its single-series mode (the oracle's ``SUM() OVER (ORDER BY
+    v)`` global window is exactly the single-task shape the operator
+    replaces); the rank-sum is one equi-join on the value grid + one
+    combinable aggregate per group.  Everything after the grid is
+    bounded by |distinct values|, not N."""
+    from .operators.prefixsum import bucketed_cumsum
+
+    ev = _fan_out(
+        load_testdata(spark, sf_dir, "events").select(
+            F.col("event_type").alias("grp"),
+            F.expr("cast(round(value * 1000) as bigint)").alias("v"),
+        )
+    ).transform(tracked_persist)
+    cnt = ev.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    grid = ev.groupBy("v").agg(F.count(F.lit(1)).alias("nt"))
+    mid = bucketed_cumsum(grid, [], "v", ["nt"], bucket_width=10_000).select(
+        "v", (2 * F.col("cum_nt") - F.col("nt") + 1).alias("mid2")
+    )
+    r2 = (
+        cnt.join(mid, "v")
+        .groupBy("grp")
+        .agg(F.sum(F.col("c") * F.col("mid2")).alias("r2_sum"))
+    )
+    tot = ev.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grp"))
+    nall = ev.agg(F.count(F.lit(1)).alias("n_all"))
+    return (
+        tot.join(F.broadcast(r2), "grp")
+        .crossJoin(F.broadcast(nall))
+        .select(
+            F.col("grp").alias("event_type"),
+            F.col("n_grp").cast("bigint"),
+            (F.col("n_all") - F.col("n_grp")).cast("bigint").alias("n_rest"),
+            F.col("r2_sum").cast("bigint"),
+            (F.col("r2_sum") - F.col("n_grp") * (F.col("n_grp") + 1))
+            .cast("bigint")
+            .alias("u2"),
+            F.expr(
+                "div(1000000 * (r2_sum - n_grp * (n_grp + 1)),"
+                " 2 * n_grp * (n_all - n_grp))"
+            )
+            .cast("bigint")
+            .alias("auc_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "text_source_token_tvd",
+    r"""
+    WITH tk AS (
+        SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents
+    ),
+    st AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok),
+    tt AS (SELECT tok, COUNT(*) AS ct FROM tk GROUP BY tok),
+    ns AS (SELECT source, SUM(c) AS n_s FROM st GROUP BY source),
+    nn AS (SELECT SUM(ct) AS n FROM tt),
+    present AS (
+        SELECT s.source,
+               SUM(abs(s.c * (n.n - x.n_s) - (t.ct - s.c) * x.n_s))
+                   AS present_mass,
+               SUM(t.ct - s.c) AS rest_in_vocab
+        FROM st s
+        JOIN tt t ON t.tok = s.tok
+        JOIN ns x ON x.source = s.source, nn n
+        GROUP BY s.source
+    )
+    SELECT p.source,
+           CAST(x.n_s AS BIGINT) AS n_tokens,
+           CAST(n.n - x.n_s AS BIGINT) AS n_rest,
+           CAST((1000000 * (p.present_mass
+                 + x.n_s * ((n.n - x.n_s) - p.rest_in_vocab)))
+                // (2 * x.n_s * (n.n - x.n_s)) AS BIGINT) AS tvd_micro
+    FROM present p JOIN ns x ON x.source = p.source, nn n
+    ORDER BY p.source
+    """,
+)
+def text_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between each source's token
+    distribution and the rest of the corpus — the exact drift metric
+    behind "is this crawl slice distributionally off?" (TVD, unlike
+    KL/JS, needs no logarithms, so it is integer-expressible and
+    bit-identical on both engines).  TVD = ½·Σ_t |p_s(t) − p_rest(t)|
+    evaluated in common-denominator form |c_s·N_r − c_r·N_s| over the
+    source's own vocabulary, plus the closed-form correction
+    N_s·(N_r − Σ_{t∈vocab_s} c_r(t)) for the mass of tokens the source
+    never uses — no dense vocab×source grid is ever materialized.
+
+    Scale shape: two map-side-combined groupBys (per-source-token,
+    per-token), one equi-join on token between them (the widest
+    shuffle, vocab-sized), margins broadcast.  The absent-token mass
+    is algebra, not a join — the trick that keeps one-vs-rest drift
+    linear in corpus vocabulary at 100 TB."""
+    tk = (
+        _fan_out(load_testdata(spark, sf_dir, "documents").select("source", "text"))
+        .select("source", F.explode(F.split("text", X.TOKEN_RE)).alias("tok"))
+        .transform(tracked_persist)
+    )
+    st = tk.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tt = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    ns = tk.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    nn = tk.agg(F.count(F.lit(1)).alias("n"))
+    present = (
+        st.join(tt, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c") * (F.col("n") - F.col("n_s"))
+                    - (F.col("ct") - F.col("c")) * F.col("n_s")
+                )
+            ).alias("present_mass"),
+            F.sum(F.col("ct") - F.col("c")).alias("rest_in_vocab"),
+        )
+    )
+    return (
+        present.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            (F.col("n") - F.col("n_s")).cast("bigint").alias("n_rest"),
+            F.expr(
+                "div(1000000 * (present_mass + n_s * ((n - n_s) - rest_in_vocab)),"
+                " 2 * n_s * (n - n_s))"
+            )
+            .cast("bigint")
+            .alias("tvd_micro"),
+        )
+        .orderBy("source")
+    )

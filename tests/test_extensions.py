@@ -1624,3 +1624,80 @@ def test_decayed_engagement_differential(spark, sf_smoke):
     for et, (ne, s7, s30, alive) in agg.items():
         r = got[et]
         assert (r["n_events"], r["decayed_7d_milli"], r["decayed_30d_milli"], r["n_alive_7d"]) == (ne, s7, s30, alive)
+
+
+def test_mannwhitney_auc_differential(spark, sf_smoke):
+    """Doubled midranks, U, and AUC recomputed exactly in Python."""
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    got = {
+        r["event_type"]: r
+        for r in Q.QUERIES["events_mannwhitney_auc"](spark, sf_smoke).collect()
+    }
+    t = pq.read_table(
+        os.path.join(sf_smoke, "events.parquet"), columns=["event_type", "value"]
+    ).to_pandas()
+    v = (t["value"] * 1000).round().astype(int)
+    total = Counter(v)
+    mid2 = {}
+    cum = 0
+    for val in sorted(total):
+        m = total[val]
+        mid2[val] = 2 * cum + m + 1
+        cum += m
+    n_all = len(v)
+    for et in t["event_type"].unique():
+        sel = v[t["event_type"] == et]
+        n1 = len(sel)
+        r2 = sum(mid2[x] for x in sel)
+        u2 = r2 - n1 * (n1 + 1)
+        r = got[et]
+        assert (r["n_grp"], r["n_rest"], r["r2_sum"], r["u2"]) == (
+            n1, n_all - n1, r2, u2,
+        )
+        assert r["auc_micro"] == (1_000_000 * u2) // (2 * n1 * (n_all - n1))
+        assert 0 <= r["auc_micro"] <= 1_000_000
+
+
+def test_source_token_tvd_differential(spark, sf_smoke):
+    """TVD recomputed from full dense distributions in Python — proves
+    the vocab-restricted sum + absent-mass correction is exact."""
+    import os
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+    from sales_azure_data_engineer_project_spark.operators.text import TOKEN_RE
+
+    got = {
+        r["source"]: r
+        for r in Q.QUERIES["text_source_token_tvd"](spark, sf_smoke).collect()
+    }
+    t = pq.read_table(
+        os.path.join(sf_smoke, "documents.parquet"), columns=["source", "text"]
+    ).to_pandas()
+    per_src: dict[str, Counter] = {}
+    tot: Counter = Counter()
+    for src, text in zip(t["source"], t["text"]):
+        toks = re.split(TOKEN_RE, text)
+        per_src.setdefault(src, Counter()).update(toks)
+        tot.update(toks)
+    n = sum(tot.values())
+    assert set(got) == set(per_src)
+    for src, cs in per_src.items():
+        n_s = sum(cs.values())
+        n_r = n - n_s
+        mass = sum(
+            abs(cs.get(tok, 0) * n_r - (ct - cs.get(tok, 0)) * n_s)
+            for tok, ct in tot.items()
+        )
+        r = got[src]
+        assert (r["n_tokens"], r["n_rest"]) == (n_s, n_r)
+        assert r["tvd_micro"] == (1_000_000 * mass) // (2 * n_s * n_r)

@@ -411,6 +411,10 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                     # the bounded category-cell relation
         "events_decayed_engagement",  # 1-row max-date broadcast into
                                       # the map-only decay projection
+        "events_mannwhitney_auc",  # 1-row corpus-total broadcast onto
+                                   # the bounded per-type rank sums
+        "text_source_token_tvd",  # 1-row token-total broadcast onto
+                                  # the source-margin relation
     }
     offenders = {}
     for name, fn in m.queries().items():

@@ -136,6 +136,12 @@ QUERIES = [
     # bounded output domains (category cells / event types).
     ("stats_chi2_independence", [1, 3, 10]),
     ("events_decayed_engagement", [1, 3, 10]),
+    # session-5 batch 5: MW's value grid repeats under the user-copy
+    # blow-up (counts ∝ N, grid constant); TVD's doc copies own
+    # disjoint vocab → the token equi-join grows ∝ vocab ∝ N with
+    # constant posting sizes.
+    ("events_mannwhitney_auc", [1, 3, 10]),
+    ("text_source_token_tvd", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
