@@ -11246,3 +11246,236 @@ def text_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 6: vocab coverage curve, CUSUM changepoints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_coverage_curve",
+    r"""
+    WITH tk AS (
+        SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+    ),
+    tc AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+    coc AS (SELECT c, COUNT(*) AS m FROM tc GROUP BY c),
+    tot AS (SELECT SUM(c * m) AS n_total, SUM(m) AS n_vocab FROM coc),
+    cum AS (
+        SELECT c, m,
+               SUM(c * m) OVER (ORDER BY c DESC) AS mass_cum,
+               SUM(m) OVER (ORDER BY c DESC) AS vocab_cum
+        FROM coc
+    ),
+    targets AS (SELECT unnest([500, 900, 990, 999]) AS target_permille),
+    hit AS (
+        SELECT t.target_permille,
+               MIN(cu.vocab_cum - cu.m
+                   + ((t.target_permille * x.n_total + 999) // 1000
+                      - (cu.mass_cum - cu.c * cu.m) + cu.c - 1) // cu.c)
+                   AS vocab_needed
+        FROM targets t
+        JOIN cum cu ON cu.mass_cum * 1000 >= t.target_permille * (SELECT n_total FROM tot), tot x
+        WHERE (cu.mass_cum - cu.c * cu.m) * 1000 < t.target_permille * x.n_total
+        GROUP BY t.target_permille
+    )
+    SELECT h.target_permille,
+           CAST(h.vocab_needed AS BIGINT) AS vocab_needed,
+           CAST(x.n_vocab AS BIGINT) AS n_vocab,
+           CAST(x.n_total AS BIGINT) AS n_total,
+           CAST((1000000 * h.vocab_needed) // x.n_vocab AS BIGINT)
+               AS vocab_share_micro
+    FROM hit h, tot x
+    ORDER BY h.target_permille
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget planning
+    readout: the minimum number of (frequency-ranked) vocabulary
+    entries needed to cover 50% / 90% / 99% / 99.9% of all corpus
+    token occurrences, exactly.  The classic Zipf consequence (a tiny
+    head covers most mass) decides vocab size, OOV policy, and what
+    the long tail costs.
+
+    Exactness without a global token sort: group the vocabulary by
+    count value (the count-of-counts relation, bounded by |distinct
+    count values| ≤ √(2N)), take cumulative mass/vocab over counts
+    DESCENDING, locate the count bin where the target mass falls, and
+    finish inside the bin by ceiling division — within a bin every
+    token has the same count, so the needed number of its tokens is
+    ⌈remaining_mass / c⌉.  All integer arithmetic, deterministic on
+    both engines.
+
+    Scale shape: ONE map-side-combined groupBy(token) (the only
+    corpus-scale shuffle), ONE groupBy(count) collapsing the vocab to
+    the bounded count-of-counts relation, then windows/joins over that
+    tiny relation (the oracle's global window is fine THERE — it runs
+    on ≤ a few thousand rows; the Spark side uses the same bounded
+    window, not a corpus-wide sort)."""
+    tk = _fan_out(load_testdata(spark, sf_dir, "documents").select("text")).select(
+        F.explode(F.split("text", X.TOKEN_RE)).alias("tok")
+    )
+    tc = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    coc = tc.groupBy("c").agg(F.count(F.lit(1)).alias("m")).transform(tracked_persist)
+    tot = coc.agg(
+        F.sum(F.col("c") * F.col("m")).alias("n_total"),
+        F.sum("m").alias("n_vocab"),
+    )
+    w = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = coc.select(
+        "c",
+        "m",
+        F.sum(F.col("c") * F.col("m")).over(w).alias("mass_cum"),
+        F.sum("m").over(w).alias("vocab_cum"),
+    )
+    targets = spark.createDataFrame(
+        [(500,), (900,), (990,), (999,)], "target_permille int"
+    )
+    hit = (
+        F.broadcast(targets)
+        .crossJoin(F.broadcast(tot))
+        .join(
+            cum,
+            (F.col("mass_cum") * 1000 >= F.col("target_permille") * F.col("n_total"))
+            & (
+                (F.col("mass_cum") - F.col("c") * F.col("m")) * 1000
+                < F.col("target_permille") * F.col("n_total")
+            ),
+        )
+        .groupBy("target_permille", "n_total", "n_vocab")
+        .agg(
+            F.min(
+                F.col("vocab_cum")
+                - F.col("m")
+                + F.expr(
+                    "div(div(target_permille * n_total + 999, 1000)"
+                    " - (mass_cum - c * m) + c - 1, c)"
+                )
+            ).alias("vocab_needed")
+        )
+    )
+    return hit.select(
+        "target_permille",
+        F.col("vocab_needed").cast("bigint"),
+        F.col("n_vocab").cast("bigint"),
+        F.col("n_total").cast("bigint"),
+        F.expr("div(1000000 * vocab_needed, n_vocab)")
+        .cast("bigint")
+        .alias("vocab_share_micro"),
+    ).orderBy("target_permille")
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH daily AS (
+        -- per-row milli rounding BEFORE the sum: an integer sum is
+        -- order-independent where a double sum is not (parity contract)
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(round(value * 1000) AS BIGINT)) AS x_milli
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, COUNT(*) AS n_days, SUM(x_milli) AS total
+        FROM daily GROUP BY event_type
+    ),
+    cus AS (
+        SELECT d.event_type, d.day,
+               SUM(d.x_milli * t.n_days - t.total)
+                   OVER (PARTITION BY d.event_type ORDER BY d.day) AS s
+        FROM daily d JOIN tot t ON t.event_type = d.event_type
+    ),
+    mx AS (
+        SELECT event_type, MAX(abs(s)) AS peak FROM cus GROUP BY event_type
+    ),
+    loc AS (
+        SELECT c.event_type, MIN(c.day) AS peak_day,
+               MIN(CASE WHEN c.s > 0 THEN 1 ELSE -1 END) AS direction
+        FROM cus c JOIN mx m ON m.event_type = c.event_type
+                             AND abs(c.s) = m.peak
+        GROUP BY c.event_type
+    )
+    SELECT t.event_type,
+           CAST(t.n_days AS BIGINT) AS n_days,
+           CAST(m.peak AS BIGINT) AS cusum_peak_scaled,
+           CAST((1000 * m.peak) // (t.n_days * greatest(t.total, 1))
+               AS BIGINT) AS peak_share_permille,
+           CAST(l.peak_day AS VARCHAR) AS peak_day,
+           CAST(l.direction AS INTEGER) AS direction
+    FROM tot t
+    JOIN mx m ON m.event_type = t.event_type
+    JOIN loc l ON l.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954) per event type over the
+    daily value series — "did this stream's rate shift, and when?".
+    The cumulative sum of deviations from the per-type mean peaks at
+    the most likely changepoint (the binary-segmentation pivot).
+    Exact integers via the common-denominator trick: S_i =
+    Σ_{d≤i} (x_d·D − T) where D = #days and T = total, so no mean
+    division ever happens; the peak day ties break to the earliest,
+    ``direction`` says whether the level shifted up (+1: early days
+    below mean, CUSUM dips negative... sign of S at the peak) and
+    ``peak_share_permille`` normalizes the peak against D·T for
+    cross-type comparison.
+
+    Scale shape: the corpus-scale work is ONE map-side-combined
+    groupBy(type, day); the CUSUM window runs over the bounded
+    (type × day) relation partitioned by type.  At 100 TB with years
+    of days per key, the same window converts to
+    ``operators/prefixsum.bucketed_cumsum`` with (type) groups and
+    day buckets — the relation here is 5×30 so the plain partitioned
+    window IS the right plan."""
+    daily = (
+        _fan_out(load_testdata(spark, sf_dir, "events"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.expr("sum(cast(round(value * 1000) as bigint))").alias("x_milli"))
+        .transform(tracked_persist)
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("x_milli").alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cus = (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.sum(
+                F.col("x_milli") * F.col("n_days") - F.col("total")
+            ).over(w).alias("s"),
+        )
+        .transform(tracked_persist)
+    )
+    mx = cus.groupBy("event_type").agg(F.max(F.abs("s")).alias("peak"))
+    loc = (
+        cus.join(F.broadcast(mx), "event_type")
+        .filter(F.abs("s") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.min("day").alias("peak_day"),
+            F.min(F.when(F.col("s") > 0, 1).otherwise(-1)).alias("direction"),
+        )
+    )
+    return (
+        tot.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(loc), "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint"),
+            F.col("peak").cast("bigint").alias("cusum_peak_scaled"),
+            F.expr("div(1000 * peak, n_days * greatest(total, 1))")
+            .cast("bigint")
+            .alias("peak_share_permille"),
+            F.col("peak_day").cast("string"),
+            F.col("direction").cast("int"),
+        )
+        .orderBy("event_type")
+    )

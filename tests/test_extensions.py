@@ -1701,3 +1701,81 @@ def test_source_token_tvd_differential(spark, sf_smoke):
         r = got[src]
         assert (r["n_tokens"], r["n_rest"]) == (n_s, n_r)
         assert r["tvd_micro"] == (1_000_000 * mass) // (2 * n_s * n_r)
+
+
+def test_vocab_coverage_differential(spark, sf_smoke):
+    """Coverage thresholds recomputed by brute-force frequency-sorted
+    walk over the raw token counts."""
+    import os
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+    from sales_azure_data_engineer_project_spark.operators.text import TOKEN_RE
+
+    got = {
+        r["target_permille"]: r
+        for r in Q.QUERIES["vocab_coverage_curve"](spark, sf_smoke).collect()
+    }
+    t = pq.read_table(
+        os.path.join(sf_smoke, "documents.parquet"), columns=["text"]
+    ).to_pandas()
+    tot: Counter = Counter()
+    for text in t["text"]:
+        tot.update(re.split(TOKEN_RE, text))
+    counts = sorted(tot.values(), reverse=True)
+    n_total = sum(counts)
+    for target in (500, 900, 990, 999):
+        need = -(-target * n_total // 1000)  # ceil
+        acc = k = 0
+        while acc < need:
+            acc += counts[k]
+            k += 1
+        r = got[target]
+        assert r["n_vocab"] == len(counts) and r["n_total"] == n_total
+        assert r["vocab_needed"] == k, f"target {target}: {r['vocab_needed']} != {k}"
+        assert r["vocab_share_micro"] == (1_000_000 * k) // len(counts)
+
+
+def test_cusum_changepoint_differential(spark, sf_smoke):
+    """CUSUM series recomputed exactly in Python (per-row milli
+    rounding before the integer sum — the order-independence
+    contract)."""
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    got = {
+        r["event_type"]: r
+        for r in Q.QUERIES["events_cusum_changepoint"](spark, sf_smoke).collect()
+    }
+    t = pq.read_table(
+        os.path.join(sf_smoke, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    ).to_pandas()
+    daily: dict = defaultdict(int)
+    for et, ts, v in zip(t["event_type"], t["ts"], t["value"]):
+        daily[(et, ts.date())] += int(round(v * 1000))
+    by_type: dict = defaultdict(dict)
+    for (et, d), x in daily.items():
+        by_type[et][d] = x
+    for et, series in by_type.items():
+        days = sorted(series)
+        n, total = len(days), sum(series.values())
+        s = 0
+        best = (-1, None, None)
+        for d in days:
+            s += series[d] * n - total
+            if abs(s) > best[0]:
+                best = (abs(s), d, 1 if s > 0 else -1)
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["cusum_peak_scaled"] == best[0]
+        assert r["peak_day"] == str(best[1])
+        assert r["direction"] == best[2]
+        assert r["peak_share_permille"] == (1000 * best[0]) // (n * max(total, 1))

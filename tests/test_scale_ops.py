@@ -415,6 +415,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                    # the bounded per-type rank sums
         "text_source_token_tvd",  # 1-row token-total broadcast onto
                                   # the source-margin relation
+        "vocab_coverage_curve",  # 4-row target grid range-joined into
+                                 # the bounded count-of-counts relation
+                                 # (both BNLJ sides constant-size)
     }
     offenders = {}
     for name, fn in m.queries().items():

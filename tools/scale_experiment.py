@@ -142,6 +142,12 @@ QUERIES = [
     # constant posting sizes.
     ("events_mannwhitney_auc", [1, 3, 10]),
     ("text_source_token_tvd", [1, 3, 10]),
+    # session-5 batch 6: coverage-curve vocab grows ∝ N (disjoint
+    # per-copy vocab) but collapses to the count-of-counts relation;
+    # CUSUM's (type × day) relation is constant — only the daily
+    # groupBy grows.
+    ("vocab_coverage_curve", [1, 3, 10]),
+    ("events_cusum_changepoint", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
