@@ -11479,3 +11479,144 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 7: Benford audit, token burstiness
+# ---------------------------------------------------------------------------
+
+# round(1000·log10(1 + 1/d)) for d = 1..9 — precomputed integer
+# literals so both engines use the identical libm-free constants
+_BENFORD_MILLI = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+_BENFORD_CASE = (
+    "CASE first_digit "
+    + " ".join(f"WHEN {d} THEN {m}" for d, m in _BENFORD_MILLI.items())
+    + " END"
+)
+
+
+@register(
+    "orders_benford_deviation",
+    f"""
+    WITH v AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INTEGER) AS first_digit
+        FROM orders
+    ),
+    cnt AS (SELECT first_digit, COUNT(*) AS n_obs FROM v GROUP BY first_digit),
+    tot AS (SELECT COUNT(*) AS n FROM v)
+    SELECT c.first_digit,
+           CAST(c.n_obs AS BIGINT) AS n_obs,
+           CAST((1000 * c.n_obs) // t.n AS BIGINT) AS obs_share_milli,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_share_milli,
+           CAST((1000 * c.n_obs) // t.n - {_BENFORD_CASE} AS BIGINT)
+               AS dev_milli
+    FROM cnt c, tot t
+    ORDER BY c.first_digit
+    """,
+)
+def orders_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic anomaly screen for fabricated or mechanically-generated
+    numeric columns (synthetic/templated data violates the log
+    distribution real multiplicative processes follow; a curation
+    pipeline runs this on numeric metadata before trusting it).
+    Expected shares round(1000·log₁₀(1+1/d)) ship as precomputed
+    integer literals (libm-free on both engines); observed shares and
+    deviations in exact milli units.  First digit reads off the
+    centi-unit integer's decimal string — exact for 2-decimal
+    currency doubles.
+
+    Scale shape: one map projection + ONE map-side-combined
+    groupBy(first_digit) — ≤9 rows out of the heavy aggregate
+    regardless of N; the 1-row total broadcast finishes it."""
+    v = _fan_out(load_testdata(spark, sf_dir, "orders")).select(
+        F.expr(
+            "cast(substring(cast(cast(round(o_totalprice * 100) as bigint)"
+            " as string), 1, 1) as int)"
+        ).alias("first_digit")
+    )
+    cnt = v.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = v.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            F.col("n_obs").cast("bigint"),
+            F.expr("div(1000 * n_obs, n)").cast("bigint").alias("obs_share_milli"),
+            F.expr(_BENFORD_CASE).cast("bigint").alias("benford_share_milli"),
+            F.expr(f"div(1000 * n_obs, n) - ({_BENFORD_CASE})")
+            .cast("bigint")
+            .alias("dev_milli"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+@register(
+    "text_token_burstiness",
+    r"""
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents
+    ),
+    dt AS (SELECT doc_id, tok, COUNT(*) AS x FROM tk GROUP BY doc_id, tok),
+    dd AS (SELECT COUNT(DISTINCT doc_id) AS d FROM tk),
+    ts AS (
+        SELECT tok, SUM(x) AS total, COUNT(*) AS docfreq,
+               SUM(x * x) AS sumsq
+        FROM dt GROUP BY tok
+    ),
+    top AS (
+        SELECT tok, total, docfreq, sumsq
+        FROM ts ORDER BY total DESC, tok LIMIT 50
+    )
+    SELECT t.tok,
+           CAST(t.total AS BIGINT) AS total,
+           CAST(t.docfreq AS BIGINT) AS docfreq,
+           CAST((1000 * (d.d * t.sumsq - t.total * t.total))
+                // (t.total * d.d) AS BIGINT) AS fano_milli
+    FROM top t, dd d
+    ORDER BY total DESC, tok
+    """,
+)
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness via the Fano factor (variance-to-mean ratio of
+    per-document counts, zeros included) for the 50 highest-mass
+    tokens — the Church-Gale observation that content words "burst"
+    (fano ≫ 1: a doc that uses the token uses it repeatedly) while
+    function words spread uniformly (fano ≈ 1, Poisson-like).
+    Curation uses it to separate topical keywords from glue when
+    building quality lexicons and stopword lists.  Integer-exact:
+    fano_milli = 1000·(D·Σx² − T²) // (T·D) — the population
+    variance/mean in common-denominator form; absent-doc zeros enter
+    through D without being materialized.
+
+    Scale shape: ONE map-side-combined groupBy(doc, token), ONE
+    groupBy(token) over it, a 50-row TakeOrderedAndProject (never a
+    global sort), and a 1-row doc-count broadcast."""
+    tk = (
+        _fan_out(load_testdata(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", X.TOKEN_RE)).alias("tok"))
+        .transform(tracked_persist)
+    )
+    dt = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("x"))
+    dd = tk.agg(F.countDistinct("doc_id").alias("d"))
+    ts = dt.groupBy("tok").agg(
+        F.sum("x").alias("total"),
+        F.count(F.lit(1)).alias("docfreq"),
+        F.sum(F.col("x") * F.col("x")).alias("sumsq"),
+    )
+    top = ts.orderBy(F.col("total").desc(), "tok").limit(50)
+    return (
+        top.crossJoin(F.broadcast(dd))
+        .select(
+            "tok",
+            F.col("total").cast("bigint"),
+            F.col("docfreq").cast("bigint"),
+            F.expr("div(1000 * (d * sumsq - total * total), total * d)")
+            .cast("bigint")
+            .alias("fano_milli"),
+        )
+        .orderBy(F.col("total").desc(), "tok")
+    )

@@ -1779,3 +1779,62 @@ def test_cusum_changepoint_differential(spark, sf_smoke):
         assert r["peak_day"] == str(best[1])
         assert r["direction"] == best[2]
         assert r["peak_share_permille"] == (1000 * best[0]) // (n * max(total, 1))
+
+
+def test_benford_deviation_differential(spark, sf_smoke):
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions as QE
+
+    got = {
+        r["first_digit"]: r
+        for r in Q.QUERIES["orders_benford_deviation"](spark, sf_smoke).collect()
+    }
+    t = pq.read_table(
+        os.path.join(sf_smoke, "orders.parquet"), columns=["o_totalprice"]
+    ).to_pandas()
+    digits = Counter(int(str(int(round(p * 100)))[0]) for p in t["o_totalprice"])
+    n = len(t)
+    assert set(got) == set(digits)
+    for d, c in digits.items():
+        r = got[d]
+        assert r["n_obs"] == c
+        assert r["obs_share_milli"] == (1000 * c) // n
+        assert r["benford_share_milli"] == QE._BENFORD_MILLI[d]
+        assert r["dev_milli"] == (1000 * c) // n - QE._BENFORD_MILLI[d]
+
+
+def test_token_burstiness_differential(spark, sf_smoke):
+    """Fano factors recomputed from dense per-doc count vectors
+    (zeros included) — proves the common-denominator shortcut."""
+    import os
+    import re
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+    from sales_azure_data_engineer_project_spark.operators.text import TOKEN_RE
+
+    rows = Q.QUERIES["text_token_burstiness"](spark, sf_smoke).collect()
+    t = pq.read_table(
+        os.path.join(sf_smoke, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    per_tok: dict = defaultdict(list)
+    for _, (doc, text) in enumerate(zip(t["doc_id"], t["text"])):
+        for tok, x in Counter(re.split(TOKEN_RE, text)).items():
+            per_tok[tok].append(x)
+    d = len(t)
+    for r in rows:
+        xs = per_tok[r["tok"]]
+        total, sumsq = sum(xs), sum(x * x for x in xs)
+        assert r["total"] == total and r["docfreq"] == len(xs)
+        # dense check: mean/var over ALL docs including zeros
+        mean_num, mean_den = total, d
+        var_num = d * sumsq - total * total  # d² · population variance
+        assert r["fano_milli"] == (1000 * var_num) // (total * d)
+        # glue words ~Poisson: at least one token should exceed fano 1.0
+    assert any(r["fano_milli"] > 1000 for r in rows), "no bursty token found"

@@ -418,6 +418,10 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "vocab_coverage_curve",  # 4-row target grid range-joined into
                                  # the bounded count-of-counts relation
                                  # (both BNLJ sides constant-size)
+        "orders_benford_deviation",  # 1-row total broadcast onto the
+                                     # 9-digit cell relation
+        "text_token_burstiness",  # 1-row doc-count broadcast onto the
+                                  # 50-row top-k relation
     }
     offenders = {}
     for name, fn in m.queries().items():

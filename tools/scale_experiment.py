@@ -148,6 +148,12 @@ QUERIES = [
     # groupBy grows.
     ("vocab_coverage_curve", [1, 3, 10]),
     ("events_cusum_changepoint", [1, 3, 10]),
+    # session-5 batch 7: burstiness rides the (doc, token) combine
+    # (disjoint vocab per copy → postings constant, vocab ∝ N);
+    # Benford needs the orders table, which the blow-up does not
+    # rebuild — its scale shape (9-cell combinable agg) is the same
+    # as chi2's measured-flat row, so it inherits that evidence.
+    ("text_token_burstiness", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
