@@ -11620,3 +11620,168 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total").desc(), "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 8: rater agreement, CUBE completion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_rater_agreement_kappa",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents
+    ),
+    pred AS (
+        SELECT doc_id,
+               CASE WHEN SUM(CASE WHEN tok IN ('the','a','an','of','and','to',
+                                               'is','in','it','for')
+                             THEN 1 ELSE 0 END) * 20 >= COUNT(*)
+                    THEN 1 ELSE 0 END AS b
+        FROM tok GROUP BY doc_id
+    ),
+    pair AS (
+        SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS a, p.b
+        FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    ),
+    cm AS (
+        SELECT COUNT(*) AS n,
+               SUM(a * b) AS both_en,
+               SUM((1 - a) * (1 - b)) AS both_other,
+               SUM(a * (1 - b)) AS meta_only,
+               SUM((1 - a) * b) AS pred_only
+        FROM pair
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(both_en AS BIGINT) AS both_en,
+           CAST(both_other AS BIGINT) AS both_other,
+           CAST(meta_only AS BIGINT) AS meta_only,
+           CAST(pred_only AS BIGINT) AS pred_only,
+           CAST((1000 * (both_en + both_other)) // n AS BIGINT) AS po_milli,
+           CAST((1000 * ((both_en + meta_only) * (both_en + pred_only)
+                 + (both_other + pred_only) * (both_other + meta_only)))
+                // (n * n) AS BIGINT) AS pe_milli,
+           CAST((1000000 * (n * (both_en + both_other)
+                 - ((both_en + meta_only) * (both_en + pred_only)
+                    + (both_other + pred_only) * (both_other + meta_only))))
+                // (n * n - ((both_en + meta_only) * (both_en + pred_only)
+                    + (both_other + pred_only) * (both_other + meta_only)))
+               AS BIGINT) AS kappa_micro
+    FROM cm
+    """,
+)
+def quality_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two labelers of the same corpus — here
+    the stored ``lang`` metadata (rater A: lang = 'en') and the
+    stopword-ratio heuristic (rater B: ``text_lang_id``'s predicate) —
+    the chance-corrected agreement metric every labeling/weak-
+    supervision pipeline reports before trusting a cheap labeler as a
+    stand-in for an expensive one.  Exact integers in common-
+    denominator form: p_o·n = a+d, p_e·n² = (a+b)(a+c)+(c+d)(b+d),
+    κ_micro = ⌊10⁶·(n(a+d) − pe·n²)/(n² − pe·n²)⌋ — no float division
+    anywhere, bit-identical on both engines.  The full confusion
+    matrix ships alongside so the reader can recompute any agreement
+    metric.
+
+    Scale shape: the corpus-scale work is the ``text_lang_id``
+    per-doc aggregate (one map-side-combined groupBy) + one equi-join
+    back to metadata; everything after is a single 1-row confusion
+    aggregate.  Kappa itself is O(1)."""
+    docs = _fan_out(
+        load_testdata(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    tok = docs.select("doc_id", F.explode(F.split("text", X.TOKEN_RE)).alias("tok"))
+    pred = tok.groupBy("doc_id").agg(
+        F.when(
+            F.sum(F.when(F.col("tok").isin(*X.EN_STOPWORDS), 1).otherwise(0)) * 20
+            >= F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("b")
+    )
+    pair = docs.select(
+        "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("a")
+    ).join(pred, "doc_id")
+    cm = pair.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("both_en"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("both_other"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("meta_only"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("pred_only"),
+    )
+    pe_num = (
+        "((both_en + meta_only) * (both_en + pred_only)"
+        " + (both_other + pred_only) * (both_other + meta_only))"
+    )
+    return cm.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("both_en").cast("bigint"),
+        F.col("both_other").cast("bigint"),
+        F.col("meta_only").cast("bigint"),
+        F.col("pred_only").cast("bigint"),
+        F.expr("div(1000 * (both_en + both_other), n)")
+        .cast("bigint")
+        .alias("po_milli"),
+        F.expr(f"div(1000 * {pe_num}, n * n)").cast("bigint").alias("pe_milli"),
+        F.expr(
+            f"div(1000000 * (n * (both_en + both_other) - {pe_num}),"
+            f" n * n - {pe_num})"
+        )
+        .cast("bigint")
+        .alias("kappa_micro"),
+    )
+
+
+@register(
+    "cube_revenue_by_flag_status",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+               AS INTEGER) AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_centi
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY grouping_id, l_returnflag, l_linestatus
+    """,
+)
+def cube_revenue_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — the remaining member of the grouped-
+    aggregation family next to ``rollup_revenue`` and
+    ``grouping_sets_revenue``: all 2² margin combinations of
+    (returnflag, linestatus) in one pass, with the GROUPING() bitmask
+    distinguishing real NULL-like margins from data values (the
+    ``'ALL'`` coalesce is presentation; grouping_id is the truth).
+    Revenue in exact centi-units (per-row rounding before the integer
+    sum — order-independent on both engines).
+
+    Scale shape: Spark expands CUBE into a single Expand + one
+    map-side-combinable aggregate — one shuffle for all four grouping
+    sets, output bounded by the category-domain product; the same
+    Expand-based plan AQE-sizes at any N."""
+    return (
+        _fan_out(load_testdata(spark, sf_dir, "lineitem"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("grouping_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("revenue_centi"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "grouping_id",
+            "n_items",
+            "revenue_centi",
+        )
+        .orderBy("grouping_id", "l_returnflag", "l_linestatus")
+    )

@@ -1838,3 +1838,67 @@ def test_token_burstiness_differential(spark, sf_smoke):
         assert r["fano_milli"] == (1000 * var_num) // (total * d)
         # glue words ~Poisson: at least one token should exceed fano 1.0
     assert any(r["fano_milli"] > 1000 for r in rows), "no bursty token found"
+
+
+def test_kappa_differential(spark, sf_smoke):
+    """Confusion matrix and κ recomputed exactly in Python."""
+    import os
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+    from sales_azure_data_engineer_project_spark.operators.text import (
+        EN_STOPWORDS,
+        TOKEN_RE,
+    )
+
+    r = Q.QUERIES["quality_rater_agreement_kappa"](spark, sf_smoke).collect()[0]
+    t = pq.read_table(
+        os.path.join(sf_smoke, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    ).to_pandas()
+    sw = set(EN_STOPWORDS)
+    cm = Counter()
+    for lang, text in zip(t["lang"], t["text"]):
+        toks = re.split(TOKEN_RE, text)
+        a = 1 if lang == "en" else 0
+        b = 1 if sum(tok in sw for tok in toks) * 20 >= len(toks) else 0
+        cm[(a, b)] += 1
+    n = len(t)
+    a_, b_, c_, d_ = cm[(1, 1)], cm[(1, 0)], cm[(0, 1)], cm[(0, 0)]
+    assert (r["n_docs"], r["both_en"], r["meta_only"], r["pred_only"], r["both_other"]) == (n, a_, b_, c_, d_)
+    pe_n2 = (a_ + b_) * (a_ + c_) + (d_ + c_) * (d_ + b_)
+    assert r["po_milli"] == (1000 * (a_ + d_)) // n
+    assert r["pe_milli"] == (1000 * pe_n2) // (n * n)
+
+    def tdiv(x: int, y: int) -> int:
+        # both engines' integer div truncates toward zero (κ can be
+        # negative — Python's // floors, so mirror truncation here)
+        q = abs(x) // abs(y)
+        return q if (x >= 0) == (y >= 0) else -q
+
+    assert r["kappa_micro"] == tdiv(1_000_000 * (n * (a_ + d_) - pe_n2), n * n - pe_n2)
+    assert -1_000_000 <= r["kappa_micro"] <= 1_000_000
+
+
+def test_cube_margins_consistent(spark, sf_smoke):
+    """All four grouping sets must be internally consistent: cell rows
+    sum to each margin and to the grand total."""
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    rows = Q.QUERIES["cube_revenue_by_flag_status"](spark, sf_smoke).collect()
+    cells = [r for r in rows if r["grouping_id"] == 0]
+    by_flag = {r["l_returnflag"]: r for r in rows if r["grouping_id"] == 1}
+    by_stat = {r["l_linestatus"]: r for r in rows if r["grouping_id"] == 2}
+    grand = [r for r in rows if r["grouping_id"] == 3]
+    assert len(grand) == 1
+    for margin, key in ((by_flag, "l_returnflag"), (by_stat, "l_linestatus")):
+        for val, m in margin.items():
+            sub = [c for c in cells if c[key] == val]
+            assert m["n_items"] == sum(c["n_items"] for c in sub)
+            assert m["revenue_centi"] == sum(c["revenue_centi"] for c in sub)
+    assert grand[0]["n_items"] == sum(c["n_items"] for c in cells)
+    assert grand[0]["revenue_centi"] == sum(c["revenue_centi"] for c in cells)

@@ -154,6 +154,11 @@ QUERIES = [
     # rebuild — its scale shape (9-cell combinable agg) is the same
     # as chi2's measured-flat row, so it inherits that evidence.
     ("text_token_burstiness", [1, 3, 10]),
+    # session-5 batch 8: kappa rides the lang-id per-doc aggregate
+    # (docs ∝ N, 1-row confusion out); CUBE is one Expand+combine
+    # over the constant category grid.
+    ("quality_rater_agreement_kappa", [1, 3, 10]),
+    ("cube_revenue_by_flag_status", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
