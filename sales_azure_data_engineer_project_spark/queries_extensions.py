@@ -11785,3 +11785,105 @@ def cube_revenue_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grouping_id", "l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 9: mutual-kNN paraphrase mining
+# ---------------------------------------------------------------------------
+
+
+def _mutual_knn_oracle_sql(knn: int = 3) -> str:
+    """DuckDB twin of ``similarity_mutual_knn_pairs``: the shared
+    unrolled-Lloyd cells CTE, directed within-cell top-k by cosine,
+    then the reciprocity self-join."""
+    return _kmeans_cells_cte(k_sql=_K_SCALED_SQL) + f""",
+    sl AS (SELECT c.vec_id, c.cluster, e.v, e.nrm
+           FROM cells c JOIN e ON e.vec_id = c.vec_id),
+    directed AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst, a.cluster,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_raw
+        FROM sl a JOIN sl b ON b.cluster = a.cluster AND b.vec_id != a.vec_id
+    ),
+    knn AS (
+        SELECT * FROM (
+            SELECT src, dst, cluster, cos_raw,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY src
+                        ORDER BY cos_raw DESC, dst) AS INTEGER) AS rk
+            FROM directed)
+        WHERE rk <= {knn}
+    )
+    SELECT CAST(x.src AS BIGINT) AS vec_a,
+           CAST(x.dst AS BIGINT) AS vec_b,
+           CAST(x.cluster AS INTEGER) AS cluster,
+           CAST(CAST(ROUND(x.cos_raw, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim,
+           x.rk AS rk_ab, y.rk AS rk_ba
+    FROM knn x JOIN knn y ON y.src = x.dst AND y.dst = x.src
+    WHERE x.src < x.dst
+    ORDER BY vec_a, vec_b
+    """
+
+
+@register("similarity_mutual_knn_pairs", _mutual_knn_oracle_sql())
+def similarity_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN pair mining — the reciprocal-nearest-neighbor filter
+    behind paraphrase mining, bitext alignment, and RkNN-based
+    hubness correction: keep (a, b) only when b is in a's top-3
+    cosine neighbors AND a is in b's (reciprocity kills asymmetric
+    hub matches that one-directional kNN floods on).  Neighbor search
+    is scoped to the shared SQ8 k-means cells, so the candidate
+    relation is Σ|cluster|² — the SemDeDup-shaped equi-join, never
+    all-pairs — and reciprocity is one self-equi-join on the directed
+    top-k edge list.
+
+    Scale shape: quantizer = the shared driver-bounded Lloyd fit;
+    directed scoring is an equi-join on cluster over slim
+    (id, v, norm) rows; the per-source top-3 window partitions by
+    source vector; the reciprocity join touches ≤ 3·N edges.  k (the
+    cell count) scales with N in the SemDeDup regime to hold cluster
+    sizes: the registered query uses the corpus-scaled k
+    (``_scaled_quantizer_k`` / ``_K_SCALED_SQL``, the SemDeDup
+    contract) — a fixed k=8 measured exponent ~0.96 at 10x in
+    tools/scale_experiment.py, the quadratic creep the scaled k
+    removes.  Cross-cell true mutual pairs are the recall trade the
+    IVF recall gates measure."""
+    cells = _sq8_kmeans_cells(spark, sf_dir, k=None, iters=3)
+    slim = cells.select("vec_id", "cluster", "v", "nrm")
+    a = slim.select(
+        F.col("vec_id").alias("src"),
+        F.col("cluster").alias("cl_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    directed = (
+        slim.join(
+            a, (F.col("cl_a") == F.col("cluster")) & (F.col("src") != F.col("vec_id"))
+        )
+        .withColumn(
+            "cos_raw", S.dot(F.col("va"), F.col("v")) / (F.col("na") * F.col("nrm"))
+        )
+        .select("src", F.col("vec_id").alias("dst"), "cluster", "cos_raw")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("dst").asc())
+    knn = (
+        directed.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .transform(tracked_persist)
+    )
+    back = knn.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("rk").alias("rk_ba"),
+    )
+    return (
+        knn.filter(F.col("src") < F.col("dst"))
+        .join(back, ["src", "dst"])
+        .select(
+            F.col("src").cast("bigint").alias("vec_a"),
+            F.col("dst").cast("bigint").alias("vec_b"),
+            F.col("cluster").cast("int"),
+            F.round("cos_raw", 6).cast("decimal(10,6)").cast("double").alias("cos_sim"),
+            F.col("rk").alias("rk_ab"),
+            "rk_ba",
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1902,3 +1902,32 @@ def test_cube_margins_consistent(spark, sf_smoke):
             assert m["revenue_centi"] == sum(c["revenue_centi"] for c in sub)
     assert grand[0]["n_items"] == sum(c["n_items"] for c in cells)
     assert grand[0]["revenue_centi"] == sum(c["revenue_centi"] for c in cells)
+
+
+def test_mutual_knn_reciprocity_invariants(spark, sf_smoke):
+    """Every pair must be reciprocal within rank 3, symmetric-unique,
+    within-cluster, and cosine-consistent with a direct recompute."""
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    rows = Q.QUERIES["similarity_mutual_knn_pairs"](spark, sf_smoke).collect()
+    assert rows, "no mutual pairs found"
+    seen = set()
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert (r["vec_a"], r["vec_b"]) not in seen
+        seen.add((r["vec_a"], r["vec_b"]))
+        assert 1 <= r["rk_ab"] <= 3 and 1 <= r["rk_ba"] <= 3
+        assert -1.0 <= r["cos_sim"] <= 1.0 + 1e-9
+    # spot-check cosine against a raw numpy recompute for 5 pairs
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(os.path.join(sf_smoke, "embeddings.parquet")).to_pandas()
+    vecs = {int(i): np.asarray(v, dtype=np.float64) for i, v in zip(emb["vec_id"], emb["embedding"])}
+    for r in rows[:5]:
+        a, b = vecs[r["vec_a"]], vecs[r["vec_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r["cos_sim"]) < 1e-5

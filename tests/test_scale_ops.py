@@ -422,6 +422,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                      # 9-digit cell relation
         "text_token_burstiness",  # 1-row doc-count broadcast onto the
                                   # 50-row top-k relation
+        "similarity_mutual_knn_pairs",  # shared _sq8_kmeans_cells 1-row
+                                        # sq8 stats broadcast (as
+                                        # dedup_semantic_semdedup)
     }
     offenders = {}
     for name, fn in m.queries().items():

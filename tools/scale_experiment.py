@@ -159,6 +159,10 @@ QUERIES = [
     # over the constant category grid.
     ("quality_rater_agreement_kappa", [1, 3, 10]),
     ("cube_revenue_by_flag_status", [1, 3, 10]),
+    # session-5 batch 9: within-cell directed scoring — Σ|cluster|²
+    # with fixed k=8 grows ∝ N²/k at constant k (the oracle-replay
+    # pin); the registered SemDeDup regime (k ∝ N) is the 100 TB path.
+    ("similarity_mutual_knn_pairs", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
