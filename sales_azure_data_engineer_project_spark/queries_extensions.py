@@ -11887,3 +11887,108 @@ def similarity_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 10: customer concentration (Gini + HHI)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_concentration_profile",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+        SELECT c.c_mktsegment, s.x
+        FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
+    ),
+    gx AS (SELECT c_mktsegment, x, COUNT(*) AS c FROM seg GROUP BY 1, 2),
+    cum AS (
+        SELECT c_mktsegment, x, c,
+               SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY x) - c
+                   AS cum_before
+        FROM gx
+    ),
+    agg AS (
+        SELECT c_mktsegment,
+               SUM(c) AS n,
+               SUM(x * c) AS s,
+               SUM(x * c * (2 * cum_before + c + 1)) AS two_sum,
+               SUM(x * x * c) AS sumsq
+        FROM cum GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS BIGINT) AS total_dollars,
+           CAST((1000 * (two_sum - (n + 1) * s)) // (n * s) AS BIGINT)
+               AS gini_milli,
+           CAST(floor((1000000.0 * CAST(sumsq AS DOUBLE))
+                / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT)
+               AS hhi_micro
+    FROM agg
+    ORDER BY c_mktsegment
+    """,
+)
+def customer_concentration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile per market segment: the exact
+    Gini coefficient and the Herfindahl-Hirschman index of
+    per-customer spend — the inequality/duopoly audit a pipeline runs
+    on contributor or source concentration ("does one uploader own
+    this shard?") as much as finance runs it on customers.  Gini from
+    grouped data without per-row ranks: for each distinct spend value
+    the doubled rank-sum contribution is x·c·(2·cum_before + c + 1)
+    (the tie-group arithmetic-series closed form), so
+    G = (2Σix − (n+1)S)/(nS) comes out in exact integer milli.  HHI =
+    Σx²/S² uses exact integer Σx² with ONE engine-identical double
+    fold for the final ratio (S² exceeds bigint).
+
+    Scale shape: per-customer totals are ONE map-side-combined
+    groupBy(custkey) (the only corpus-scale shuffle; per-order centi
+    rounding BEFORE the integer sum, the order-independence
+    contract); the segment join is customer-dimension-sized; the
+    grouped-value cumsum runs per segment over the bounded distinct-
+    spend relation — at 100 TB it converts to
+    ``operators/prefixsum.bucketed_cumsum`` exactly as written here."""
+    from .operators.prefixsum import bucketed_cumsum
+
+    spend = (
+        _fan_out(load_testdata(spark, sf_dir, "orders"))
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("div(sum(cast(round(o_totalprice * 100) as bigint)), 100)").alias(
+                "x"
+            )
+        )
+    )
+    cust = load_testdata(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    seg = spend.join(cust, "o_custkey").select("c_mktsegment", "x")
+    gx = seg.groupBy("c_mktsegment", "x").agg(F.count(F.lit(1)).alias("c"))
+    cum = bucketed_cumsum(gx, ["c_mktsegment"], "x", ["c"], bucket_width=10_000).select(
+        "c_mktsegment", "x", "c", (F.col("cum_c") - F.col("c")).alias("cum_before")
+    )
+    agg = cum.groupBy("c_mktsegment").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("x") * F.col("c")).alias("s"),
+        F.sum(
+            F.col("x") * F.col("c") * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).alias("two_sum"),
+        F.sum(F.col("x") * F.col("x") * F.col("c")).alias("sumsq"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("s").cast("bigint").alias("total_dollars"),
+        F.expr("div(1000 * (two_sum - (n + 1) * s), n * s)")
+        .cast("bigint")
+        .alias("gini_milli"),
+        F.expr(
+            "cast(floor((1000000.0 * cast(sumsq as double))"
+            " / (cast(s as double) * cast(s as double))) as bigint)"
+        ).alias("hhi_micro"),
+    ).orderBy("c_mktsegment")

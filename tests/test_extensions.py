@@ -1931,3 +1931,47 @@ def test_mutual_knn_reciprocity_invariants(spark, sf_smoke):
         a, b = vecs[r["vec_a"]], vecs[r["vec_b"]]
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(cos - r["cos_sim"]) < 1e-5
+
+
+def test_concentration_profile_differential(spark, sf_smoke):
+    """Gini via the per-row sorted-rank formula and HHI recomputed in
+    Python — proves the grouped tie-closed-form."""
+    import math
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    got = {
+        r["c_mktsegment"]: r
+        for r in Q.QUERIES["customer_concentration_profile"](spark, sf_smoke).collect()
+    }
+    od = pq.read_table(
+        os.path.join(sf_smoke, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).to_pandas()
+    cu = pq.read_table(
+        os.path.join(sf_smoke, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).to_pandas()
+    seg_of = dict(zip(cu["c_custkey"], cu["c_mktsegment"]))
+    spend: dict = defaultdict(int)
+    for ck, p in zip(od["o_custkey"], od["o_totalprice"]):
+        spend[ck] += int(round(p * 100))
+    per_seg: dict = defaultdict(list)
+    for ck, centi in spend.items():
+        per_seg[seg_of[ck]].append(centi // 100)
+    assert set(got) == set(per_seg)
+    for segn, xs in per_seg.items():
+        xs.sort()
+        n, s = len(xs), sum(xs)
+        two_sum = 2 * sum((i + 1) * x for i, x in enumerate(xs))
+        r = got[segn]
+        assert (r["n_customers"], r["total_dollars"]) == (n, s)
+        assert r["gini_milli"] == (1000 * (two_sum - (n + 1) * s)) // (n * s)
+        sumsq = sum(x * x for x in xs)
+        assert r["hhi_micro"] == math.floor(
+            (1000000.0 * float(sumsq)) / (float(s) * float(s))
+        )
+        assert 0 <= r["gini_milli"] <= 1000

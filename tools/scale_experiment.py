@@ -163,6 +163,11 @@ QUERIES = [
     # with fixed k=8 grows ∝ N²/k at constant k (the oracle-replay
     # pin); the registered SemDeDup regime (k ∝ N) is the 100 TB path.
     ("similarity_mutual_knn_pairs", [1, 3, 10]),
+    # session-5 batch 10: concentration needs orders+customer, which
+    # the blow-up does not rebuild — its corpus-scale stage (one
+    # combinable groupBy(custkey) + dimension join + bounded
+    # per-segment cumsum) matches the measured-flat chi2/priority
+    # shapes and inherits that evidence.
 ]
 WORK = "/tmp/spark_scale_exp"
 
