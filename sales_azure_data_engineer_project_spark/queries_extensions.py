@@ -11992,3 +11992,109 @@ def customer_concentration_profile(spark: SparkSession, sf_dir: str) -> DataFram
             " / (cast(s as double) * cast(s as double))) as bigint)"
         ).alias("hhi_micro"),
     ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 11: late-interaction (MaxSim) retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_maxsim_late_interaction",
+    """
+    WITH tv AS (
+        SELECT vec_id // 8 AS doc_id, vec_id,
+               embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM tv WHERE doc_id < 2),
+    d AS (SELECT * FROM tv WHERE doc_id >= 2),
+    scored AS (
+        SELECT q.doc_id AS query_doc, d.doc_id AS cand_doc,
+               q.vec_id AS q_tok,
+               MAX(list_dot_product(q.v, d.v) / (q.nrm * d.nrm)) AS best
+        FROM q JOIN d ON true
+        GROUP BY q.doc_id, d.doc_id, q.vec_id
+    ),
+    agg AS (
+        SELECT query_doc, cand_doc,
+               CAST(SUM(CAST(floor(best * 1000000) AS BIGINT)) AS BIGINT)
+                   AS maxsim_micro
+        FROM scored GROUP BY query_doc, cand_doc
+    ),
+    rk AS (
+        SELECT query_doc, cand_doc, maxsim_micro,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_doc
+                    ORDER BY maxsim_micro DESC, cand_doc) AS INTEGER) AS rk
+        FROM agg
+    )
+    SELECT CAST(query_doc AS BIGINT) AS query_doc,
+           CAST(cand_doc AS BIGINT) AS cand_doc,
+           maxsim_micro, rk
+    FROM rk WHERE rk <= 5
+    ORDER BY query_doc, rk
+    """,
+)
+def similarity_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval à la ColBERT (Khattab & Zaharia
+    2020): documents and queries are BAGS of token vectors (here the
+    synthetic grouping vec_id//8 — 8 token vectors per doc, the
+    multi-vector layout a real pipeline stores as one row per token
+    embedding), and relevance is MaxSim = Σ_q max_d cos(q_i, d_j) —
+    each query token finds its best document token, so precise term-
+    level matches survive pooling.  The two bounded query docs score
+    against every candidate doc; per-(query-token, cand-doc) maxes are
+    ONE combinable aggregate, the Σ over query tokens another.  Cosine
+    uses the strict-fold double contract; per-token maxes are floored
+    to integer micro BEFORE the sum so the final score is an integer
+    sum of identically-floored terms on both engines (a raw double Σ
+    would be order-dependent).
+
+    Scale shape: the bounded 16-row query-token set broadcasts into a
+    map-only scoring pass over candidate token vectors (never a
+    corpus×corpus join); both aggregates are map-side combinable; the
+    ranking window sees |queries|×|docs| rows.  At production scale
+    the candidate set first passes an ANN tier (the IVF family here)
+    and MaxSim reranks the sliver — exactly how ColBERT deployments
+    stage it."""
+    tv = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings"))).select(
+        F.expr("div(vec_id, 8)").alias("doc_id"),
+        "vec_id",
+        F.col("_v").alias("v"),
+        F.col("_norm").alias("nrm"),
+    )
+    q = tv.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("vec_id").alias("q_tok"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    d = tv.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").alias("cand_doc"), "v", "nrm"
+    )
+    scored = (
+        d.join(F.broadcast(q), F.lit(True))
+        .withColumn(
+            "cos_raw", S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        )
+        .groupBy("query_doc", "cand_doc", "q_tok")
+        .agg(F.max("cos_raw").alias("best"))
+    )
+    agg = scored.groupBy("query_doc", "cand_doc").agg(
+        F.sum(F.expr("cast(floor(best * 1000000) as bigint)")).alias("maxsim_micro")
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.col("maxsim_micro").desc(), F.col("cand_doc").asc()
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("query_doc").cast("bigint"),
+            F.col("cand_doc").cast("bigint"),
+            F.col("maxsim_micro").cast("bigint"),
+            "rk",
+        )
+        .orderBy("query_doc", "rk")
+    )

@@ -1975,3 +1975,43 @@ def test_concentration_profile_differential(spark, sf_smoke):
             (1000000.0 * float(sumsq)) / (float(s) * float(s))
         )
         assert 0 <= r["gini_milli"] <= 1000
+
+
+def test_maxsim_differential(spark, sf_smoke):
+    """MaxSim scores recomputed with numpy: per-query-token best
+    cosine over each candidate doc, floored to micro, summed."""
+    import math
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    rows = Q.QUERIES["similarity_maxsim_late_interaction"](spark, sf_smoke).collect()
+    emb = pq.read_table(os.path.join(sf_smoke, "embeddings.parquet")).to_pandas()
+    vecs = {int(i): np.asarray(v, dtype=np.float64) for i, v in zip(emb["vec_id"], emb["embedding"])}
+    docs: dict = {}
+    for i, v in vecs.items():
+        docs.setdefault(i // 8, []).append(v / np.linalg.norm(v))
+    want: dict = {}
+    for qd in (0, 1):
+        for cd, dvs in docs.items():
+            if cd < 2:
+                continue
+            score = 0
+            for qv in docs[qd]:
+                best = max(float(qv @ dv) for dv in dvs)
+                score += math.floor(best * 1_000_000)
+            want[(qd, cd)] = score
+    assert len(rows) == 10
+    for r in rows:
+        assert r["maxsim_micro"] == want[(r["query_doc"], r["cand_doc"])]
+    for qd in (0, 1):
+        qrows = sorted([r for r in rows if r["query_doc"] == qd], key=lambda r: r["rk"])
+        scores = [r["maxsim_micro"] for r in qrows]
+        assert scores == sorted(scores, reverse=True)
+        top5 = sorted(
+            [s for (q_, c_), s in want.items() if q_ == qd], reverse=True
+        )[:5]
+        assert scores == top5

@@ -425,6 +425,10 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "similarity_mutual_knn_pairs",  # shared _sq8_kmeans_cells 1-row
                                         # sq8 stats broadcast (as
                                         # dedup_semantic_semdedup)
+        "similarity_maxsim_late_interaction",  # bounded 16-row query
+                                               # token set broadcast ×
+                                               # candidate tokens (the
+                                               # ann-recall contract)
     }
     offenders = {}
     for name, fn in m.queries().items():

@@ -168,6 +168,9 @@ QUERIES = [
     # combinable groupBy(custkey) + dimension join + bounded
     # per-segment cumsum) matches the measured-flat chi2/priority
     # shapes and inherits that evidence.
+    # session-5 batch 11: bounded 16-vector query set × candidate
+    # tokens — map-scale, both aggregates combinable.
+    ("similarity_maxsim_late_interaction", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
