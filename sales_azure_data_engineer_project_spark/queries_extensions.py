@@ -12098,3 +12098,87 @@ def similarity_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("query_doc", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 12: one-row dataset card
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dataset_card",
+    r"""
+    WITH d AS (
+        SELECT doc_id, text, lang, source,
+               len(string_split_regex(text, '\s+')) AS n_toks,
+               md5(text) AS h
+        FROM documents
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(n_toks) AS n_tokens,
+               COUNT(DISTINCT source) AS n_sources,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT h) AS n_unique_texts,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+               MIN(n_toks) AS min_doc_tokens,
+               MAX(n_toks) AS max_doc_tokens
+        FROM d
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(n_docs - n_unique_texts AS BIGINT) AS n_exact_dup_docs,
+           CAST((1000 * (n_docs - n_unique_texts)) // n_docs AS BIGINT)
+               AS dup_rate_milli,
+           CAST((1000 * n_en) // n_docs AS BIGINT) AS en_share_milli,
+           CAST((1000 * n_tokens) // n_docs AS BIGINT) AS mean_doc_tokens_milli,
+           CAST(min_doc_tokens AS BIGINT) AS min_doc_tokens,
+           CAST(max_doc_tokens AS BIGINT) AS max_doc_tokens
+    FROM agg
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card — the summary block a curated release
+    ships (HuggingFace dataset cards, Datasheets for Datasets, Gebru
+    et al. 2021): corpus size in docs/tokens, source and language
+    breadth, exact-duplicate mass (docs minus distinct content
+    hashes), English share, and doc-length extremes/mean — every
+    number integer-exact.  The detailed per-dimension reports are the
+    sibling queries (quality stats, lang distribution, dup tiers,
+    mixture plans); this is the cover sheet a reviewer reads first.
+
+    Scale shape: ONE scan, ONE aggregate — the distinct-counts are
+    Spark partial-aggregated (Expand for multi-distinct), everything
+    else is map-side-combined; output is a single row."""
+    d = _fan_out(
+        load_testdata(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+    ).select(
+        "lang",
+        "source",
+        F.size(F.split("text", X.TOKEN_RE)).alias("n_toks"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("h"))
+        .cast("bigint")
+        .alias("n_exact_dup_docs"),
+        F.expr("div(1000 * (count(1) - count(distinct h)), count(1))")
+        .cast("bigint")
+        .alias("dup_rate_milli"),
+        F.expr("div(1000 * sum(case when lang = 'en' then 1 else 0 end), count(1))")
+        .cast("bigint")
+        .alias("en_share_milli"),
+        F.expr("div(1000 * sum(n_toks), count(1))")
+        .cast("bigint")
+        .alias("mean_doc_tokens_milli"),
+        F.min("n_toks").cast("bigint").alias("min_doc_tokens"),
+        F.max("n_toks").cast("bigint").alias("max_doc_tokens"),
+    )

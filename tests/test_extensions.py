@@ -2015,3 +2015,29 @@ def test_maxsim_differential(spark, sf_smoke):
             [s for (q_, c_), s in want.items() if q_ == qd], reverse=True
         )[:5]
         assert scores == top5
+
+
+def test_dataset_card_differential(spark, sf_smoke):
+    import hashlib
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+    from sales_azure_data_engineer_project_spark.operators.text import TOKEN_RE
+
+    r = Q.QUERIES["pipeline_dataset_card"](spark, sf_smoke).collect()[0]
+    t = pq.read_table(os.path.join(sf_smoke, "documents.parquet")).to_pandas()
+    toks = [len(re.split(TOKEN_RE, x)) for x in t["text"]]
+    hashes = {hashlib.md5(x.encode()).hexdigest() for x in t["text"]}
+    n = len(t)
+    assert r["n_docs"] == n
+    assert r["n_tokens"] == sum(toks)
+    assert r["n_sources"] == t["source"].nunique()
+    assert r["n_langs"] == t["lang"].nunique()
+    assert r["n_exact_dup_docs"] == n - len(hashes)
+    assert r["dup_rate_milli"] == (1000 * (n - len(hashes))) // n
+    assert r["en_share_milli"] == (1000 * int((t["lang"] == "en").sum())) // n
+    assert r["mean_doc_tokens_milli"] == (1000 * sum(toks)) // n
+    assert (r["min_doc_tokens"], r["max_doc_tokens"]) == (min(toks), max(toks))
