@@ -164,7 +164,7 @@ def main() -> None:
     # baseline) so later rounds that add queries don't inflate the
     # headline number against a smaller-set baseline.
     comparables = {}
-    for rn in ("r2", "r3", "r4", "r5"):
+    for rn in ("r2", "r3", "r4", "r5", "r6"):
         base_path = os.path.join(here, f"bench_baseline_{rn}.json")
         if os.path.exists(base_path):
             with open(base_path) as f:
