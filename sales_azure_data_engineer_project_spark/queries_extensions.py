@@ -12182,3 +12182,125 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_toks").cast("bigint").alias("min_doc_tokens"),
         F.max("n_toks").cast("bigint").alias("max_doc_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 13: sketch-based join-size estimation
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket_sql(row: int, keycol: str, w: int) -> str:
+    h = f"md5(concat('{row}#', CAST({keycol} AS VARCHAR)))"
+    return f"({_hexat(h, 1, 8)} % {w})"
+
+
+@register(
+    "stats_join_size_estimate",
+    f"""
+    WITH keys AS (
+        SELECT 'l_partkey' AS column_name, l_partkey AS k FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ),
+    exact AS (
+        SELECT column_name, SUM(f * f) AS exact_selfjoin
+        FROM (SELECT column_name, k, COUNT(*) AS f FROM keys GROUP BY 1, 2)
+        GROUP BY column_name
+    ),
+    probes AS (
+        SELECT column_name, r,
+               CASE r {" ".join(f"WHEN {i} THEN {_cms_bucket_sql(i, 'k', 4096)}" for i in range(4))} END AS bucket
+        FROM keys, (SELECT unnest([0, 1, 2, 3]) AS r)
+    ),
+    cnt AS (
+        SELECT column_name, r, bucket, COUNT(*) AS c
+        FROM probes GROUP BY 1, 2, 3
+    ),
+    inner_prod AS (
+        SELECT column_name, r, SUM(c * c) AS ip FROM cnt GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT column_name, MIN(ip) AS cms_estimate FROM inner_prod
+        GROUP BY column_name
+    )
+    SELECT e.column_name,
+           CAST(x.exact_selfjoin AS BIGINT) AS exact_selfjoin,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST((1000 * (e.cms_estimate - x.exact_selfjoin))
+                // x.exact_selfjoin AS BIGINT) AS overcount_permille
+    FROM est e JOIN exact x ON x.column_name = e.column_name
+    ORDER BY e.column_name
+    """,
+)
+def stats_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based equi-join cardinality estimation (Alon-Matias-
+    Szegedy lineage; the CMS inner-product form of Cormode-
+    Muthukrishnan) — the planner-side question "how big will this
+    self-join on key k get?" answered from two constant-size
+    summaries: |A ⋈_k B| = Σ_k f_A(k)·f_B(k), estimated by the
+    inner product of the sides' count-min rows (min over d=4
+    independent rows of Σ_b cntA[b]·cntB[b]), which NEVER
+    underestimates — exactly the conservatism a skew-aware planner
+    wants before choosing salting or a broadcast.  Run here for the
+    lineitem self-join on partkey and suppkey next to the exact
+    Σf², with the realized overcount.  All md5-bucket integer
+    arithmetic, bit-identical on both engines.
+
+    Scale shape: the sketch build is ONE map-side-combined
+    groupBy(column, row, bucket) — ≤ d·w = 16,384 counters per column
+    out of the heavy aggregate regardless of N — and the inner
+    product runs on the counter relation.  The exact Σf² twin is the
+    sf-bounded calibrator.  At 100 TB the per-side sketches persist
+    with table stats and any join's size estimate is a 16k-element
+    dot product."""
+    keys = _fan_out(
+        load_testdata(spark, sf_dir, "lineitem").selectExpr(
+            "stack(2, 'l_partkey', l_partkey, 'l_suppkey', l_suppkey)"
+            " as (column_name, k)"
+        )
+    ).transform(tracked_persist)
+    exact = (
+        keys.groupBy("column_name", "k")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .groupBy("column_name")
+        .agg(F.sum(F.col("f") * F.col("f")).alias("exact_selfjoin"))
+    )
+    probes = keys.select(
+        "column_name",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        F.expr(
+                            f"pmod(cast(conv(substring(md5(cast(concat('{i}#',"
+                            f" cast(k as string)) as binary)), 1, 8), 16, 10)"
+                            f" as bigint), 4096)"
+                        ).alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("column_name", F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+    cnt = probes.groupBy("column_name", "r", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    est = (
+        cnt.groupBy("column_name", "r")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("ip"))
+        .groupBy("column_name")
+        .agg(F.min("ip").alias("cms_estimate"))
+    )
+    return (
+        est.join(F.broadcast(exact), "column_name")
+        .select(
+            "column_name",
+            F.col("exact_selfjoin").cast("bigint"),
+            F.col("cms_estimate").cast("bigint"),
+            F.expr("div(1000 * (cms_estimate - exact_selfjoin), exact_selfjoin)")
+            .cast("bigint")
+            .alias("overcount_permille"),
+        )
+        .orderBy("column_name")
+    )

@@ -2041,3 +2041,40 @@ def test_dataset_card_differential(spark, sf_smoke):
     assert r["en_share_milli"] == (1000 * int((t["lang"] == "en").sum())) // n
     assert r["mean_doc_tokens_milli"] == (1000 * sum(toks)) // n
     assert (r["min_doc_tokens"], r["max_doc_tokens"]) == (min(toks), max(toks))
+
+
+def test_join_size_estimate_differential(spark, sf_smoke):
+    """Exact Σf², the CMS inner product (min over 4 md5 rows), and the
+    never-underestimates guarantee recomputed in Python."""
+    import hashlib
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    got = {
+        r["column_name"]: r
+        for r in Q.QUERIES["stats_join_size_estimate"](spark, sf_smoke).collect()
+    }
+    t = pq.read_table(
+        os.path.join(sf_smoke, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    ).to_pandas()
+    for col in ("l_partkey", "l_suppkey"):
+        ks = [int(x) for x in t[col]]
+        f = Counter(ks)
+        exact = sum(v * v for v in f.values())
+        ips = []
+        for row in range(4):
+            buckets = Counter(
+                int(hashlib.md5(f"{row}#{k}".encode()).hexdigest()[:8], 16) % 4096
+                for k in ks
+            )
+            ips.append(sum(c * c for c in buckets.values()))
+        r = got[col]
+        assert r["exact_selfjoin"] == exact
+        assert r["cms_estimate"] == min(ips)
+        assert r["cms_estimate"] >= exact, "CMS inner product must not underestimate"
+        assert r["overcount_permille"] == (1000 * (min(ips) - exact)) // exact

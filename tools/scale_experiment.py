@@ -171,6 +171,9 @@ QUERIES = [
     # session-5 batch 11: bounded 16-vector query set × candidate
     # tokens — map-scale, both aggregates combinable.
     ("similarity_maxsim_late_interaction", [1, 3, 10]),
+    # session-5 batch 13: sketch build is one combinable groupBy with
+    # ≤ d·w counters out per column; exact side one groupBy(key).
+    ("stats_join_size_estimate", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
