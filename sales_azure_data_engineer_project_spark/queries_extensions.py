@@ -12304,3 +12304,116 @@ def stats_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 14: RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+def _rfm_score_ctes(dim: str, col: str) -> str:
+    """DuckDB CTE pair scoring one RFM dimension: competition-rank
+    quintiles from the value-grouped cumsum (no per-row rank)."""
+    return f"""
+    g_{dim} AS (SELECT {col} AS v, COUNT(*) AS c FROM rfm GROUP BY 1),
+    s_{dim} AS (
+        SELECT v, 1 + (5 * (SUM(c) OVER (ORDER BY v) - c)) // (SELECT COUNT(*) FROM rfm)
+                   AS score
+        FROM g_{dim}
+    )"""
+
+
+@register(
+    "customers_rfm_segments",
+    f"""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               -datediff('day', MAX(CAST(o_orderdate AS DATE)), mxd) AS r_neg,
+               COUNT(*) AS f,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS m
+        FROM orders, mx GROUP BY o_custkey, mxd
+    ),
+    {_rfm_score_ctes("r", "r_neg")},
+    {_rfm_score_ctes("f", "f")},
+    {_rfm_score_ctes("m", "m")},
+    scored AS (
+        SELECT sr.score AS r_score, sf.score AS f_score, sm.score AS m_score,
+               x.f, x.m
+        FROM rfm x
+        JOIN s_r sr ON sr.v = x.r_neg
+        JOIN s_f sf ON sf.v = x.f
+        JOIN s_m sm ON sm.v = x.m
+    )
+    SELECT CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(f) AS BIGINT) AS n_orders,
+           CAST(SUM(m) AS BIGINT) AS total_dollars
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic recency/frequency/
+    monetary scoring every retention stack runs (and a template for
+    any 3-axis quantile segmentation, e.g. doc length × quality ×
+    novelty in a curation pipeline).  Each dimension gets a 1-5
+    competition-rank quintile: ties share the score of the group's
+    FIRST rank, computed as 1 + ⌊5·cum_before/n⌋ from the
+    value-grouped cumulative counts — deterministic on both engines,
+    no per-row ranking, no ntile.  Recency scores through the negated
+    day-gap so "more recent" = higher score on the shared ascending
+    rule.  Output: the populated (r, f, m) segment grid with customer/
+    order/revenue mass per cell.
+
+    Scale shape: per-customer rollup is ONE map-side-combined
+    groupBy(custkey); each dimension's quintile map is a cumsum over
+    the BOUNDED value-grouped relation (day gaps / order counts /
+    dollar totals) — the oracle's global window runs there, and the
+    Spark side uses `bucketed_cumsum` in single-series mode on the
+    same bounded relation; scores come back via three broadcast
+    equi-joins on the value."""
+    from .operators.prefixsum import bucketed_cumsum
+
+    mx = _fan_out(load_testdata(spark, sf_dir, "orders")).select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("centi"),
+    )
+    mxd = mx.agg(F.max("od").alias("mxd"))
+    rfm = (
+        mx.crossJoin(F.broadcast(mxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("-min(datediff(mxd, od))").alias("r_neg"),
+            F.count(F.lit(1)).alias("f"),
+            F.expr("div(sum(centi), 100)").alias("m"),
+        )
+        .transform(tracked_persist)
+    )
+    n = rfm.count()
+
+    def score_map(col: str, width: int) -> DataFrame:
+        g = rfm.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        return bucketed_cumsum(g, [], "v", ["c"], bucket_width=width).select(
+            F.col("v").alias(col),
+            (1 + F.expr(f"div(5 * (cum_c - c), {n})")).cast("int").alias(f"{col[0]}_score"),
+        )
+    # negated day gaps span ~-2400..0; counts 1..~40; dollars ~0..6e6
+    scored = (
+        rfm.join(F.broadcast(score_map("r_neg", 100)), "r_neg")
+        .join(F.broadcast(score_map("f", 8)), "f")
+        .join(F.broadcast(score_map("m", 10_000)), "m")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("f").cast("bigint").alias("n_orders"),
+            F.sum("m").cast("bigint").alias("total_dollars"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -2078,3 +2078,61 @@ def test_join_size_estimate_differential(spark, sf_smoke):
         assert r["cms_estimate"] == min(ips)
         assert r["cms_estimate"] >= exact, "CMS inner product must not underestimate"
         assert r["overcount_permille"] == (1000 * (min(ips) - exact)) // exact
+
+
+def test_rfm_segments_differential(spark, sf_smoke):
+    """Per-customer R/F/M and competition-rank quintiles recomputed in
+    Python; segment grid must match cell-for-cell."""
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: F401 (registers)
+
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): r
+        for r in Q.QUERIES["customers_rfm_segments"](spark, sf_smoke).collect()
+    }
+    t = pq.read_table(
+        os.path.join(sf_smoke, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).to_pandas()
+    days = t["o_orderdate"].dt.normalize()
+    mxd = days.max()
+    per: dict = defaultdict(lambda: [None, 0, 0])
+    for ck, d, p in zip(t["o_custkey"], days, t["o_totalprice"]):
+        e = per[ck]
+        gap = (mxd - d).days
+        e[0] = gap if e[0] is None else min(e[0], gap)
+        e[1] += 1
+        e[2] += int(round(p * 100))
+    rows = [(-gap, f, centi // 100) for gap, f, centi in per.values()]
+    n = len(rows)
+
+    def quint(vals):
+        order = sorted(set(vals))
+        cum = 0
+        score = {}
+        from collections import Counter
+
+        cnt = Counter(vals)
+        for v in order:
+            score[v] = 1 + (5 * cum) // n
+            cum += cnt[v]
+        return score
+
+    sr = quint([r[0] for r in rows])
+    sf_ = quint([r[1] for r in rows])
+    sm = quint([r[2] for r in rows])
+    want: dict = defaultdict(lambda: [0, 0, 0])
+    for rneg, f, m in rows:
+        key = (sr[rneg], sf_[f], sm[m])
+        w = want[key]
+        w[0] += 1
+        w[1] += f
+        w[2] += m
+    assert set(got) == set(want)
+    for key, (nc, no, td) in want.items():
+        r = got[key]
+        assert (r["n_customers"], r["n_orders"], r["total_dollars"]) == (nc, no, td)

@@ -429,6 +429,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                                # token set broadcast ×
                                                # candidate tokens (the
                                                # ann-recall contract)
+        "customers_rfm_segments",  # 1-row max-date broadcast into the
+                                   # per-customer rollup
     }
     offenders = {}
     for name, fn in m.queries().items():
