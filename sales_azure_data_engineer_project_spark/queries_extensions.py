@@ -12417,3 +12417,86 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5 batch 15: exact token-budget apportionment
+# ---------------------------------------------------------------------------
+
+_APPORTION_BUDGET = 100_000
+
+
+@register(
+    "pipeline_token_budget_apportion",
+    rf"""
+    WITH tk AS (
+        SELECT source, len(string_split_regex(text, '\s+')) AS n
+        FROM documents
+    ),
+    s AS (SELECT source, SUM(n) AS n_tokens FROM tk GROUP BY source),
+    t AS (SELECT SUM(n_tokens) AS total FROM s),
+    q AS (
+        SELECT source, n_tokens,
+               ({_APPORTION_BUDGET} * n_tokens) // t.total AS quota,
+               ({_APPORTION_BUDGET} * n_tokens) % t.total AS rem
+        FROM s, t
+    ),
+    short AS (SELECT {_APPORTION_BUDGET} - SUM(quota) AS k FROM q),
+    rk AS (
+        SELECT source, n_tokens, quota,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS r
+        FROM q
+    )
+    SELECT rk.source,
+           CAST(rk.n_tokens AS BIGINT) AS n_tokens,
+           CAST(rk.quota AS BIGINT) AS floor_quota,
+           CAST(CASE WHEN rk.r <= short.k THEN 1 ELSE 0 END AS INTEGER)
+               AS got_extra,
+           CAST(rk.quota + CASE WHEN rk.r <= short.k THEN 1 ELSE 0 END
+               AS BIGINT) AS allocation
+    FROM rk, short
+    ORDER BY rk.source
+    """,
+)
+def pipeline_token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional token-budget apportionment by the largest-
+    remainder (Hamilton) method: each source's floor quota
+    ⌊B·tᵢ/T⌋ plus one extra token for the B − Σ⌊·⌋ largest
+    remainders (ties to the lexicographically-first source) — the
+    allocation sums to the budget EXACTLY, which naive per-source
+    rounding never guarantees.  This is the "give each source its
+    fair share of a 10 B-token budget" step a mixture plan hands to
+    the sampler (complementing the temperature/UniMax weighting
+    queries, which decide the shares; this one makes them integral).
+
+    Scale shape: per-source token mass is ONE map-side-combined
+    aggregate; quotas/remainders/the ranking window all run on the
+    |sources|-bounded relation.  Nothing downstream of the first
+    groupBy touches corpus-sized data."""
+    tk = _fan_out(load_testdata(spark, sf_dir, "documents")).select(
+        "source", F.size(F.split("text", X.TOKEN_RE)).alias("n")
+    )
+    s = tk.groupBy("source").agg(F.sum("n").alias("n_tokens"))
+    t = s.agg(F.sum("n_tokens").alias("total"))
+    q = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"div({_APPORTION_BUDGET} * n_tokens, total)").alias("quota"),
+        F.expr(f"({_APPORTION_BUDGET} * n_tokens) % total").alias("rem"),
+    )
+    short = q.agg((F.lit(_APPORTION_BUDGET) - F.sum("quota")).alias("k"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    rk = q.withColumn("r", F.row_number().over(w))
+    return (
+        rk.crossJoin(F.broadcast(short))
+        .select(
+            "source",
+            F.col("n_tokens").cast("bigint"),
+            F.col("quota").cast("bigint").alias("floor_quota"),
+            F.when(F.col("r") <= F.col("k"), 1).otherwise(0).cast("int").alias("got_extra"),
+            (F.col("quota") + F.when(F.col("r") <= F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("allocation"),
+        )
+        .orderBy("source")
+    )

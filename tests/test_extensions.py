@@ -2136,3 +2136,36 @@ def test_rfm_segments_differential(spark, sf_smoke):
     for key, (nc, no, td) in want.items():
         r = got[key]
         assert (r["n_customers"], r["n_orders"], r["total_dollars"]) == (nc, no, td)
+
+
+def test_apportionment_sums_to_budget(spark, sf_smoke):
+    """Hamilton allocations must sum EXACTLY to the budget, respect
+    floor quotas, and match a Python recompute."""
+    import os
+    import re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+    from sales_azure_data_engineer_project_spark import queries_core as Q
+    from sales_azure_data_engineer_project_spark import queries_extensions as QE
+    from sales_azure_data_engineer_project_spark.operators.text import TOKEN_RE
+
+    rows = Q.QUERIES["pipeline_token_budget_apportion"](spark, sf_smoke).collect()
+    B = QE._APPORTION_BUDGET
+    assert sum(r["allocation"] for r in rows) == B
+    t = pq.read_table(
+        os.path.join(sf_smoke, "documents.parquet"), columns=["source", "text"]
+    ).to_pandas()
+    mass: dict = defaultdict(int)
+    for src, text in zip(t["source"], t["text"]):
+        mass[src] += len(re.split(TOKEN_RE, text))
+    total = sum(mass.values())
+    quotas = {s: (B * m) // total for s, m in mass.items()}
+    rems = sorted(mass, key=lambda s: (-((B * mass[s]) % total), s))
+    k = B - sum(quotas.values())
+    extra = set(rems[:k])
+    for r in rows:
+        assert r["n_tokens"] == mass[r["source"]]
+        assert r["floor_quota"] == quotas[r["source"]]
+        assert r["got_extra"] == (1 if r["source"] in extra else 0)
+        assert r["allocation"] == quotas[r["source"]] + r["got_extra"]

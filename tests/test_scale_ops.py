@@ -431,6 +431,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                                # ann-recall contract)
         "customers_rfm_segments",  # 1-row max-date broadcast into the
                                    # per-customer rollup
+        "pipeline_token_budget_apportion",  # 1-row total + 1-row
+                                            # shortfall broadcast onto
+                                            # the |sources| relation
     }
     offenders = {}
     for name, fn in m.queries().items():
