@@ -44,157 +44,75 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (quantizer k now scales with corpus size instead of fixed k=8) and
 # similarity_ann_ivf (held weak-pending-remeasure in VERDICT r4).
 _PRIORITY = [
-    # --- 29 never-driver-checked (round-4 + round-5 additions; the
-    # first nine are the round-5 session-2 additions: asymmetric
-    # containment dedup, DSIR importance weighting, hashed linear
-    # quality classifier, per-domain adaptive thresholds, the PQ
-    # recall gate, the filter-ablation report, chunk-level boilerplate
-    # detection, the MinHash containment-estimator calibration, and
-    # power-iteration PCA — all check_oracle-green at three SFs) ---
-    # --- round-5 session-4 additions (check_oracle-green at 3 SFs:
-    # hard-negative mining, k-anonymity audit, temperature mixture,
-    # sequence packing, BM25 retrieval, tokenizer fertility) ---
-    "similarity_hard_negatives",
-    "stats_bootstrap_ci",
-    "quality_metadata_consistency",
-    "quality_knn_label_noise",
-    "embedding_outliers_topk",
-    "quality_k_anonymity",
-    "sample_temperature_mixture",
-    "pipeline_sequence_packing",
-    "text_bm25_topk",
-    "text_tokenizer_fertility",
-    # --- round-5 session-3 additions (check_oracle-green at 3 SFs) ---
-    "text_ccnet_perplexity_buckets",
-    "quantile_sketch_bottomk",
-    "pipeline_global_shuffle",
-    "pipeline_curriculum_order",
-    "pipeline_unimax_language_budget",
-    "dedup_cross_source_matrix",
-    "quality_score_calibration",
-    "dedup_shingle_containment",
-    "text_dsir_importance",
-    "text_quality_classifier_hashed",
-    "quality_adaptive_thresholds",
-    "ann_recall_pq",
-    "pipeline_filter_ablation",
-    "text_boilerplate_chunks",
-    "dedup_minhash_containment_estimate",
-    "embedding_pca_power_iteration",
-    "ann_recall_ivf",
-    "dedup_minhash_estimate_calibration",
-    "pipeline_contamination_report",
-    "ann_recall_multiprobe",
-    "dedup_cluster_representatives",
-    "similarity_ann_ivf_pq",
-    # --- round-5 session-5 additions (check_oracle-green at 3 SFs:
-    # hybrid RRF retrieval fusion, Bloom decontamination pre-filter,
-    # greedy k-center coreset, HLL distinct sketch) ---
-    "text_hybrid_rrf_topk",
-    "pipeline_bloom_decontam",
-    "sample_coreset_kcenter",
-    "approx_distinct_hll",
-    "dedup_graph_pagerank",
-    "dedup_lsh_recall_sampled",
-    "embedding_cluster_quality",
-    "events_asof_next_purchase",
-    "events_resample_gapfill",
-    "events_robust_anomalies_mad",
-    "events_scd2_user_history",
-    "events_value_histogram",
-    "events_watermark_late_stats",
-    "pipeline_data_mixture_epochs",
-    "pipeline_full_train_prep",
-    "similarity_matryoshka_agreement",
-    "text_gopher_quality_rules",
-    "text_ngram_novelty",
-    # --- 21 canaries: one per proven family (all r1-r4 green; the
-    # trimmed six — max_order_key, similarity_ann_pq (its full chain
-    # runs inside similarity_ann_ivf_pq), pivot_returnflag_status,
-    # union_segments (unionByName exercised inside the funnel and
-    # segment queries), q19_disjunctive_predicates (TPC-H family still
-    # canaried by q3 + q5), derived_columns (derive/cast operators are
-    # exercised implicitly by nearly every query) — are multiply-proven
-    # and untouched) ---
-    # --- session-5 window decision: the four remaining canary slots go
-    # to never-checked queries instead, making the window EXACTLY the
-    # 50 queries without any driver CORRECTNESS row — after this round
-    # every one of the 186 registered queries has a driver row (the
-    # r4 VERDICT's #1 "Done" criterion, full-ledger closure).  The four
-    # trimmed: flagship_revenue_by_nation_year (still smoke-run every
-    # round via entry(); green r4, untouched), dedup_minhash_lsh
-    # (green r4; the r4 perf-watch was cleared by the session-3
-    # interleaved A/B, NOTES.md), dedup_semantic_semdedup and
-    # similarity_ann_ivf (both CHANGED in session 2 — k∝N quantizer —
-    # so their r4 rows predate the change; the changed code is
-    # check_oracle-green at sf0.001/0.01/0.1 — re-swept this session —
-    # plan-hygiene green, and pytest-covered, which is the same
-    # driver-faithful evidence the r4 judge accepted for the 14
-    # round-4 queries).
-    # (pricing_summary, customers_with_orders, top_orders,
-    # window_rank_suite, q3_shipping_priority, text_span_dup_stats
-    # trimmed with the session-4 window squeeze: all green r4 rows and
-    # untouched since; their families stay canaried by flagship +
-    # q5 (joins/aggs/sorts), the six never-checked events_* window
-    # entries (window functions), and dedup_minhash_lsh /
-    # text_boilerplate_chunks (span/text dedup).)
-    # (dim_dense_keys and q5_supplier_volume_by_region trimmed when
-    # the two label-quality queries entered: both green r4 and
-    # untouched; TPC-H joins stay canaried by flagship.)
-    # (grouping_sets_revenue trimmed with the session-2 batch-3 window
-    # squeeze: rollup/grouping-sets green r1-r4 and untouched.)
-    # (json_functions trimmed with the session-2 batch-3 window
-    # squeeze: json family green r1-r4 and untouched.)
-    # (stats_aggregates_exact trimmed with the session-3 batch-2
-    # squeeze: the stats family is canaried by quantile_sketch_bottomk
-    # and approx_distinct_stats in the window; green r1-r4, untouched.)
-    # (null_safe_equality trimmed with the session-2 batch-3 window
-    # squeeze: null-semantics green r1-r4 and untouched.)
-    # (events_sessionization trimmed with the session-3 batch-2
-    # squeeze: six never-checked events_* queries plus window_rank_suite
-    # canary the events/window families; green r1-r4, untouched.)
-    # (events_asof_last_purchase trimmed with the session-2 window
-    # squeeze: the as-of family is canaried by events_asof_next_purchase
-    # above.)
-    # (events_funnel trimmed with the session-3 window squeeze: the
-    # events family carries seven window entries — sessionization plus
-    # the six never-checked events_* above — and funnel is green r1-r4
-    # and untouched.)
-    # (text_quality_stats trimmed with the session-2 window squeeze:
-    # the text-quality family is canaried by text_gopher_quality_rules
-    # plus the three new quality queries above.)
-    # (text_trigram_lm_score trimmed with the session-3 window squeeze:
-    # the trigram-LM familiarity chain runs verbatim inside
-    # text_ccnet_perplexity_buckets above.)
-    # (dedup_exact trimmed with the session-2 window squeeze: the
-    # exact-dedup operator runs inside pipeline_full_train_prep and
-    # pipeline_contamination_report above.)
-    # (similarity_ann_ivf_kmeans trimmed with the session-3 batch-2
-    # squeeze: the IVF family is canaried by similarity_ann_ivf,
-    # similarity_ann_ivf_pq, and ann_recall_ivf in the window.)
-    # (multimodal_features and approx_distinct_stats trimmed when the
-    # bootstrap-CI + metadata-audit queries entered: both green r4
-    # rows, untouched since.)
-    # (pipeline_decontaminate trimmed with the session-3 window
-    # squeeze: the decontamination operator runs inside
-    # pipeline_full_train_prep and pipeline_contamination_report,
-    # both in the window above.)
-    # (vocab_bpe_merges trimmed with the session-3 window squeeze: the
-    # BPE family has a green r4 driver row via vocab_bpe_encode, whose
-    # chain replays the merges; merges itself green r3 and untouched.)
-    # (trimmed to keep the window at exactly 50 when the four
-    # session-2 additions entered: dedup_clusters — CC loop unchanged,
-    # green r4, machinery exercised by dedup_graph_pagerank above;
-    # ann_recall_at_k — recall-gate family canaried by ann_recall_ivf
-    # + ann_recall_multiprobe; sample_domain_quota — sampling family
-    # canaried by pipeline_data_mixture_epochs; all multiply-proven.)
-    # --- session-5 batch-2+ additions (approx_set_ops_kmv,
-    # stats_ks_two_sample, ...) are deliberately NOT in this window:
-    # the 50 slots stay pinned to the full-ledger-closure set above
-    # (VERDICT r4 "Next" #1).  The post-closure additions carry
-    # tri-SF check_oracle + pytest + plan-hygiene evidence this round
-    # (the same class the r4 judge re-ran and accepted) and rotate
-    # into the round-6 window. ---
+    # ---- ROUND-6 WINDOW ----------------------------------------------
+    # Slots 1-21: the 21 session-5 post-closure additions that have
+    # NEVER had a driver CORRECTNESS row (VERDICT r5 "Next" #1 — all 21
+    # were independently re-run green by the r5 judge; this rotation
+    # closes the ledger so every registered query carries a driver
+    # row).  events_decayed_engagement additionally CHANGED this round
+    # (v_milli clamped non-negative per ADVICE r5, making truncate-vs-
+    # floor division parity explicit), so its row is also a post-change
+    # canary.
+    "approx_set_ops_kmv",
+    "stats_ks_two_sample",
+    "sample_priority_topk",
+    "approx_distinct_hll_merged",
+    "stats_chi2_independence",
+    "events_decayed_engagement",
+    "events_mannwhitney_auc",
+    "text_source_token_tvd",
+    "vocab_coverage_curve",
+    "events_cusum_changepoint",
+    "orders_benford_deviation",
+    "text_token_burstiness",
+    "quality_rater_agreement_kappa",
+    "cube_revenue_by_flag_status",
+    "similarity_mutual_knn_pairs",
+    "customer_concentration_profile",
+    "similarity_maxsim_late_interaction",
+    "pipeline_dataset_card",
+    "stats_join_size_estimate",
+    "customers_rfm_segments",
+    "pipeline_token_budget_apportion",
+    # Slots 22-23: changed-implementation canaries (VERDICT r5 "Next"
+    # #2) — both were edited in round 5 (corpus-scaled quantizer k)
+    # AFTER their latest driver rows (r4/r2); these slots give the
+    # post-change code fresh driver rows.
+    "dedup_semantic_semdedup",
+    "similarity_ann_ivf",
+    # Slots 24-50: one-per-family staleness canaries, oldest latest-row
+    # first (r1 rows have gone four rounds unre-checked), so regressions
+    # in multiply-proven code still surface.  Round-6 additions displace
+    # canaries from the BOTTOM of this list as they register (newest
+    # queries always need a first row more than an r2 canary needs a
+    # sixth).
+    "q6_forecast_revenue",
+    "q10_returned_item_losses",
+    "events_latest_per_user",
+    "events_json_extract",
+    "date_functions",
+    "map_functions",
+    "array_regex_functions",
+    "full_outer_nation_presence",
+    "rollup_revenue",
+    "posexplode_tokens",
+    "range_band_join",
+    "cross_join_region_priority",
+    "price_percentiles",
+    "orders_of_overdrawn_customers",
+    "customers_without_orders",
+    "segments_intersect_except",
+    "dedup_clusters",
+    "text_chunking",
+    "similarity_cosine_topk",
+    "dedup_ngram_jaccard",
+    "sample_stratified_deterministic",
+    "grouped_map_normalize",
+    "vocab_top_tokens",
+    "pipeline_pack_sequences",
+    "q2_min_cost_supplier",
+    "approx_distinct_kmv",
+    "multimodal_features",
 ]
 
 

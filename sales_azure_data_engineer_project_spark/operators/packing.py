@@ -93,12 +93,20 @@ def packing_report(assigned: DataFrame, *, budget: int) -> DataFrame:
     """Per-shard packing summary over ``pack_first_fit_decreasing``
     output: bin count, token mass, fill rate (permille of bin
     capacity used), and overflow count — the numbers compared against
-    concat-and-chop's fill/straddle trade."""
+    concat-and-chop's fill/straddle trade.
+
+    An overflow doc occupies one bin marked completely full, so its
+    fill contribution is capped at ``budget`` (not its raw token
+    count) — fill_permille stays in [0, 1000] even when oversize docs
+    exist, keeping the rate comparable against concat-and-chop's."""
     bins = assigned.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
         (F.max("bin_idx") + 1).alias("n_bins"),
         F.sum(F.when(F.col("overflow"), 1).otherwise(0)).alias("n_overflow"),
+        F.sum(
+            F.when(F.col("overflow"), F.lit(int(budget))).otherwise(F.col("n_tok"))
+        ).alias("fill_tokens"),
     )
     return bins.select(
         "shard",
@@ -106,7 +114,7 @@ def packing_report(assigned: DataFrame, *, budget: int) -> DataFrame:
         "n_tokens",
         "n_bins",
         "n_overflow",
-        F.expr(f"div(1000 * n_tokens, {int(budget)} * n_bins)").alias(
+        F.expr(f"div(1000 * fill_tokens, {int(budget)} * n_bins)").alias(
             "fill_permille"
         ),
     ).orderBy("shard")

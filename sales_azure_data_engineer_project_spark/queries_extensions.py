@@ -10989,7 +10989,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events),
     ev AS (
         SELECT event_type,
-               CAST(round(value * 1000) AS BIGINT) AS v_milli,
+               greatest(CAST(round(value * 1000) AS BIGINT), 0) AS v_milli,
                least(datediff('day', CAST(ts AS DATE), mxd), 210) AS age_days
         FROM events, mx
     ),
@@ -11016,7 +11016,10 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights (yesterday's signal counts more than last quarter's).
     Each event's value decays by halving per half-life elapsed
     (dyadic decay: weight = v ≫ ⌊age/halflife⌋ — integer-exact on
-    both engines, no libm), reported at 7-day and 30-day half-lives
+    both engines, no libm; v_milli is clamped non-negative so
+    Spark's truncating div() and DuckDB's flooring // agree by
+    construction, not by data invariant), reported at 7-day and
+    30-day half-lives
     per event type, with the count of events still contributing at
     the 7-day rate.  Ages cap at 210 days so the shift stays in
     bigint range; a production variant uses the standard
@@ -11033,7 +11036,7 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev0.crossJoin(F.broadcast(mx))
         .select(
             "event_type",
-            F.expr("cast(round(value * 1000) as bigint)").alias("v_milli"),
+            F.expr("greatest(cast(round(value * 1000) as bigint), 0)").alias("v_milli"),
             F.expr("least(datediff(mxd, cast(ts as date)), 210)").alias("age_days"),
         )
         .select(

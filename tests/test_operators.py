@@ -215,3 +215,7 @@ def test_ffd_packing_invariants_and_beats_singleton(spark):
         assert rep[shard]["n_overflow"] == sum(
             1 for r in out if r["shard"] == shard and r["overflow"]
         )
+        # overflow docs count at most `budget` toward fill, so the
+        # rate stays a true in-[0,1000] bin-utilization figure even on
+        # shard 0 (one 5000-token oversize doc against B=512 bins)
+        assert 0 <= rep[shard]["fill_permille"] <= 1000

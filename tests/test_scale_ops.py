@@ -312,13 +312,101 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
     assert got == {1: "ten", 2: "twenty", 3: None}
 
 
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    """Mechanically extract Window nodes with NO partition spec from a
+    physical-plan string (the ``WindowExec: No Partition Defined``
+    hazard — a single-task global sort at scale).
+
+    Format facts (verified empirically on Spark 4.1): a Window node
+    prints ``Window [funcs], [partSpec], [orderSpec]`` when both specs
+    exist, but drops empty groups, so bracket-counting cannot separate
+    "partitioned, no order" from "ordered, no partition".  The reliable
+    signal is inside ``windowspecdefinition(...)``: its args are
+    partition columns (bare), then order columns (carrying ``ASC`` /
+    ``DESC``), then the ``specifiedwindowframe(...)``.  A window is
+    unpartitioned iff no bare arg precedes the frame."""
+    import re
+
+    out = []
+    for line in plan.splitlines():
+        s = re.sub(r"^[\s:+\-*()]*", "", line)
+        if not s.startswith("Window "):
+            continue
+        i = 0
+        flagged = False
+        while not flagged:
+            j = s.find("windowspecdefinition(", i)
+            if j < 0:
+                break
+            k = j + len("windowspecdefinition(")
+            depth, args, cur = 1, [], ""
+            while depth and k < len(s):
+                ch = s[k]
+                if ch == "(":
+                    depth += 1
+                    cur += ch
+                elif ch == ")":
+                    depth -= 1
+                    if depth:
+                        cur += ch
+                elif ch == "," and depth == 1:
+                    args.append(cur.strip())
+                    cur = ""
+                else:
+                    cur += ch
+                k += 1
+            if cur.strip():
+                args.append(cur.strip())
+            pre = [a for a in args if not a.startswith("specifiedwindowframe(")]
+            if not [a for a in pre if " ASC" not in a and " DESC" not in a]:
+                out.append(s[:160])
+                flagged = True
+            i = k
+    return out
+
+
+def test_unpartitioned_window_detector():
+    """The detector itself: catches a per-row global running sum and a
+    global row_number, does NOT flag partitioned windows (with or
+    without an order spec)."""
+    good_part_order = (
+        "Window [sum(x#1L) windowspecdefinition(g#2L, x#1L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS c#3L], [g#2L], [x#1L ASC NULLS FIRST]"
+    )
+    good_part_only = (
+        "Window [min(cost#1) windowspecdefinition(p_partkey#2L, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS m#3], [p_partkey#2L]"
+    )
+    bad_global_sum = (
+        "Window [sum(id#0L) windowspecdefinition(id#0L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS c#2L], [id#0L ASC NULLS FIRST]"
+    )
+    bad_global_agg = (
+        "Window [sum(n#0L) windowspecdefinition(specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), unboundedfollowing$())) AS t#2L]"
+    )
+    plan = "\n".join(
+        f"   +- {l}" for l in (good_part_order, good_part_only, bad_global_sum, bad_global_agg)
+    )
+    hits = _unpartitioned_window_lines(plan)
+    assert len(hits) == 2
+    assert any("sum(id#0L)" in h for h in hits)
+    assert any("sum(n#0L)" in h for h in hits)
+
+
 def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
     """Fleet-wide plan hygiene over EVERY registered query: no
     CartesianProduct anywhere, row-at-a-time Python UDFs (BatchEvalPython)
     banned from all plans (Arrow tiers — ArrowEvalPython / mapInPandas /
-    FlatMapGroupsInPandas — are the only allowed Python boundaries), and
+    FlatMapGroupsInPandas — are the only allowed Python boundaries),
     BroadcastNestedLoopJoin only where a non-equi join is the point and
-    the build side is constant-sized (allowlisted)."""
+    the build side is constant-sized (allowlisted), and — VERDICT r5
+    "Next" #3 — Window nodes with NO partition spec (single-task global
+    sort at scale) only above relations whose size is bounded by an
+    aggregate, never per-row (allowlisted with the bounding relation)."""
     import __spark_entry__ as m
 
     sf = "/root/testdata/sf0.001"
@@ -435,6 +523,30 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                             # shortfall broadcast onto
                                             # the |sources| relation
     }
+    # Unpartitioned windows: every entry must name the BOUNDED relation
+    # the global window runs over (always an aggregate output, never the
+    # raw corpus) — the 100 TB justification for a single-task sort.
+    global_window_ok = {
+        "events_mannwhitney_auc",  # prefixsum.bucketed_cumsum level 2:
+                                   # cumsum over |buckets| bucket TOTALS
+                                   # (an aggregate), not over rows
+        "customers_rfm_segments",  # 3× the same bucketed_cumsum level-2
+                                   # shape (R/F/M quintile cutpoints)
+        "vocab_coverage_curve",  # cumsum over the count-of-counts
+                                 # relation (bounded by distinct token
+                                 # frequencies, ≪ vocab ≪ corpus)
+        "pipeline_token_budget_apportion",  # row_number over the
+                                            # |sources| relation (5 rows;
+                                            # largest-remainder ranking)
+        "pipeline_global_shuffle",  # offset cumsum over the 16-shard
+                                    # inventory (groupBy(shard) output)
+        "pipeline_curriculum_order",  # cumsum over the per-difficulty
+                                      # count grid (groupBy output,
+                                      # bounded by |distinct scores|)
+        "pipeline_unimax_language_budget",  # water-fill rank over the
+                                            # per-language inventory
+                                            # (groupBy(lang) output)
+    }
     offenders = {}
     for name, fn in m.queries().items():
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
@@ -445,6 +557,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
             bad.append("row-at-a-time PythonUDF")
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             bad.append("unexpected BNLJ")
+        gw = _unpartitioned_window_lines(plan)
+        if gw and name not in global_window_ok:
+            bad.append(f"unpartitioned window: {gw[0][:80]}")
         if bad:
             offenders[name] = bad
     assert not offenders, f"plan hygiene violations: {offenders}"
