@@ -111,8 +111,14 @@ _PRIORITY = [
     "vocab_top_tokens",
     "pipeline_pack_sequences",
     "q2_min_cost_supplier",
-    "approx_distinct_kmv",
-    "multimodal_features",
+    # Round-6 additions / changed implementations (displaced the
+    # approx_distinct_kmv + multimodal_features canaries, both green r4
+    # and untouched): the planted-hot-band capped-LSH query is NEW, and
+    # pipeline_full_train_prep's LSH stage now runs hot_bucket_cap=64
+    # (drop-set-identical to all-pairs — see the funnel comment — but a
+    # changed plan needs a fresh driver row).
+    "dedup_lsh_hot_bucket_capped",
+    "pipeline_full_train_prep",
 ]
 
 

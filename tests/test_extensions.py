@@ -2169,3 +2169,33 @@ def test_apportionment_sums_to_budget(spark, sf_smoke):
         assert r["floor_quota"] == quotas[r["source"]]
         assert r["got_extra"] == (1 if r["source"] in extra else 0)
         assert r["allocation"] == quotas[r["source"]] + r["got_extra"]
+
+
+def test_registered_capped_lsh_star_shape(spark):
+    """The registered hot-bucket query (dedup_lsh_hot_bucket_capped)
+    actually exercises star emission: the planted boilerplate (all even
+    doc_ids) collapses into one bucket per band, so the hub (min even
+    id) pairs with every other even doc across BOTH bands, and no
+    even-even pair bypasses the hub."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["dedup_lsh_hot_bucket_capped"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    import duckdb
+
+    n_even, hub = duckdb.sql(
+        "SELECT count(*), min(doc_id) FROM "
+        "'/root/testdata/sf0.001/documents.parquet' WHERE doc_id % 2 = 0"
+    ).fetchone()
+    star = [r for r in rows if r["id_a"] == hub]
+    assert len(star) == n_even - 1
+    assert all(r["shared_bands"] == 2 for r in star)  # identical docs: both bands
+    assert {r["id_b"] % 2 for r in star} == {0}
+    # star, not clique: every even-even pair goes through the hub
+    assert not [
+        r for r in rows
+        if r["id_a"] % 2 == 0 and r["id_b"] % 2 == 0 and r["id_a"] != hub
+    ]
+    # cold (odd-id) docs still deduplicate via exact all-pairs
+    assert all(r["id_a"] < r["id_b"] for r in rows)
