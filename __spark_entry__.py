@@ -109,8 +109,6 @@ _PRIORITY = [
     "sample_stratified_deterministic",
     "grouped_map_normalize",
     "vocab_top_tokens",
-    "pipeline_pack_sequences",
-    "q2_min_cost_supplier",
     # Round-6 additions / changed implementations (displaced the
     # approx_distinct_kmv + multimodal_features canaries, both green r4
     # and untouched): the planted-hot-band capped-LSH query is NEW, and
@@ -119,6 +117,11 @@ _PRIORITY = [
     # changed plan needs a fresh driver row).
     "dedup_lsh_hot_bucket_capped",
     "pipeline_full_train_prep",
+    # (batch 2, displacing the pipeline_pack_sequences +
+    # q2_min_cost_supplier canaries — r3-green, untouched; their
+    # families stay canaried by pipeline_full_train_prep and q6/q10)
+    "events_retention_cohorts",
+    "pipeline_shard_checksum",
 ]
 
 

@@ -110,8 +110,59 @@ def main() -> None:
     # median discards both the codegen-compile-laden first run and any
     # one load spike.
     _MEDIAN_OF = 3
+
+    # --- Stratified rotation (round-6, VERDICT r5 "Next" #7) -----------
+    # 200+ queries × median-of-3 ≈ 5 min and growing ~50 queries/round.
+    # Per run: ALWAYS measure the headline set (the comparable-ratio
+    # anchors) and this round's new/changed queries; rotate ONE of three
+    # md5-hash strata of the stable ledger (full coverage every 3 runs).
+    # Ratios stay computable because the comparable blocks below report
+    # the BASELINE subtotal over the same measured subset, not just ours.
+    # SPARK_GRAFT_BENCH_FULL=1 restores the full suite (baseline
+    # snapshots, regression sweeps).
+    _HEADLINE_SET = (
+        "flagship_revenue_by_nation_year",
+        "pricing_summary",
+        "q3_shipping_priority",
+        "q5_supplier_volume_by_region",
+        "dedup_minhash_lsh",
+        "similarity_ann_ivf",
+    )
+    _ROUND_ALWAYS = {
+        # new or changed-implementation this round — every run measures
+        # them so regressions surface before the next rotation
+        "dedup_lsh_hot_bucket_capped",
+        "pipeline_full_train_prep",
+        "events_decayed_engagement",
+    }
+    import hashlib
+
+    def _stratum_of(n: str) -> int:
+        return int(hashlib.md5(n.encode()).hexdigest(), 16) % 3
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    full_run = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
+    prior_stratum = -1
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                prior_stratum = int(json.load(f).get("stratum", -1))
+        except Exception:
+            prior_stratum = -1
+    stratum = (prior_stratum + 1) % 3
+    registry = entry_mod.queries()
+    selected = {
+        name: fn
+        for name, fn in registry.items()
+        if full_run
+        or name in _HEADLINE_SET
+        or name in _ROUND_ALWAYS
+        or _stratum_of(name) == stratum
+    }
+
     timings: dict[str, float] = {}
-    for qi, (name, fn) in enumerate(entry_mod.queries().items()):
+    for qi, (name, fn) in enumerate(selected.items()):
         if qi and qi % 25 == 0:
             probes.append(_probe())
         runs: list[float] = []
@@ -145,42 +196,44 @@ def main() -> None:
     # recorded parsed=null.  The stdout contract line stays compact —
     # total plus the handful of headline queries — and the full per-query
     # detail goes to BENCH_DETAIL.json next to this script.
-    headline = {
-        k: timings[k]
-        for k in (
-            "flagship_revenue_by_nation_year",
-            "pricing_summary",
-            "q3_shipping_priority",
-            "q5_supplier_volume_by_region",
-            "dedup_minhash_lsh",
-            "similarity_ann_ivf",
-        )
-        if k in timings
-    }
-    here = os.path.dirname(os.path.abspath(__file__))
-    # Cross-round comparability (NOTES.md contract): alongside the
-    # full-suite total, report the total over exactly the query set that
-    # round 2 benchmarked (bench_baseline_r2.json, the recorded
-    # baseline) so later rounds that add queries don't inflate the
-    # headline number against a smaller-set baseline.
+    headline = {k: timings[k] for k in _HEADLINE_SET if k in timings}
+    # Cross-round comparability (NOTES.md contract): report the total
+    # over exactly the intersection of what THIS run measured and what
+    # each recorded baseline measured, PLUS the baseline's subtotal over
+    # that same intersection — under stratified rotation the measured
+    # subset varies per run, so the pairwise ratio (total / base) is the
+    # comparable number, not the raw total against a full-suite figure.
     comparables = {}
     for rn in ("r2", "r3", "r4", "r5", "r6"):
         base_path = os.path.join(here, f"bench_baseline_{rn}.json")
         if os.path.exists(base_path):
             with open(base_path) as f:
-                base_queries = set(json.load(f)["queries"])
+                base_queries = json.load(f)["queries"]
             common = [n for n in timings if n in base_queries]
             if common:
-                comparables[f"{rn}_comparable_total"] = round(
-                    sum(timings[n] for n in common), 3
-                )
-    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+                ours = sum(timings[n] for n in common)
+                comparables[f"{rn}_comparable_total"] = round(ours, 3)
+                # r3's snapshot stored names only (list) — no per-query
+                # baseline times, so no subset-matched base/ratio there
+                if isinstance(base_queries, dict):
+                    theirs = sum(base_queries[n] for n in common)
+                    comparables[f"{rn}_comparable_base"] = round(theirs, 3)
+                    if theirs > 0:
+                        comparables[f"{rn}_comparable_ratio"] = round(
+                            ours / theirs, 3
+                        )
+    strata_info = {
+        "stratum": "full" if full_run else stratum,
+        "benched": len(timings),
+        "registered": len(registry),
+    }
     with open(detail_path, "w") as f:
         json.dump(
             {"metric": "headline_queries_total",
              "value": round(sum(timings.values()), 3),
              "unit": "sec", "queries": timings, "sf": sf_val,
              "median_of": _MEDIAN_OF,
+             **strata_info,
              **load,
              **comparables},
             f, indent=1,
@@ -194,6 +247,7 @@ def main() -> None:
                 "queries": headline,
                 "sf": sf_val,
                 "median_of": _MEDIAN_OF,
+                **strata_info,
                 **load,
                 **comparables,
             }

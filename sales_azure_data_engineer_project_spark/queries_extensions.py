@@ -12594,3 +12594,185 @@ def dedup_lsh_hot_bucket_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(bands, "doc_id", hot_bucket_cap=16).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 2: cohort retention, shard reproducibility checksums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH anchor AS (SELECT MIN(CAST(ts AS DATE)) AS a0 FROM events),
+    firstp AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS fp
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    cohorted AS (
+        SELECT f.user_id, f.fp,
+               datediff('day', x.a0, f.fp) // 7 AS cohort_week
+        FROM firstp f, anchor x
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS n_cohort
+        FROM cohorted GROUP BY cohort_week
+    ),
+    act AS (
+        SELECT c.cohort_week,
+               datediff('day', c.fp, CAST(e.ts AS DATE)) // 7 AS week_since,
+               e.user_id
+        FROM events e JOIN cohorted c ON c.user_id = e.user_id
+        WHERE CAST(e.ts AS DATE) >= c.fp
+    ),
+    ret AS (
+        SELECT cohort_week, week_since,
+               COUNT(DISTINCT user_id) AS n_active
+        FROM act GROUP BY cohort_week, week_since
+    )
+    SELECT CAST(r.cohort_week AS BIGINT) AS cohort_week,
+           CAST(r.week_since AS BIGINT) AS week_since,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST((1000 * r.n_active) // s.n_cohort AS BIGINT) AS retention_permille
+    FROM ret r JOIN sizes s ON s.cohort_week = r.cohort_week
+    ORDER BY cohort_week, week_since
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the standard product-analytics
+    rollup (users cohorted by first-purchase week; each cell is the
+    share of the cohort still active N weeks later), and the shape
+    behind data-freshness curves for training-corpus recency mixing.
+    Week indexes are floor day-diffs over a global min-date anchor —
+    exact integers on both engines.
+
+    Scale shape: first-purchase is ONE map-side-combinable
+    groupBy(user); the anchor is a 1-row broadcast; activity re-joins
+    events on user_id (equi, AQE-sized) and collapses through a
+    two-phase COUNT(DISTINCT user) per (cohort, week) cell — the
+    distinct expands to an exact partial-agg pipeline, never a window.
+    Output is bounded by cohorts × weeks, not events."""
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    )
+    anchor = ev.agg(F.min("d").alias("a0"))
+    firstp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("d").alias("fp"))
+    )
+    cohorted = firstp.crossJoin(F.broadcast(anchor)).select(
+        "user_id", "fp", F.expr("div(datediff(fp, a0), 7)").alias("cohort_week")
+    )
+    sizes = cohorted.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    act = (
+        ev.join(cohorted, "user_id")
+        .filter(F.col("d") >= F.col("fp"))
+        .select(
+            "cohort_week",
+            F.expr("div(datediff(d, fp), 7)").alias("week_since"),
+            "user_id",
+        )
+    )
+    ret = act.groupBy("cohort_week", "week_since").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return (
+        ret.join(sizes, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("bigint"),
+            F.col("week_since").cast("bigint"),
+            F.col("n_cohort").cast("bigint"),
+            F.col("n_active").cast("bigint"),
+            F.expr("div(1000 * n_active, n_cohort)")
+            .cast("bigint")
+            .alias("retention_permille"),
+        )
+        .orderBy("cohort_week", "week_since")
+    )
+
+
+@register(
+    "pipeline_shard_checksum",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, text, length(text) AS n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, n_chars,
+               {_HEX12} % 16 AS shard,
+               md5(CAST(doc_id AS VARCHAR) || ':' || text) AS ch
+        FROM keyed
+    ),
+    dig AS (
+        SELECT shard, doc_id, n_chars,
+               ({_HEX12.replace("substr(h,", "substr(ch,")}) % 4294967296 AS d32
+        FROM sharded
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           CAST(SUM(d32) AS BIGINT) AS checksum_sum,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM dig GROUP BY shard ORDER BY shard
+    """,
+)
+def pipeline_shard_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard content checksums — the reproducibility audit a
+    training pipeline runs after every rerun/migration: two shard sets
+    are byte-identical iff their (count, char mass, content checksum)
+    triples match, WITHOUT sorting or pairwise comparison.  The
+    checksum is the SUM of per-doc 32-bit digests (md5 of id:text), a
+    commutative aggregate — order-independent by construction, exact
+    bigint on both engines (2^32 · rows stays far under 2^63), and
+    duplicate-sensitive where plain XOR would silently cancel repeated
+    rows.
+
+    Scale shape: pure map (md5 per doc) + ONE map-side-combinable
+    groupBy(shard) with O(|shards|) output.  At 100 TB this is the
+    cheapest possible full-corpus integrity pass — one scan, no
+    shuffle beyond 16 partial rows per task."""
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    keyed = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")).cast(
+                "binary"
+            )
+        ).alias("ch"),
+    )
+    dig = keyed.select(
+        "doc_id",
+        "n_chars",
+        (F.expr("cast(conv(substring(h, 1, 12), 16, 10) as bigint)") % 16).alias(
+            "shard"
+        ),
+        (
+            F.expr("cast(conv(substring(ch, 1, 12), 16, 10) as bigint)") % 4294967296
+        ).alias("d32"),
+    )
+    return (
+        dig.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+            F.sum("d32").cast("bigint").alias("checksum_sum"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .select(
+            F.col("shard").cast("bigint"),
+            "n_docs",
+            "n_chars_total",
+            "checksum_sum",
+            "min_doc_id",
+            "max_doc_id",
+        )
+        .orderBy("shard")
+    )

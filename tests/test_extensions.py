@@ -2199,3 +2199,86 @@ def test_registered_capped_lsh_star_shape(spark):
     ]
     # cold (odd-id) docs still deduplicate via exact all-pairs
     assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_retention_cohorts_differential(spark):
+    """events_retention_cohorts vs a plain-Python cohort computation on
+    a hand-built frame (purchases define cohorts; pre-first-purchase
+    activity excluded; week cells are floor-7-day buckets)."""
+    import datetime as dt
+
+    import __spark_entry__ as m
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # user 1: purchase day 0, active days 0,3,8,20
+    # user 2: purchase day 8, active days 1 (pre-purchase), 8, 9, 22
+    # user 3: never purchases (views only) -> excluded
+    for uid, days, types in [
+        (1, [0, 3, 8, 20], ["purchase", "view", "view", "click"]),
+        (2, [1, 8, 9, 22], ["view", "purchase", "view", "click"]),
+        (3, [2, 5], ["view", "view"]),
+    ]:
+        for d, ty in zip(days, types):
+            rows.append((len(rows), base + dt.timedelta(days=d, hours=3), uid, ty, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = [
+            tuple(r)
+            for r in m.queries()["events_retention_cohorts"](spark, td).collect()
+        ]
+    # anchor = day 0.  user1: cohort_week 0, active weeks 0 (d0,d3), 1 (d8), 2 (d20)
+    # user2: first purchase d8 -> cohort_week 1, active weeks 0 (d8,d9), 2 (d22)
+    expect = [
+        (0, 0, 1, 1, 1000),
+        (0, 1, 1, 1, 1000),
+        (0, 2, 1, 1, 1000),
+        (1, 0, 1, 1, 1000),
+        (1, 2, 1, 1, 1000),
+    ]
+    assert got == expect
+
+
+def test_shard_checksum_differential_and_rerun_invariance(spark):
+    """pipeline_shard_checksum vs hashlib on the real sf0.001 corpus,
+    plus the property the operator exists for: the checksum triple is
+    identical across reruns and insensitive to input row order."""
+    import hashlib
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["shard"]: r for r in m.queries()["pipeline_shard_checksum"](spark, sf).collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    exp: dict = {}
+    for doc_id, text in docs:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        shard = int(h[:12], 16) % 16
+        d32 = int(hashlib.md5(f"{doc_id}:{text}".encode()).hexdigest()[:12], 16) % 4294967296
+        s = exp.setdefault(shard, [0, 0, 0, None, None])
+        s[0] += 1
+        s[1] += len(text)
+        s[2] += d32
+        s[3] = doc_id if s[3] is None else min(s[3], doc_id)
+        s[4] = doc_id if s[4] is None else max(s[4], doc_id)
+    assert set(got) == set(exp)
+    for shard, (n, chars, ck, mn, mx) in exp.items():
+        r = got[shard]
+        assert (r["n_docs"], r["n_chars_total"], r["checksum_sum"]) == (n, chars, ck)
+        assert (r["min_doc_id"], r["max_doc_id"]) == (mn, mx)
+    # rerun invariance (the audit contract): second run, same triples
+    again = {
+        r["shard"]: (r["n_docs"], r["n_chars_total"], r["checksum_sum"])
+        for r in m.queries()["pipeline_shard_checksum"](spark, sf).collect()
+    }
+    assert again == {
+        s: (r["n_docs"], r["n_chars_total"], r["checksum_sum"]) for s, r in got.items()
+    }

@@ -522,6 +522,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "pipeline_token_budget_apportion",  # 1-row total + 1-row
                                             # shortfall broadcast onto
                                             # the |sources| relation
+        "events_retention_cohorts",  # 1-row global min-date anchor
+                                     # broadcast onto first-purchases
     }
     # Unpartitioned windows: every entry must name the BOUNDED relation
     # the global window runs over (always an aggregate output, never the
