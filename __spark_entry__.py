@@ -18,31 +18,12 @@ from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: 
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# The driver verifies the FIRST 50 registered queries.  Session-4
-# update: the 6 session-4 additions join the front of the window (42
-# never-driver-checked + 8 canaries; the never-checked set is every
-# round-4/5 addition, all check_oracle-green at three SFs).  After
-# round 4, 136 of the then-165 registered queries have green driver
-# CORRECTNESS rows
-# (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04, latest row green for each — 137
-# checked minus the demoted dedup_lsh_recall); this round-5 order
-# front-loads the 29 queries the driver has NEVER checked (the 14
-# round-4 additions — each already green under the judge's independent
-# driver-faithful re-run, VERDICT.md r4 — plus the 15 round-5
-# additions: ann_recall_multiprobe, similarity_ann_ivf_pq,
-# dedup_cluster_representatives, ann_recall_ivf,
-# pipeline_contamination_report, dedup_minhash_estimate_calibration,
-# dedup_shingle_containment, text_dsir_importance,
-# text_quality_classifier_hashed, quality_adaptive_thresholds,
-# ann_recall_pq, pipeline_filter_ablation, text_boilerplate_chunks,
-# dedup_minhash_containment_estimate, embedding_pca_power_iteration —
-# all check_oracle-green at three SFs), followed by 21 canaries chosen
-# one-per-family from multiply-proven queries so regressions in
-# already-green code still surface.  Two
-# canaries are deliberately queries whose implementation CHANGES this
-# round and thus need a fresh driver row: dedup_semantic_semdedup
-# (quantizer k now scales with corpus size instead of fixed k=8) and
-# similarity_ann_ivf (held weak-pending-remeasure in VERDICT r4).
+# The driver verifies the FIRST 50 registered queries.  After round 5,
+# 186 of the 207 then-registered queries carry green driver CORRECTNESS
+# rows (latest row green for every one); the round-6 window below
+# closes the remaining 21, re-canaries the two queries whose
+# implementation changed after their latest rows, front-loads every
+# round-6 addition, and spends the rest on oldest-row family canaries.
 _PRIORITY = [
     # ---- ROUND-6 WINDOW ----------------------------------------------
     # Slots 1-21: the 21 session-5 post-closure additions that have
@@ -103,12 +84,7 @@ _PRIORITY = [
     "customers_without_orders",
     "segments_intersect_except",
     "dedup_clusters",
-    "text_chunking",
-    "similarity_cosine_topk",
-    "dedup_ngram_jaccard",
-    "sample_stratified_deterministic",
     "grouped_map_normalize",
-    "vocab_top_tokens",
     # Round-6 additions / changed implementations (displaced the
     # approx_distinct_kmv + multimodal_features canaries, both green r4
     # and untouched): the planted-hot-band capped-LSH query is NEW, and
@@ -122,6 +98,17 @@ _PRIORITY = [
     # families stay canaried by pipeline_full_train_prep and q6/q10)
     "events_retention_cohorts",
     "pipeline_shard_checksum",
+    # (batch 3, displacing the sample_stratified_deterministic +
+    # vocab_top_tokens canaries — their families are already canaried
+    # in slots 1-21 by sample_priority_topk and vocab_coverage_curve)
+    "events_markov_transitions",
+    "pipeline_incremental_manifest",
+    # (batch 4, displacing dedup_ngram_jaccard + text_chunking +
+    # similarity_cosine_topk canaries — dedup/similarity are the most
+    # heavily canaried families in slots 1-23 already)
+    "quality_simpson_diversity",
+    "pipeline_skew_report",
+    "vocab_oov_rate_by_source",
 ]
 
 

@@ -12776,3 +12776,394 @@ def pipeline_shard_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 3: Markov transitions, incremental snapshot manifest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type,
+           CAST(p.n AS BIGINT) AS n,
+           CAST(t.n_from AS BIGINT) AS n_from,
+           CAST((1000 * p.n) // t.n_from AS BIGINT) AS prob_permille
+    FROM pairs p JOIN tot t ON t.from_type = p.from_type
+    ORDER BY p.from_type, p.to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral fingerprint behind next-action
+    prediction features and bot detection (a scraper's view→view→view
+    loop vs organic view→click→purchase mixing).  Transition
+    probabilities as exact floor permille of each source state's
+    out-count; sequence order is (ts, event_id) so ties break
+    identically on both engines.
+
+    Scale shape: ONE window partitioned by user_id (users sort
+    independently — at 100 TB this is a hash Exchange(user) + per-user
+    sort, never global), collapsing immediately to a ≤|types|² cell
+    relation; everything after is arithmetic on the bounded grid."""
+    ev = load_testdata(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint"),
+            F.col("n_from").cast("bigint"),
+            F.expr("div(1000 * n, n_from)").cast("bigint").alias("prob_permille"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "pipeline_incremental_manifest",
+    f"""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+        FROM documents WHERE doc_id % 31 != 0
+        UNION ALL
+        SELECT doc_id + 500000 AS doc_id, text
+        FROM documents WHERE doc_id % 41 = 0
+    ),
+    d1 AS (
+        SELECT doc_id,
+               ({_HEX12.replace("substr(h,", "substr(ch,")}) % 4294967296 AS dg
+        FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || text) AS ch FROM v1)
+    ),
+    d2 AS (
+        SELECT doc_id,
+               ({_HEX12.replace("substr(h,", "substr(ch,")}) % 4294967296 AS dg
+        FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || text) AS ch FROM v2)
+    ),
+    j AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.dg != b.dg THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM d1 a FULL OUTER JOIN d2 b ON a.doc_id = b.doc_id
+    ),
+    sh AS (
+        SELECT status,
+               ({_HEX12}) % 16 AS shard
+        FROM (SELECT status, md5(CAST(doc_id AS VARCHAR)) AS h FROM j)
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sh GROUP BY shard, status
+    ORDER BY shard, status
+    """,
+)
+def pipeline_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff manifest — the incremental-ingestion audit between
+    two corpus versions: per shard, how many docs were added, removed,
+    changed, or untouched, detected by content digest (md5 of id:text),
+    never by text comparison.  The derived v2 plants all three edit
+    kinds deterministically (drop every 31st, revise every 13th, add a
+    copy of every 41st under a new id) so both engines diff the same
+    pair.  This is the shape of a versioned-table changefeed audit:
+    digests make the diff O(join) instead of O(bytes compared).
+
+    Scale shape: two map passes (digest per side) + ONE full outer
+    equi-join on doc_id + a map-side-combinable groupBy(shard, status)
+    with ≤ 16·4 output rows.  At 100 TB the join is the only shuffle
+    and AQE sizes it; no sort, no window, no text movement — digests
+    (16 bytes) ride the shuffle, not documents."""
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 31 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 41 == 0).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    def digests(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(f"{side}_id"),
+            (
+                F.expr(
+                    "cast(conv(substring(md5(cast("
+                    "concat(cast(doc_id as string), ':', text) as binary"
+                    ")), 1, 12), 16, 10) as bigint)"
+                )
+                % 4294967296
+            ).alias(f"{side}_dg"),
+        )
+
+    j = digests(docs, "a").join(
+        digests(v2, "b"), F.col("a_id") == F.col("b_id"), "full_outer"
+    )
+    st = j.select(
+        F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
+        F.when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("b_id").isNull(), F.lit("removed"))
+        .when(F.col("a_dg") != F.col("b_dg"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    sh = st.select(
+        "status",
+        (
+            F.expr(
+                "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)),"
+                " 1, 12), 16, 10) as bigint)"
+            )
+            % 16
+        ).alias("shard"),
+    )
+    return (
+        sh.groupBy("shard", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(F.col("shard").cast("bigint"), "status", "n_docs")
+        .orderBy("shard", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 4: Simpson diversity, join-skew audit, per-source OOV
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_simpson_diversity",
+    r"""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok),
+    agg AS (
+        SELECT source,
+               SUM(c) AS n_tokens,
+               COUNT(*) AS n_types,
+               SUM(c * (c - 1)) AS coll2
+        FROM c GROUP BY source
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST((1000000 * coll2) // (n_tokens * (n_tokens - 1)) AS BIGINT)
+               AS simpson_micro,
+           CAST(1000000 - (1000000 * coll2) // (n_tokens * (n_tokens - 1))
+               AS BIGINT) AS diversity_micro
+    FROM agg ORDER BY source
+    """,
+)
+def quality_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity via the Simpson index — the
+    probability two tokens drawn without replacement from a source are
+    the SAME type (Σc(c−1)/N(N−1), the unbiased collision estimator),
+    and its complement (Gini–Simpson diversity).  A source whose
+    diversity collapses is template/boilerplate-heavy — the
+    mixture-weighting signal TTR misses because TTR ignores the shape
+    of the frequency tail.  Exact integer micro-units on both engines
+    (N ≤ 10⁶ tokens/source at test SF keeps 10⁶·Σc(c−1) far inside
+    bigint; production keeps the same integers per shard and merges
+    numerators/denominators — both are plain sums).
+
+    Scale shape: explode → ONE map-side-combinable groupBy(source,
+    token) → ONE groupBy(source) over the per-type counts; output
+    |sources| rows.  No window, no join, combinable end-to-end (the
+    same two-level aggregate pattern as the burstiness query)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", X.TOKEN_RE)).alias("tok")
+    )
+    c = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = c.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coll2"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_tokens").cast("bigint"),
+        F.col("n_types").cast("bigint"),
+        F.expr("div(1000000 * coll2, n_tokens * (n_tokens - 1))")
+        .cast("bigint")
+        .alias("simpson_micro"),
+        (
+            F.lit(1000000)
+            - F.expr("div(1000000 * coll2, n_tokens * (n_tokens - 1))")
+        )
+        .cast("bigint")
+        .alias("diversity_micro"),
+    ).orderBy("source")
+
+
+@register(
+    "pipeline_skew_report",
+    """
+    WITH c AS (
+        SELECT l_partkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ),
+    grid AS (SELECT cnt, COUNT(*) AS m FROM c GROUP BY cnt),
+    tot AS (
+        SELECT SUM(m) AS n_keys, SUM(cnt * m) AS n_rows, MAX(cnt) AS max_cnt
+        FROM grid
+    ),
+    cum AS (
+        SELECT cnt, SUM(m) OVER (ORDER BY cnt) AS ckeys FROM grid
+    ),
+    q AS (
+        SELECT t.n_keys, t.n_rows, t.max_cnt,
+               MIN(CASE WHEN 2 * u.ckeys >= t.n_keys THEN u.cnt END) AS p50_cnt,
+               MIN(CASE WHEN 100 * u.ckeys >= 99 * t.n_keys THEN u.cnt END) AS p99_cnt
+        FROM cum u, tot t
+        GROUP BY t.n_keys, t.n_rows, t.max_cnt
+    )
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(max_cnt AS BIGINT) AS max_cnt,
+           CAST(p50_cnt AS BIGINT) AS p50_cnt,
+           CAST(p99_cnt AS BIGINT) AS p99_cnt,
+           CAST((1000000 * max_cnt) // n_rows AS BIGINT) AS top_share_micro,
+           CAST((1000 * max_cnt) // p50_cnt AS BIGINT) AS skew_ratio_milli
+    FROM q
+    """,
+)
+def pipeline_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew audit over a prospective shuffle key (l_partkey) —
+    the report a planner consults before choosing salting / skew-join
+    handling: key count, hottest-key share, and the max/median key-mass
+    ratio.  Quantiles come from the count-of-counts grid (how many keys
+    occur exactly c times), so the global cumsum runs over a relation
+    bounded by |distinct frequencies|, never over keys or rows.
+
+    Scale shape: ONE map-side-combinable groupBy(key) → ONE
+    groupBy(cnt) collapse to the grid → scalar aggregates + a global
+    window over the GRID (bounded; allowlisted in the fleet
+    unpartitioned-window guard with this justification).  At 100 TB
+    this is the cheapest possible skew probe: two combinable
+    aggregates and arithmetic on ≤ a few hundred grid rows."""
+    li = load_testdata(spark, sf_dir, "lineitem").select("l_partkey")
+    c = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+    grid = c.groupBy("cnt").agg(F.count(F.lit(1)).alias("m"))
+    tot = grid.agg(
+        F.sum("m").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("m")).alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.withColumn("ckeys", F.sum("m").over(w))
+    q = cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("n_keys").alias("n_keys"),
+        F.first("n_rows").alias("n_rows"),
+        F.first("max_cnt").alias("max_cnt"),
+        F.min(
+            F.when(2 * F.col("ckeys") >= F.col("n_keys"), F.col("cnt"))
+        ).alias("p50_cnt"),
+        F.min(
+            F.when(100 * F.col("ckeys") >= 99 * F.col("n_keys"), F.col("cnt"))
+        ).alias("p99_cnt"),
+    )
+    return q.select(
+        F.col("n_keys").cast("bigint"),
+        F.col("n_rows").cast("bigint"),
+        F.col("max_cnt").cast("bigint"),
+        F.col("p50_cnt").cast("bigint"),
+        F.col("p99_cnt").cast("bigint"),
+        F.expr("div(1000000 * max_cnt, n_rows)").cast("bigint").alias("top_share_micro"),
+        F.expr("div(1000 * max_cnt, p50_cnt)").cast("bigint").alias("skew_ratio_milli"),
+    )
+
+
+@register(
+    "vocab_oov_rate_by_source",
+    r"""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents
+    ),
+    gtok AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    vocab AS (
+        SELECT tok FROM gtok ORDER BY c DESC, tok ASC LIMIT 256
+    ),
+    per_src AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok),
+    m AS (
+        SELECT p.source, p.c,
+               CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS in_vocab
+        FROM per_src p LEFT JOIN vocab v ON v.tok = p.tok
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN in_vocab = 0 THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST((1000 * SUM(CASE WHEN in_vocab = 0 THEN c ELSE 0 END)) // SUM(c)
+               AS BIGINT) AS oov_permille
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def vocab_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-256
+    vocabulary (count-desc, token-asc tie-break — deterministic on both
+    engines) — the mixture diagnostic that flags a source whose token
+    distribution the shared tokenizer/vocab serves poorly (high OOV =
+    fertility blowup for that slice).
+
+    Scale shape: the vocab is a TakeOrderedAndProject over the global
+    token counts (top-k, never a full sort); per-source counts are ONE
+    combinable groupBy; membership is an equi-join against the ≤256-row
+    broadcast vocab.  Everything is bounded by vocab size or |sources|
+    after the two token aggregates."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", X.TOKEN_RE)).alias("tok"))
+    glob = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = glob.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(256).select("tok")
+    per_src = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    m = per_src.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("div(1000 * n_oov, n_tokens)").cast("bigint").alias("oov_permille"),
+        )
+        .orderBy("source")
+    )

@@ -2282,3 +2282,152 @@ def test_shard_checksum_differential_and_rerun_invariance(spark):
     assert again == {
         s: (r["n_docs"], r["n_chars_total"], r["checksum_sum"]) for s, r in got.items()
     }
+
+
+def test_markov_transitions_differential(spark):
+    """events_markov_transitions vs a plain-Python pass over a
+    hand-built sequence (ties in ts broken by event_id)."""
+    import datetime as dt
+
+    import __spark_entry__ as m
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> purchase
+        (1, base, 1, "view"), (2, base + dt.timedelta(minutes=1), 1, "click"),
+        (3, base + dt.timedelta(minutes=2), 1, "purchase"),
+        # user 2: view -> view (tie ts: event_id orders 4 then 5) -> error
+        (4, base, 2, "view"), (5, base, 2, "view"),
+        (6, base + dt.timedelta(minutes=9), 2, "error"),
+        # user 3: single event, no transition
+        (7, base, 3, "signup"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, ty, 0.0, "{}") for i, ts, u, ty in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = [tuple(r) for r in m.queries()["events_markov_transitions"](spark, td).collect()]
+    expect = [
+        ("click", "purchase", 1, 1, 1000),
+        ("view", "click", 1, 3, 333),
+        ("view", "error", 1, 3, 333),
+        ("view", "view", 1, 3, 333),
+    ]
+    assert got == expect
+
+
+def test_incremental_manifest_accounts_for_every_doc(spark):
+    """pipeline_incremental_manifest totals must reconcile exactly with
+    the planted edit rates: removed = multiples of 31, added = multiples
+    of 41, changed = multiples of 13 that survive removal."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = m.queries()["pipeline_incremental_manifest"](spark, sf).collect()
+    by_status: dict = {}
+    for r in rows:
+        by_status[r["status"]] = by_status.get(r["status"], 0) + r["n_docs"]
+    n, n31, n41, n13s = duckdb.sql(f"""
+        SELECT COUNT(*),
+               SUM(CASE WHEN doc_id % 31 = 0 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN doc_id % 41 = 0 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN doc_id % 13 = 0 AND doc_id % 31 != 0 THEN 1 ELSE 0 END)
+        FROM '{sf}/documents.parquet'
+    """).fetchone()
+    assert by_status.get("removed", 0) == n31
+    assert by_status.get("added", 0) == n41
+    assert by_status.get("changed", 0) == n13s
+    assert by_status.get("unchanged", 0) == n - n31 - n13s
+    assert sum(by_status.values()) == n + n41
+
+
+def test_simpson_diversity_differential(spark):
+    """quality_simpson_diversity vs collections.Counter on sf0.001."""
+    import collections
+    import re as _re
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["source"]: r for r in m.queries()["quality_simpson_diversity"](spark, sf).collect()}
+    rows = duckdb.sql(f"SELECT source, text FROM '{sf}/documents.parquet'").fetchall()
+    per: dict = {}
+    for source, text in rows:
+        per.setdefault(source, collections.Counter()).update(_re.split(r"\s+", text))
+    assert set(got) == set(per)
+    for source, cnt in per.items():
+        n = sum(cnt.values())
+        coll2 = sum(c * (c - 1) for c in cnt.values())
+        r = got[source]
+        assert r["n_tokens"] == n and r["n_types"] == len(cnt)
+        assert r["simpson_micro"] == (1000000 * coll2) // (n * (n - 1))
+        assert r["diversity_micro"] == 1000000 - r["simpson_micro"]
+
+
+def test_skew_report_differential(spark):
+    """pipeline_skew_report vs a plain-Python pass over the real key
+    distribution (p50/p99 from the count-of-counts grid, ceiling-rank
+    semantics: smallest cnt whose cumulative key share reaches q)."""
+    import collections
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    r = m.queries()["pipeline_skew_report"](spark, sf).collect()[0]
+    keys = [
+        k for (k,) in duckdb.sql(
+            f"SELECT l_partkey FROM '{sf}/lineitem.parquet'"
+        ).fetchall()
+    ]
+    cnt = collections.Counter(keys)
+    grid = collections.Counter(cnt.values())
+    n_keys, n_rows, mx = len(cnt), len(keys), max(cnt.values())
+
+    def q_at(q_num, q_den):
+        ck = 0
+        for c in sorted(grid):
+            ck += grid[c]
+            if q_den * ck >= q_num * n_keys:
+                return c
+
+    assert (r["n_keys"], r["n_rows"], r["max_cnt"]) == (n_keys, n_rows, mx)
+    assert r["p50_cnt"] == q_at(1, 2)
+    assert r["p99_cnt"] == q_at(99, 100)
+    assert r["top_share_micro"] == (1000000 * mx) // n_rows
+    assert r["skew_ratio_milli"] == (1000 * mx) // r["p50_cnt"]
+
+
+def test_oov_rate_differential(spark):
+    """vocab_oov_rate_by_source vs Counter-based top-256 vocab."""
+    import collections
+    import re as _re
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["source"]: r for r in m.queries()["vocab_oov_rate_by_source"](spark, sf).collect()}
+    rows = duckdb.sql(f"SELECT source, text FROM '{sf}/documents.parquet'").fetchall()
+    glob: collections.Counter = collections.Counter()
+    per: dict = {}
+    for source, text in rows:
+        toks = _re.split(r"\s+", text)
+        glob.update(toks)
+        per.setdefault(source, collections.Counter()).update(toks)
+    vocab = {t for t, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[:256]}
+    for source, cnt in per.items():
+        n = sum(cnt.values())
+        oov = sum(c for t, c in cnt.items() if t not in vocab)
+        r = got[source]
+        assert (r["n_tokens"], r["n_oov"]) == (n, oov)
+        assert r["oov_permille"] == (1000 * oov) // n

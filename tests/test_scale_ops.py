@@ -524,6 +524,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                             # the |sources| relation
         "events_retention_cohorts",  # 1-row global min-date anchor
                                      # broadcast onto first-purchases
+        "pipeline_skew_report",  # 1-row totals broadcast onto the
+                                 # count-of-counts grid
     }
     # Unpartitioned windows: every entry must name the BOUNDED relation
     # the global window runs over (always an aggregate output, never the
@@ -548,6 +550,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "pipeline_unimax_language_budget",  # water-fill rank over the
                                             # per-language inventory
                                             # (groupBy(lang) output)
+        "pipeline_skew_report",  # cumsum over the count-of-counts
+                                 # grid (bounded by |distinct key
+                                 # frequencies| — groupBy output)
     }
     offenders = {}
     for name, fn in m.queries().items():
