@@ -85,6 +85,8 @@ _PRIORITY = [
     "segments_intersect_except",
     "dedup_clusters",
     "grouped_map_normalize",
+    "text_chunking",
+    "similarity_cosine_topk",
     # Round-6 additions / changed implementations (displaced the
     # approx_distinct_kmv + multimodal_features canaries, both green r4
     # and untouched): the planted-hot-band capped-LSH query is NEW, and
@@ -93,19 +95,17 @@ _PRIORITY = [
     # changed plan needs a fresh driver row).
     "dedup_lsh_hot_bucket_capped",
     "pipeline_full_train_prep",
-    # (batch 2, displacing the pipeline_pack_sequences +
-    # q2_min_cost_supplier canaries — r3-green, untouched; their
-    # families stay canaried by pipeline_full_train_prep and q6/q10)
-    "events_retention_cohorts",
+    # (batches 2-4, displacing the pipeline_pack_sequences,
+    # q2_min_cost_supplier, sample_stratified_deterministic,
+    # vocab_top_tokens, and dedup_ngram_jaccard canaries — all r2/r3
+    # green and untouched; their families stay canaried in slots 1-23
+    # by pipeline_full_train_prep, q6/q10, sample_priority_topk,
+    # vocab_coverage_curve, and the dedup block.  Two round-6 drafts —
+    # events_retention_cohorts / events_markov_transitions — were
+    # REMOVED before any driver run: they near-duplicated the existing
+    # events_cohort_retention / events_transition_matrix.)
     "pipeline_shard_checksum",
-    # (batch 3, displacing the sample_stratified_deterministic +
-    # vocab_top_tokens canaries — their families are already canaried
-    # in slots 1-21 by sample_priority_topk and vocab_coverage_curve)
-    "events_markov_transitions",
     "pipeline_incremental_manifest",
-    # (batch 4, displacing dedup_ngram_jaccard + text_chunking +
-    # similarity_cosine_topk canaries — dedup/similarity are the most
-    # heavily canaried families in slots 1-23 already)
     "quality_simpson_diversity",
     "pipeline_skew_report",
     "vocab_oov_rate_by_source",

@@ -204,7 +204,7 @@ def main() -> None:
     # subset varies per run, so the pairwise ratio (total / base) is the
     # comparable number, not the raw total against a full-suite figure.
     comparables = {}
-    for rn in ("r2", "r3", "r4", "r5", "r6"):
+    for rn in ("r2", "r3", "r4", "r5", "r6", "r7"):
         base_path = os.path.join(here, f"bench_baseline_{rn}.json")
         if os.path.exists(base_path):
             with open(base_path) as f:
@@ -223,7 +223,10 @@ def main() -> None:
                             ours / theirs, 3
                         )
     strata_info = {
-        "stratum": "full" if full_run else stratum,
+        # full runs don't advance the rotation: persist the PRIOR
+        # stratum so the next stratified run continues where it left off
+        "stratum": max(prior_stratum, 0) if full_run else stratum,
+        "mode": "full" if full_run else "stratified",
         "benched": len(timings),
         "registered": len(registry),
     }

@@ -12597,100 +12597,8 @@ def dedup_lsh_hot_bucket_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-6 batch 2: cohort retention, shard reproducibility checksums
+# Round-6 batch 2: shard reproducibility checksums
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "events_retention_cohorts",
-    """
-    WITH anchor AS (SELECT MIN(CAST(ts AS DATE)) AS a0 FROM events),
-    firstp AS (
-        SELECT user_id, MIN(CAST(ts AS DATE)) AS fp
-        FROM events WHERE event_type = 'purchase' GROUP BY user_id
-    ),
-    cohorted AS (
-        SELECT f.user_id, f.fp,
-               datediff('day', x.a0, f.fp) // 7 AS cohort_week
-        FROM firstp f, anchor x
-    ),
-    sizes AS (
-        SELECT cohort_week, COUNT(*) AS n_cohort
-        FROM cohorted GROUP BY cohort_week
-    ),
-    act AS (
-        SELECT c.cohort_week,
-               datediff('day', c.fp, CAST(e.ts AS DATE)) // 7 AS week_since,
-               e.user_id
-        FROM events e JOIN cohorted c ON c.user_id = e.user_id
-        WHERE CAST(e.ts AS DATE) >= c.fp
-    ),
-    ret AS (
-        SELECT cohort_week, week_since,
-               COUNT(DISTINCT user_id) AS n_active
-        FROM act GROUP BY cohort_week, week_since
-    )
-    SELECT CAST(r.cohort_week AS BIGINT) AS cohort_week,
-           CAST(r.week_since AS BIGINT) AS week_since,
-           CAST(s.n_cohort AS BIGINT) AS n_cohort,
-           CAST(r.n_active AS BIGINT) AS n_active,
-           CAST((1000 * r.n_active) // s.n_cohort AS BIGINT) AS retention_permille
-    FROM ret r JOIN sizes s ON s.cohort_week = r.cohort_week
-    ORDER BY cohort_week, week_since
-    """,
-)
-def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention triangle — the standard product-analytics
-    rollup (users cohorted by first-purchase week; each cell is the
-    share of the cohort still active N weeks later), and the shape
-    behind data-freshness curves for training-corpus recency mixing.
-    Week indexes are floor day-diffs over a global min-date anchor —
-    exact integers on both engines.
-
-    Scale shape: first-purchase is ONE map-side-combinable
-    groupBy(user); the anchor is a 1-row broadcast; activity re-joins
-    events on user_id (equi, AQE-sized) and collapses through a
-    two-phase COUNT(DISTINCT user) per (cohort, week) cell — the
-    distinct expands to an exact partial-agg pipeline, never a window.
-    Output is bounded by cohorts × weeks, not events."""
-    ev = load_testdata(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.to_date("ts").alias("d")
-    )
-    anchor = ev.agg(F.min("d").alias("a0"))
-    firstp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("d").alias("fp"))
-    )
-    cohorted = firstp.crossJoin(F.broadcast(anchor)).select(
-        "user_id", "fp", F.expr("div(datediff(fp, a0), 7)").alias("cohort_week")
-    )
-    sizes = cohorted.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
-    act = (
-        ev.join(cohorted, "user_id")
-        .filter(F.col("d") >= F.col("fp"))
-        .select(
-            "cohort_week",
-            F.expr("div(datediff(d, fp), 7)").alias("week_since"),
-            "user_id",
-        )
-    )
-    ret = act.groupBy("cohort_week", "week_since").agg(
-        F.countDistinct("user_id").alias("n_active")
-    )
-    return (
-        ret.join(sizes, "cohort_week")
-        .select(
-            F.col("cohort_week").cast("bigint"),
-            F.col("week_since").cast("bigint"),
-            F.col("n_cohort").cast("bigint"),
-            F.col("n_active").cast("bigint"),
-            F.expr("div(1000 * n_active, n_cohort)")
-            .cast("bigint")
-            .alias("retention_permille"),
-        )
-        .orderBy("cohort_week", "week_since")
-    )
 
 
 @register(
@@ -12779,66 +12687,8 @@ def pipeline_shard_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-6 batch 3: Markov transitions, incremental snapshot manifest
+# Round-6 batch 3: incremental snapshot manifest
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "events_markov_transitions",
-    """
-    WITH seq AS (
-        SELECT user_id, event_type,
-               lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS next_type
-        FROM events
-    ),
-    pairs AS (
-        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
-        FROM seq WHERE next_type IS NOT NULL
-        GROUP BY 1, 2
-    ),
-    tot AS (SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type)
-    SELECT p.from_type, p.to_type,
-           CAST(p.n AS BIGINT) AS n,
-           CAST(t.n_from AS BIGINT) AS n_from,
-           CAST((1000 * p.n) // t.n_from AS BIGINT) AS prob_permille
-    FROM pairs p JOIN tot t ON t.from_type = p.from_type
-    ORDER BY p.from_type, p.to_type
-    """,
-)
-def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    sequences — the behavioral fingerprint behind next-action
-    prediction features and bot detection (a scraper's view→view→view
-    loop vs organic view→click→purchase mixing).  Transition
-    probabilities as exact floor permille of each source state's
-    out-count; sequence order is (ts, event_id) so ties break
-    identically on both engines.
-
-    Scale shape: ONE window partitioned by user_id (users sort
-    independently — at 100 TB this is a hash Exchange(user) + per-user
-    sort, never global), collapsing immediately to a ≤|types|² cell
-    relation; everything after is arithmetic on the bounded grid."""
-    ev = load_testdata(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
-    pairs = (
-        seq.filter(F.col("next_type").isNotNull())
-        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
-    return (
-        pairs.join(tot, "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            F.col("n").cast("bigint"),
-            F.col("n_from").cast("bigint"),
-            F.expr("div(1000 * n, n_from)").cast("bigint").alias("prob_permille"),
-        )
-        .orderBy("from_type", "to_type")
-    )
 
 
 @register(

@@ -2201,48 +2201,6 @@ def test_registered_capped_lsh_star_shape(spark):
     assert all(r["id_a"] < r["id_b"] for r in rows)
 
 
-def test_retention_cohorts_differential(spark):
-    """events_retention_cohorts vs a plain-Python cohort computation on
-    a hand-built frame (purchases define cohorts; pre-first-purchase
-    activity excluded; week cells are floor-7-day buckets)."""
-    import datetime as dt
-
-    import __spark_entry__ as m
-
-    rows = []
-    base = dt.datetime(2024, 1, 1)
-    # user 1: purchase day 0, active days 0,3,8,20
-    # user 2: purchase day 8, active days 1 (pre-purchase), 8, 9, 22
-    # user 3: never purchases (views only) -> excluded
-    for uid, days, types in [
-        (1, [0, 3, 8, 20], ["purchase", "view", "view", "click"]),
-        (2, [1, 8, 9, 22], ["view", "purchase", "view", "click"]),
-        (3, [2, 5], ["view", "view"]),
-    ]:
-        for d, ty in zip(days, types):
-            rows.append((len(rows), base + dt.timedelta(days=d, hours=3), uid, ty, 1.0, "{}"))
-    df = spark.createDataFrame(
-        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    )
-    import tempfile, os
-    with tempfile.TemporaryDirectory() as td:
-        df.write.parquet(os.path.join(td, "events.parquet"))
-        got = [
-            tuple(r)
-            for r in m.queries()["events_retention_cohorts"](spark, td).collect()
-        ]
-    # anchor = day 0.  user1: cohort_week 0, active weeks 0 (d0,d3), 1 (d8), 2 (d20)
-    # user2: first purchase d8 -> cohort_week 1, active weeks 0 (d8,d9), 2 (d22)
-    expect = [
-        (0, 0, 1, 1, 1000),
-        (0, 1, 1, 1, 1000),
-        (0, 2, 1, 1, 1000),
-        (1, 0, 1, 1, 1000),
-        (1, 2, 1, 1, 1000),
-    ]
-    assert got == expect
-
-
 def test_shard_checksum_differential_and_rerun_invariance(spark):
     """pipeline_shard_checksum vs hashlib on the real sf0.001 corpus,
     plus the property the operator exists for: the checksum triple is
@@ -2282,41 +2240,6 @@ def test_shard_checksum_differential_and_rerun_invariance(spark):
     assert again == {
         s: (r["n_docs"], r["n_chars_total"], r["checksum_sum"]) for s, r in got.items()
     }
-
-
-def test_markov_transitions_differential(spark):
-    """events_markov_transitions vs a plain-Python pass over a
-    hand-built sequence (ties in ts broken by event_id)."""
-    import datetime as dt
-
-    import __spark_entry__ as m
-
-    base = dt.datetime(2024, 1, 1)
-    rows = [
-        # user 1: view -> click -> purchase
-        (1, base, 1, "view"), (2, base + dt.timedelta(minutes=1), 1, "click"),
-        (3, base + dt.timedelta(minutes=2), 1, "purchase"),
-        # user 2: view -> view (tie ts: event_id orders 4 then 5) -> error
-        (4, base, 2, "view"), (5, base, 2, "view"),
-        (6, base + dt.timedelta(minutes=9), 2, "error"),
-        # user 3: single event, no transition
-        (7, base, 3, "signup"),
-    ]
-    df = spark.createDataFrame(
-        [(i, ts, u, ty, 0.0, "{}") for i, ts, u, ty in rows],
-        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
-    )
-    import os, tempfile
-    with tempfile.TemporaryDirectory() as td:
-        df.write.parquet(os.path.join(td, "events.parquet"))
-        got = [tuple(r) for r in m.queries()["events_markov_transitions"](spark, td).collect()]
-    expect = [
-        ("click", "purchase", 1, 1, 1000),
-        ("view", "click", 1, 3, 333),
-        ("view", "error", 1, 3, 333),
-        ("view", "view", 1, 3, 333),
-    ]
-    assert got == expect
 
 
 def test_incremental_manifest_accounts_for_every_doc(spark):

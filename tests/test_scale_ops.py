@@ -522,8 +522,6 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "pipeline_token_budget_apportion",  # 1-row total + 1-row
                                             # shortfall broadcast onto
                                             # the |sources| relation
-        "events_retention_cohorts",  # 1-row global min-date anchor
-                                     # broadcast onto first-purchases
         "pipeline_skew_report",  # 1-row totals broadcast onto the
                                  # count-of-counts grid
     }
