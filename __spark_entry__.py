@@ -85,7 +85,6 @@ _PRIORITY = [
     "segments_intersect_except",
     "dedup_clusters",
     "grouped_map_normalize",
-    "text_chunking",
     "similarity_cosine_topk",
     # Round-6 additions / changed implementations (displaced the
     # approx_distinct_kmv + multimodal_features canaries, both green r4
@@ -109,6 +108,10 @@ _PRIORITY = [
     "quality_simpson_diversity",
     "pipeline_skew_report",
     "vocab_oov_rate_by_source",
+    # (batch 5, displacing the text_chunking canary — text family
+    # canaried in slots 1-21 by text_source_token_tvd / burstiness):
+    # F.window hopping semantics, oracle-gated.
+    "events_hopping_window_rate",
 ]
 
 

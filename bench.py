@@ -134,6 +134,12 @@ def main() -> None:
         "dedup_lsh_hot_bucket_capped",
         "pipeline_full_train_prep",
         "events_decayed_engagement",
+        "pipeline_shard_checksum",
+        "pipeline_incremental_manifest",
+        "quality_simpson_diversity",
+        "pipeline_skew_report",
+        "vocab_oov_rate_by_source",
+        "events_hopping_window_rate",
     }
     import hashlib
 

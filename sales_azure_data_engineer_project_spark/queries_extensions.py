@@ -13017,3 +13017,66 @@ def vocab_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 5: hopping-window rollup (F.window slide semantics, batch twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hopping_window_rate",
+    """
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS e_us,
+               CAST(round(value * 1000) AS BIGINT) AS v_milli
+        FROM events
+    ),
+    expanded AS (
+        SELECT event_type, v_milli,
+               (e_us // 300000000) * 300000000 - k * 300000000 AS win_start_us
+        FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+    )
+    SELECT CAST(win_start_us AS BIGINT) AS win_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v_milli) AS BIGINT) AS total_value_milli
+    FROM expanded
+    GROUP BY win_start_us, event_type
+    ORDER BY win_start_us, event_type
+    """,
+)
+def events_hopping_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup via Spark's built-in ``F.window`` (15-min
+    windows sliding every 5 min) — the batch twin of the Structured
+    Streaming windowed aggregation in ``streaming/incremental.py:127``,
+    registered so the overlap semantics themselves are oracle-gated:
+    every event lands in exactly window/slide = 3 windows, and the
+    DuckDB twin expands each event into those 3 epoch-aligned starts
+    explicitly ((e_us // slide)·slide − k·slide, k ∈ 0..2).  Spark's
+    TimeWindow aligns to the epoch in absolute microseconds, which is
+    exactly the twin's integer arithmetic (session TZ is pinned by
+    ``load_testdata``, so both engines see the same instants).
+
+    Scale shape: the window expansion is a map-side Expand (3 rows per
+    event, constant factor — the streaming engine does the same), then
+    ONE map-side-combinable groupBy((window, type)); output is bounded
+    by time-range/slide × |types|, not by events."""
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        F.expr("cast(round(value * 1000) as bigint)").alias("v_milli"),
+    )
+    win = ev.groupBy(
+        F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_milli").alias("total_value_milli"),
+    )
+    return win.select(
+        F.unix_micros(F.col("w.start")).alias("win_start_us"),
+        "event_type",
+        F.col("n_events").cast("bigint"),
+        F.col("total_value_milli").cast("bigint"),
+    ).orderBy("win_start_us", "event_type")

@@ -596,3 +596,48 @@ def test_stateful_bottomk_quantiles_matches_batch_sketch(spark, tmp_path):
         assert latest[flag]["est_p50"] == est(50)
         assert latest[flag]["est_p90"] == est(90)
         assert latest[flag]["est_p99"] == est(99)
+
+
+def test_hopping_window_stream_equals_registered_batch_twin(spark, tmp_path):
+    """The registered events_hopping_window_rate (batch, oracle-gated)
+    and the streaming windowed_event_counts with the same 15m/5m
+    window must agree cell-for-cell on event counts — the
+    batch-streaming equivalence Structured Streaming promises for
+    aligned hopping windows."""
+    import os
+
+    import __spark_entry__ as m
+    from sales_azure_data_engineer_project_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["win_start_us"], r["event_type"]): r["n_events"]
+        for r in m.queries()["events_hopping_window_rate"](spark, sf).collect()
+    }
+
+    # readStream needs a directory source; the testdata table is a file
+    src = str(tmp_path / "hop_src")
+    spark.read.parquet(os.path.join(sf, "events.parquet")).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        windowed_event_counts(stream, window="15 minutes", slide="5 minutes")
+        .writeStream.format("memory")
+        .queryName("hop_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["s_us"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM hop_out")
+        .select(F.unix_micros("window_start").alias("s_us"), "event_type", "n_events")
+        .collect()
+    }
+    q.stop()
+    assert got == batch
