@@ -408,10 +408,18 @@ def lsh_candidate_pairs(
             .select(F.col(id_col).alias("id_a"), F.col("rid").alias("id_b"))
         )
     else:
-        sizes = bands.groupBy("band_idx", "band_sig").agg(
-            F.count(F.lit(1)).alias("_bn"), F.min(id_col).alias("_hub")
+        # bucket size + hub via a WINDOW over the exact partitioning the
+        # self-join requires (hash by band_idx, band_sig): Spark computes
+        # both on the join's own Exchange instead of paying a separate
+        # aggregate shuffle + join-back — measured ~9s of serial AQE
+        # stage cost inside the composed funnel at sf0.1 (NOTES.md
+        # round-6 A/B), and the window is partitioned (never global)
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("band_idx", "band_sig")
+        tagged = bands.withColumn("_bn", F.count(F.lit(1)).over(w)).withColumn(
+            "_hub", F.min(id_col).over(w)
         )
-        tagged = bands.join(sizes, on=["band_idx", "band_sig"])
         cold = tagged.filter(F.col("_bn") <= hot_bucket_cap)
         cold_pairs = (
             cold.join(r, on=["band_idx", "band_sig"])
