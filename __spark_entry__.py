@@ -85,7 +85,6 @@ _PRIORITY = [
     "segments_intersect_except",
     "dedup_clusters",
     "grouped_map_normalize",
-    "similarity_cosine_topk",
     # Round-6 additions / changed implementations (displaced the
     # approx_distinct_kmv + multimodal_features canaries, both green r4
     # and untouched): the planted-hot-band capped-LSH query is NEW, and
@@ -112,6 +111,10 @@ _PRIORITY = [
     # canaried in slots 1-21 by text_source_token_tvd / burstiness):
     # F.window hopping semantics, oracle-gated.
     "events_hopping_window_rate",
+    # (batch 6, displacing the similarity_cosine_topk canary —
+    # similarity canaried in slots 1-23 by mutual_knn / maxsim / ivf):
+    # exact integer OLS trend per event type.
+    "events_value_trend_ols",
 ]
 
 

@@ -140,6 +140,7 @@ def main() -> None:
         "pipeline_skew_report",
         "vocab_oov_rate_by_source",
         "events_hopping_window_rate",
+        "events_value_trend_ols",
     }
     import hashlib
 

@@ -13080,3 +13080,70 @@ def events_hopping_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint"),
         F.col("total_value_milli").cast("bigint"),
     ).orderBy("win_start_us", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 6: exact OLS trend per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_trend_ols",
+    """
+    WITH e AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(round(value * 1000) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM e GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(sy AS BIGINT) AS sum_value_milli,
+           CAST((1000000 * (n * sxy - sx * sy))
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_micro_per_day
+    FROM m ORDER BY event_type
+    """,
+)
+def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value trend via exact ordinary least squares — the
+    drift detector that reads as a rate (milli-value change per day),
+    complementing CUSUM (which finds WHEN a shift happened) with HOW
+    FAST the level is moving.  The slope is computed from integer
+    cross-moments (10⁶·(nΣxy − ΣxΣy) ⫽ (nΣx² − (Σx)²)) — one
+    floor division at the end, bit-identical on both engines.  x is
+    days since a fixed anchor (2024-01-01, near the data): OLS slopes
+    are shift-invariant, so the anchor only bounds the integer
+    magnitudes (x ≤ ~30 keeps 10⁶·numerator far inside bigint; an
+    epoch-day x would overflow).
+
+    Scale shape: ONE map-side-combinable groupBy(event_type) carrying
+    five integer sums — the canonical distributed-regression shape
+    (cross-moments are sums, so partial aggregation does all the work);
+    output is |types| rows, no window, no join."""
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("datediff(cast(ts as date), date'2024-01-01')").alias("x"),
+        F.expr("cast(round(value * 1000) as bigint)").alias("y"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("sy").cast("bigint").alias("sum_value_milli"),
+        F.expr("div(1000000 * (n * sxy - sx * sy), n * sxx - sx * sx)")
+        .cast("bigint")
+        .alias("slope_micro_per_day"),
+    ).orderBy("event_type")

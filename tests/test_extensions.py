@@ -2354,3 +2354,40 @@ def test_oov_rate_differential(spark):
         r = got[source]
         assert (r["n_tokens"], r["n_oov"]) == (n, oov)
         assert r["oov_permille"] == (1000 * oov) // n
+
+
+def test_ols_trend_differential(spark):
+    """events_value_trend_ols vs numpy.polyfit on the real sf0.001
+    events (slope within 1 micro-unit of the float fit), plus the exact
+    integer identity."""
+    import datetime as dt
+
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in m.queries()["events_value_trend_ols"](spark, sf).collect()}
+    rows = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE), round(value * 1000) FROM '{sf}/events.parquet'"
+    ).fetchall()
+    anchor = dt.date(2024, 1, 1)
+    per: dict = {}
+    for ty, d, y in rows:
+        per.setdefault(ty, []).append(((d - anchor).days, int(y)))
+    assert set(got) == set(per)
+    for ty, pts in per.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope_float = np.polyfit(xs, ys, 1)[0]
+        r = got[ty]
+        # exact integer identity
+        n = len(pts)
+        sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts); sxy = sum(p[0] * p[1] for p in pts)
+        num, den = 1000000 * (n * sxy - sx * sy), n * sxx - sx * sx
+        expect = -((-num) // den) if (num < 0) != (den < 0) else num // den  # trunc
+        assert r["slope_micro_per_day"] == expect
+        assert abs(r["slope_micro_per_day"] - 1e6 * slope_float) <= 1.0
+        assert r["n_events"] == n and r["sum_value_milli"] == sy
