@@ -81,7 +81,6 @@ _PRIORITY = [
     "cross_join_region_priority",
     "price_percentiles",
     "orders_of_overdrawn_customers",
-    "customers_without_orders",
     "segments_intersect_except",
     "dedup_clusters",
     "grouped_map_normalize",
@@ -115,6 +114,10 @@ _PRIORITY = [
     # similarity canaried in slots 1-23 by mutual_knn / maxsim / ivf):
     # exact integer OLS trend per event type.
     "events_value_trend_ols",
+    # (batch 7, displacing the customers_without_orders canary — the
+    # semi/anti family is canaried by orders_of_overdrawn_customers):
+    # Fellegi-Sunter multi-field record-linkage scoring.
+    "customers_record_linkage_fs",
 ]
 
 

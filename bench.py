@@ -141,6 +141,7 @@ def main() -> None:
         "vocab_oov_rate_by_source",
         "events_hopping_window_rate",
         "events_value_trend_ols",
+        "customers_record_linkage_fs",
     }
     import hashlib
 

@@ -13147,3 +13147,152 @@ def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_micro_per_day"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 7: Fellegi-Sunter record-linkage scoring
+# ---------------------------------------------------------------------------
+
+# Fixed integer agreement/disagreement weights (deci-bans, the classic
+# log(m/u)-shaped magnitudes a production linker trains offline via EM;
+# pinned constants here so both engines score identically with zero
+# float arithmetic).
+_FS_W = {
+    "name": (40, -12),  # agreement on full name is near-conclusive
+    "bal": (22, -4),    # exact balance match: strong, cheap to fake
+    "seg": (8, -9),     # 5-value segment: weak agree, firm disagree
+}
+_FS_MATCH, _FS_POSSIBLE = 45, 10
+
+
+@register(
+    "customers_record_linkage_fs",
+    f"""
+    WITH a AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+               c_mktsegment AS seg
+        FROM customer
+    ),
+    b AS (
+        SELECT id + 1000000 AS id,
+               CASE WHEN id % 7 = 0 THEN substr(name, 1, length(name) - 1) || 'X'
+                    ELSE name END AS name,
+               nat,
+               CASE WHEN id % 5 = 0 THEN bal_c + 1 ELSE bal_c END AS bal_c,
+               CASE WHEN id % 11 = 0 THEN 'AUTOMOBILE' ELSE seg END AS seg
+        FROM a
+    ),
+    cand AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS g_name,
+               CASE WHEN a.bal_c = b.bal_c THEN 1 ELSE 0 END AS g_bal,
+               CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg
+        FROM a JOIN b
+          ON a.nat = b.nat
+         AND substr(a.name, 1, 17) = substr(b.name, 1, 17)
+    ),
+    scored AS (
+        SELECT g_name, g_bal, g_seg,
+               (CASE WHEN g_name = 1 THEN {_FS_W['name'][0]} ELSE {_FS_W['name'][1]} END
+              + CASE WHEN g_bal = 1 THEN {_FS_W['bal'][0]} ELSE {_FS_W['bal'][1]} END
+              + CASE WHEN g_seg = 1 THEN {_FS_W['seg'][0]} ELSE {_FS_W['seg'][1]} END)
+                   AS score
+        FROM cand
+    )
+    SELECT CAST(g_name AS BIGINT) AS g_name,
+           CAST(g_bal AS BIGINT) AS g_bal,
+           CAST(g_seg AS BIGINT) AS g_seg,
+           CAST(score AS BIGINT) AS score,
+           CASE WHEN score >= {_FS_MATCH} THEN 'match'
+                WHEN score >= {_FS_POSSIBLE} THEN 'possible'
+                ELSE 'non_match' END AS class,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored
+    GROUP BY g_name, g_bal, g_seg, score
+    ORDER BY g_name, g_bal, g_seg
+    """,
+)
+def customers_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage — the multi-field
+    entity-resolution tier above single-field fuzzy matching
+    (`fuzzy_name_pairs_symspell`): a planted registry B (every 7th name
+    perturbed, every 5th balance off by a cent, every 11th segment
+    wrong) is linked back to A through a blocking key, each candidate
+    pair scored by summing fixed integer agreement/disagreement weights
+    (the log(m/u)-shaped deci-bans a production linker fits via EM),
+    and classified match / possible / non-match by the two FS
+    thresholds.  Output is the agreement-pattern histogram with its
+    score and class — the table a linkage analyst reads to set
+    thresholds.
+
+    Scale shape: blocking = ONE equi-join on (nation, 17-char
+    name-prefix) — the prefix pins 8 of 9 key digits, so block size is
+    ≤10 ids at ANY corpus size (block count grows ∝ N, sizes don't) and
+    candidate count stays ∝ N, never |A|·|B|; scoring is a map;
+    the histogram is a map-side-combinable groupBy over ≤2³ patterns.
+    The quadratic failure mode (block skew) is the same hazard the LSH
+    hot-bucket valve addresses — blocking keys here are near-unique by
+    construction, and a production run would audit them with
+    `pipeline_skew_report` first."""
+    cust = load_testdata(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("bal_c"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b = a.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.when(
+            F.col("id") % 7 == 0,
+            F.concat(F.expr("substring(name, 1, length(name) - 1)"), F.lit("X")),
+        )
+        .otherwise(F.col("name"))
+        .alias("name"),
+        "nat",
+        F.when(F.col("id") % 5 == 0, F.col("bal_c") + 1)
+        .otherwise(F.col("bal_c"))
+        .alias("bal_c"),
+        F.when(F.col("id") % 11 == 0, F.lit("AUTOMOBILE"))
+        .otherwise(F.col("seg"))
+        .alias("seg"),
+    )
+    bb = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
+    cand = a.join(
+        bb,
+        (F.col("nat") == F.col("b_nat"))
+        & (F.expr("substring(name, 1, 17)") == F.expr("substring(b_name, 1, 17)")),
+    )
+    wn, wb, ws = _FS_W["name"], _FS_W["bal"], _FS_W["seg"]
+    scored = cand.select(
+        F.when(F.col("name") == F.col("b_name"), 1).otherwise(0).alias("g_name"),
+        F.when(F.col("bal_c") == F.col("b_bal_c"), 1).otherwise(0).alias("g_bal"),
+        F.when(F.col("seg") == F.col("b_seg"), 1).otherwise(0).alias("g_seg"),
+    ).select(
+        "g_name",
+        "g_bal",
+        "g_seg",
+        (
+            F.when(F.col("g_name") == 1, wn[0]).otherwise(wn[1])
+            + F.when(F.col("g_bal") == 1, wb[0]).otherwise(wb[1])
+            + F.when(F.col("g_seg") == 1, ws[0]).otherwise(ws[1])
+        ).alias("score"),
+    )
+    return (
+        scored.groupBy("g_name", "g_bal", "g_seg", "score")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            F.col("g_name").cast("bigint"),
+            F.col("g_bal").cast("bigint"),
+            F.col("g_seg").cast("bigint"),
+            F.col("score").cast("bigint"),
+            F.when(F.col("score") >= _FS_MATCH, "match")
+            .when(F.col("score") >= _FS_POSSIBLE, "possible")
+            .otherwise("non_match")
+            .alias("class"),
+            "n_pairs",
+        )
+        .orderBy("g_name", "g_bal", "g_seg")
+    )

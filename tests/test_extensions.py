@@ -2391,3 +2391,33 @@ def test_ols_trend_differential(spark):
         assert r["slope_micro_per_day"] == expect
         assert abs(r["slope_micro_per_day"] - 1e6 * slope_float) <= 1.0
         assert r["n_events"] == n and r["sum_value_milli"] == sy
+
+
+def test_record_linkage_fs_plants_are_recovered(spark):
+    """customers_record_linkage_fs: the planted truth must land where
+    FS theory says — untouched copies score all-agree 'match'; a
+    single perturbed field drops to its expected pattern/class; and
+    every one of the N true pairs appears in exactly one pattern cell."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = m.queries()["customers_record_linkage_fs"](spark, sf).collect()
+    by_pat = {(r["g_name"], r["g_bal"], r["g_seg"]): r for r in rows}
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/customer.parquet'"
+    ).fetchone()[0]
+    # every true pair lands somewhere; blocking loses none (prefix-17
+    # survives the last-char perturbation) and admits few false pairs
+    assert sum(r["n_pairs"] for r in rows) >= n
+    # all-agree pattern: ids untouched by all three perturbations
+    clean = sum(
+        1 for i in range(n) if i % 7 != 0 and i % 5 != 0 and i % 11 != 0
+    )
+    assert by_pat[(1, 1, 1)]["n_pairs"] >= clean
+    assert by_pat[(1, 1, 1)]["class"] == "match"
+    assert by_pat[(1, 1, 1)]["score"] == 40 + 22 + 8
+    # name-only disagreement is still a (weaker) match; all-disagree is not
+    assert by_pat[(0, 1, 1)]["score"] == -12 + 22 + 8
+    assert by_pat[(0, 0, 0)]["class"] == "non_match"
