@@ -76,7 +76,6 @@ _PRIORITY = [
     "array_regex_functions",
     "full_outer_nation_presence",
     "rollup_revenue",
-    "posexplode_tokens",
     "range_band_join",
     "cross_join_region_priority",
     "price_percentiles",
@@ -118,6 +117,10 @@ _PRIORITY = [
     # semi/anti family is canaried by orders_of_overdrawn_customers):
     # Fellegi-Sunter multi-field record-linkage scoring.
     "customers_record_linkage_fs",
+    # (batch 8, displacing the posexplode_tokens canary — explode is
+    # exercised by the simpson/oov/tvd token queries in this window):
+    # pairwise Wasserstein-1 between source length profiles.
+    "text_source_length_emd",
 ]
 
 

@@ -142,6 +142,7 @@ def main() -> None:
         "events_hopping_window_rate",
         "events_value_trend_ols",
         "customers_record_linkage_fs",
+        "text_source_length_emd",
     }
     import hashlib
 

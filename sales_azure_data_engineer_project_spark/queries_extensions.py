@@ -13296,3 +13296,120 @@ def customers_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_name", "g_bal", "g_seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 8: earth-mover's distance between source length profiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_source_length_emd",
+    r"""
+    WITH t AS (
+        SELECT source, len(string_split_regex(text, '\s+')) AS n_tok
+        FROM documents
+    ),
+    mm AS (SELECT MIN(n_tok) AS mn, MAX(n_tok) AS mx FROM t),
+    bkt AS (
+        SELECT source,
+               least((32 * (n_tok - mn)) // (mx - mn + 1), 31) AS b
+        FROM t, mm
+    ),
+    c AS (SELECT source, b, COUNT(*) AS c FROM bkt GROUP BY source, b),
+    srcs AS (SELECT DISTINCT source FROM t),
+    grid AS (
+        SELECT s.source, g.b, COALESCE(c.c, 0) AS c
+        FROM srcs s CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) g
+        LEFT JOIN c ON c.source = s.source AND c.b = g.b
+    ),
+    cum AS (
+        SELECT source, b,
+               SUM(c) OVER (PARTITION BY source ORDER BY b) AS cc
+        FROM grid
+    ),
+    tot AS (SELECT source, SUM(c) AS n FROM grid GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b2.source AS source_b,
+               SUM(abs(a.cc * tb.n - b2.cc * ta.n)) AS numer,
+               ANY_VALUE(ta.n) AS na, ANY_VALUE(tb.n) AS nb
+        FROM cum a
+        JOIN cum b2 ON b2.b = a.b AND a.source < b2.source
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b2.source
+        GROUP BY a.source, b2.source
+    )
+    SELECT source_a, source_b,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST((1000000 * numer) // (na * nb) AS BIGINT) AS emd_micro_buckets
+    FROM pairs ORDER BY source_a, source_b
+    """,
+)
+def text_source_length_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 1-D earth-mover's (Wasserstein-1) distance between the
+    per-source document-length distributions, over a 32-bucket
+    equi-width grid — the transport metric that complements TVD
+    (`text_source_token_tvd`): TVD counts how much mass differs, EMD
+    counts how FAR it has to move, so a source whose docs are uniformly
+    ~10% longer scores near-zero TVD-per-bucket but a real EMD.  For
+    sorted 1-D histograms W₁ = Σ_b |F_a(b) − F_b(b)| exactly, computed
+    in cross-multiplied integers (|ca·n_b − cb·n_a| summed, one floor
+    division at the end) — micro-units of bucket widths, bit-identical
+    on both engines.  (At web scale the per-bucket cumulative shares
+    would be reduced to micro-units per source FIRST to keep the
+    cross-products in bigint; exactness at test SF needs no such
+    rounding.)
+
+    Scale shape: one map-side-combinable groupBy(source, bucket), a
+    |sources|×32 dense grid, a cumsum WINDOW PARTITIONED by source
+    (bounded 32-row frames), and a pair join on the bucket index —
+    everything after the first aggregate is bounded by |sources|²·32,
+    independent of corpus size.  The min/max is a 1-row broadcast
+    (BNLJ-allowlisted)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.size(F.split("text", X.TOKEN_RE)).cast("long").alias("n_tok")
+    )
+    mm = t.agg(F.min("n_tok").alias("mn"), F.max("n_tok").alias("mx"))
+    bkt = t.crossJoin(F.broadcast(mm)).select(
+        "source",
+        F.least(
+            F.expr("div(32 * (n_tok - mn), mx - mn + 1)"), F.lit(31)
+        ).alias("b"),
+    )
+    c = bkt.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    srcs = t.select("source").distinct()
+    gridb = spark.range(32).select(F.col("id").alias("b"))
+    grid = (
+        srcs.crossJoin(F.broadcast(gridb))
+        .join(c, ["source", "b"], "left")
+        .select("source", "b", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("cc", F.sum("c").over(w))
+    tot = grid.groupBy("source").agg(F.sum("c").alias("n"))
+    a = cum.select(
+        F.col("source").alias("source_a"), "b", F.col("cc").alias("cc_a")
+    ).join(tot.select(F.col("source").alias("source_a"), F.col("n").alias("na")), "source_a")
+    bb = cum.select(
+        F.col("source").alias("source_b"), F.col("b").alias("b2"), F.col("cc").alias("cc_b")
+    ).join(tot.select(F.col("source").alias("source_b"), F.col("n").alias("nb")), "source_b")
+    pairs = (
+        a.join(bb, (F.col("b") == F.col("b2")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.abs(F.col("cc_a") * F.col("nb") - F.col("cc_b") * F.col("na"))).alias("numer"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr("div(1000000 * numer, na * nb)").cast("bigint").alias("emd_micro_buckets"),
+    ).orderBy("source_a", "source_b")

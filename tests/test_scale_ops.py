@@ -524,6 +524,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                             # the |sources| relation
         "pipeline_skew_report",  # 1-row totals broadcast onto the
                                  # count-of-counts grid
+        "text_source_length_emd",  # 1-row min/max broadcast for
+                                   # bucketing + 32-row bucket-grid
+                                   # broadcast onto |sources|
     }
     # Unpartitioned windows: every entry must name the BOUNDED relation
     # the global window runs over (always an aggregate output, never the
