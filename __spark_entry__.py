@@ -70,7 +70,6 @@ _PRIORITY = [
     "q6_forecast_revenue",
     "q10_returned_item_losses",
     "events_latest_per_user",
-    "events_json_extract",
     "date_functions",
     "map_functions",
     "array_regex_functions",
@@ -121,6 +120,10 @@ _PRIORITY = [
     # exercised by the simpson/oov/tvd token queries in this window):
     # pairwise Wasserstein-1 between source length profiles.
     "text_source_length_emd",
+    # (batch 9, displacing the events_json_extract canary — the events
+    # family holds five other window slots this round): session-scoped
+    # first/last-touch revenue attribution.
+    "events_touch_attribution",
 ]
 
 

@@ -143,6 +143,7 @@ def main() -> None:
         "events_value_trend_ols",
         "customers_record_linkage_fs",
         "text_source_length_emd",
+        "events_touch_attribution",
     }
     import hashlib
 

@@ -13413,3 +13413,142 @@ def text_source_length_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("bigint").alias("n_b"),
         F.expr("div(1000000 * numer, na * nb)").cast("bigint").alias("emd_micro_buckets"),
     ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 9: session-scoped first/last-touch revenue attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_touch_attribution",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(round(value * 1000) AS BIGINT) AS v_milli
+        FROM events
+    ),
+    gaps AS (
+        SELECT *, LAG(ts_us) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS prev_us
+        FROM e
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+        FROM gaps
+    ),
+    sess AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    touched AS (
+        SELECT *,
+               first_value(CASE WHEN event_type != 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id, sid ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS first_touch,
+               last_value(CASE WHEN event_type != 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id, sid ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_touch
+        FROM sess
+    ),
+    conv AS (
+        SELECT COALESCE(first_touch, 'direct') AS first_touch,
+               COALESCE(last_touch, 'direct') AS last_touch,
+               v_milli
+        FROM touched WHERE event_type = 'purchase'
+    ),
+    ft AS (
+        SELECT first_touch AS channel, COUNT(*) AS n_first,
+               SUM(v_milli) AS first_milli
+        FROM conv GROUP BY first_touch
+    ),
+    lt AS (
+        SELECT last_touch AS channel, COUNT(*) AS n_last,
+               SUM(v_milli) AS last_milli
+        FROM conv GROUP BY last_touch
+    )
+    SELECT COALESCE(ft.channel, lt.channel) AS channel,
+           CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first,
+           CAST(COALESCE(first_milli, 0) AS BIGINT) AS first_touch_milli,
+           CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last,
+           CAST(COALESCE(last_milli, 0) AS BIGINT) AS last_touch_milli
+    FROM ft FULL OUTER JOIN lt ON lt.channel = ft.channel
+    ORDER BY channel
+    """,
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped first-touch / last-touch revenue attribution —
+    the marketing-analytics standard that funnel counting doesn't
+    give: every purchase's value is credited to the first and to the
+    last non-purchase event type ('channel') seen earlier in the SAME
+    30-minute-gap session ('direct' when the purchase opens its
+    session).  The two attribution models bracket multi-touch
+    reality; comparing their per-channel totals is the whole point of
+    the report.
+
+    Scale shape: sessionization is the proven lag+cumsum pattern (all
+    windows PARTITIONED by user or (user, session) — users sort
+    independently, never a global sort); first/last touch are
+    running first_value/last_value IGNORE NULLS over the same
+    partitioning (one Exchange serves all four windows); attribution
+    collapses to two combinable groupBys over |channels| rows joined
+    full-outer on the bounded channel set."""
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr("cast(round(value * 1000) as bigint)").alias("v_milli"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(wu).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(wu) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_session").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = (
+        Window.partitionBy("user_id", "sid")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch_expr = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touched = sess.withColumn(
+        "first_touch", F.first(touch_expr, ignorenulls=True).over(ws)
+    ).withColumn("last_touch", F.last(touch_expr, ignorenulls=True).over(ws))
+    conv = touched.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+        "v_milli",
+    )
+    ft = conv.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_first"), F.sum("v_milli").alias("first_milli")
+    )
+    lt = conv.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_last"), F.sum("v_milli").alias("last_milli")
+    )
+    return (
+        ft.join(lt, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("n_first", F.lit(0)).cast("bigint").alias("n_first"),
+            F.coalesce("first_milli", F.lit(0)).cast("bigint").alias("first_touch_milli"),
+            F.coalesce("n_last", F.lit(0)).cast("bigint").alias("n_last"),
+            F.coalesce("last_milli", F.lit(0)).cast("bigint").alias("last_touch_milli"),
+        )
+        .orderBy("channel")
+    )

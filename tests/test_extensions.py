@@ -2465,3 +2465,44 @@ def test_source_length_emd_differential(spark):
     assert set(got) == {
         (a, b) for a, b in itertools.combinations(sorted(lens), 2)
     }
+
+
+def test_touch_attribution_differential(spark):
+    """events_touch_attribution vs a plain-Python session walk on a
+    hand-built frame covering: purchase opening a session ('direct'),
+    first != last touch, multiple purchases in one session, and a
+    session split by the 30-minute gap."""
+    import datetime as dt
+
+    import __spark_entry__ as m
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1, session 1: view -> click -> purchase(10) -> purchase(5)
+        (1, base, 1, "view", 0.0),
+        (2, base + dt.timedelta(minutes=5), 1, "click", 0.0),
+        (3, base + dt.timedelta(minutes=10), 1, "purchase", 10.0),
+        (4, base + dt.timedelta(minutes=15), 1, "purchase", 5.0),
+        # user 1, session 2 (gap > 30 min): purchase opens it -> direct
+        (5, base + dt.timedelta(minutes=60), 1, "purchase", 7.0),
+        # user 2: error -> purchase (single-touch: first == last)
+        (6, base, 2, "error", 0.0),
+        (7, base + dt.timedelta(minutes=1), 2, "purchase", 3.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, ty, v, "{}") for i, ts, u, ty, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = {r["channel"]: tuple(r)[1:] for r in m.queries()["events_touch_attribution"](spark, td).collect()}
+    # purchases: p3 first=view last=click; p4 first=view last=click
+    # (the purchase between doesn't count as a touch); p5 direct;
+    # p7 first=last=error
+    assert got == {
+        "click": (0, 0, 2, 15000),
+        "direct": (1, 7000, 1, 7000),
+        "error": (1, 3000, 1, 3000),
+        "view": (2, 15000, 0, 0),
+    }
