@@ -13096,53 +13096,70 @@ def events_hopping_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(value * 1000) AS BIGINT) AS y
         FROM events
     ),
+    daily AS (
+        SELECT event_type, x,
+               SUM(y) // COUNT(*) AS ybar,
+               COUNT(*) AS n_ev
+        FROM e GROUP BY event_type, x
+    ),
     m AS (
         SELECT event_type,
                COUNT(*) AS n,
-               SUM(x) AS sx, SUM(y) AS sy,
-               SUM(x * x) AS sxx, SUM(x * y) AS sxy
-        FROM e GROUP BY event_type
+               SUM(n_ev) AS n_events,
+               SUM(x) AS sx, SUM(ybar) AS sy,
+               SUM(x * x) AS sxx, SUM(x * ybar) AS sxy
+        FROM daily GROUP BY event_type
     )
     SELECT event_type,
-           CAST(n AS BIGINT) AS n_events,
-           CAST(sy AS BIGINT) AS sum_value_milli,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(n_events AS BIGINT) AS n_events,
            CAST((1000000 * (n * sxy - sx * sy))
                 // (n * sxx - sx * sx) AS BIGINT) AS slope_micro_per_day
     FROM m ORDER BY event_type
     """,
 )
 def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type value trend via exact ordinary least squares — the
-    drift detector that reads as a rate (milli-value change per day),
-    complementing CUSUM (which finds WHEN a shift happened) with HOW
-    FAST the level is moving.  The slope is computed from integer
-    cross-moments (10⁶·(nΣxy − ΣxΣy) ⫽ (nΣx² − (Σx)²)) — one
-    floor division at the end, bit-identical on both engines.  x is
-    days since a fixed anchor (2024-01-01, near the data): OLS slopes
-    are shift-invariant, so the anchor only bounds the integer
-    magnitudes (x ≤ ~30 keeps 10⁶·numerator far inside bigint; an
-    epoch-day x would overflow).
+    """Per-type value trend via exact ordinary least squares over the
+    DAILY MEAN series — the drift detector that reads as a rate
+    (milli-value change per day), complementing CUSUM (which finds
+    WHEN a shift happened) with HOW FAST the level is moving.  The
+    regression runs over (day, daily-mean) points, so every magnitude
+    is bounded by the VALUE DOMAIN and the day count — never by corpus
+    size: an earlier per-event formulation overflowed bigint at the
+    10x blow-up because 10^6·(nΣxy − ΣxΣy) grows ∝ N² (caught by
+    tools/scale_experiment.py, NOTES.md round-6) — the daily-mean form
+    keeps n ≤ |days| ≈ 31 and y ≤ max value forever.  The slope is one
+    floor division over integer cross-moments, bit-identical on both
+    engines (both truncate toward zero, verified for negative slopes).
+    x is days since a fixed anchor (2024-01-01, near the data): slopes
+    are shift-invariant, the anchor only bounds x.
 
-    Scale shape: ONE map-side-combinable groupBy(event_type) carrying
-    five integer sums — the canonical distributed-regression shape
-    (cross-moments are sums, so partial aggregation does all the work);
-    output is |types| rows, no window, no join."""
+    Scale shape: ONE map-side-combinable groupBy(event_type, day)
+    collapses the corpus to ≤ |types|·|days| rows; the five cross-
+    moment sums are a second combinable groupBy over that bounded
+    relation — the canonical distributed-regression shape with a
+    bounded second stage."""
     ev = load_testdata(spark, sf_dir, "events").select(
         "event_type",
         F.expr("datediff(cast(ts as date), date'2024-01-01')").alias("x"),
         F.expr("cast(round(value * 1000) as bigint)").alias("y"),
     )
-    m = ev.groupBy("event_type").agg(
+    daily = ev.groupBy("event_type", "x").agg(
+        F.expr("div(sum(y), count(1))").alias("ybar"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    m = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum("n_ev").alias("n_events"),
         F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
+        F.sum("ybar").alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("ybar")).alias("sxy"),
     )
     return m.select(
         "event_type",
-        F.col("n").cast("bigint").alias("n_events"),
-        F.col("sy").cast("bigint").alias("sum_value_milli"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("n_events").cast("bigint").alias("n_events"),
         F.expr("div(1000000 * (n * sxy - sx * sy), n * sxx - sx * sx)")
         .cast("bigint")
         .alias("slope_micro_per_day"),

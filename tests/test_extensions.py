@@ -2357,9 +2357,9 @@ def test_oov_rate_differential(spark):
 
 
 def test_ols_trend_differential(spark):
-    """events_value_trend_ols vs numpy.polyfit on the real sf0.001
-    events (slope within 1 micro-unit of the float fit), plus the exact
-    integer identity."""
+    """events_value_trend_ols vs a plain-Python daily-mean OLS on the
+    real sf0.001 events: exact integer identity for the slope, plus a
+    float sanity bound vs numpy.polyfit over the same daily points."""
     import datetime as dt
 
     import duckdb
@@ -2370,27 +2370,31 @@ def test_ols_trend_differential(spark):
     sf = "/root/testdata/sf0.001"
     got = {r["event_type"]: r for r in m.queries()["events_value_trend_ols"](spark, sf).collect()}
     rows = duckdb.sql(
-        f"SELECT event_type, CAST(ts AS DATE), round(value * 1000) FROM '{sf}/events.parquet'"
+        f"SELECT event_type, CAST(ts AS DATE), CAST(round(value * 1000) AS BIGINT) FROM '{sf}/events.parquet'"
     ).fetchall()
     anchor = dt.date(2024, 1, 1)
     per: dict = {}
     for ty, d, y in rows:
-        per.setdefault(ty, []).append(((d - anchor).days, int(y)))
+        per.setdefault(ty, {}).setdefault((d - anchor).days, []).append(int(y))
     assert set(got) == set(per)
-    for ty, pts in per.items():
-        xs = np.array([p[0] for p in pts], dtype=float)
-        ys = np.array([p[1] for p in pts], dtype=float)
-        slope_float = np.polyfit(xs, ys, 1)[0]
-        r = got[ty]
-        # exact integer identity
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    for ty, days in per.items():
+        pts = [(x, trunc_div(sum(ys), len(ys))) for x, ys in sorted(days.items())]
         n = len(pts)
         sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
         sxx = sum(p[0] * p[0] for p in pts); sxy = sum(p[0] * p[1] for p in pts)
-        num, den = 1000000 * (n * sxy - sx * sy), n * sxx - sx * sx
-        expect = -((-num) // den) if (num < 0) != (den < 0) else num // den  # trunc
+        expect = trunc_div(1000000 * (n * sxy - sx * sy), n * sxx - sx * sx)
+        r = got[ty]
         assert r["slope_micro_per_day"] == expect
-        assert abs(r["slope_micro_per_day"] - 1e6 * slope_float) <= 1.0
-        assert r["n_events"] == n and r["sum_value_milli"] == sy
+        assert r["n_days"] == n
+        assert r["n_events"] == sum(len(ys) for ys in days.values())
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys_ = np.array([p[1] for p in pts], dtype=float)
+        assert abs(r["slope_micro_per_day"] - 1e6 * np.polyfit(xs, ys_, 1)[0]) <= 1.0
 
 
 def test_record_linkage_fs_plants_are_recovered(spark):

@@ -180,6 +180,25 @@ QUERIES = [
     # session-5 batch 13: sketch build is one combinable groupBy with
     # ≤ d·w counters out per column; exact side one groupBy(key).
     ("stats_join_size_estimate", [1, 3, 10]),
+    # round-6 additions.  Checksum/manifest/simpson/oov/EMD ride the
+    # documents blow-up (disjoint vocab per copy); skew_report rides
+    # lineitem (key count ∝ N, count-of-counts grid bounded); hopping/
+    # OLS/attribution ride events (disjoint users, window cells and
+    # type grids bounded); FS linkage rides customer (disjoint keys,
+    # blocking prefix cardinality ∝ N, block sizes constant); capped
+    # LSH rides documents (planted hot bucket grows ∝ N but emission
+    # is O(m) star edges).
+    ("dedup_lsh_hot_bucket_capped", [1, 3, 10]),
+    ("pipeline_shard_checksum", [1, 3, 10]),
+    ("pipeline_incremental_manifest", [1, 3, 10]),
+    ("quality_simpson_diversity", [1, 3, 10]),
+    ("pipeline_skew_report", [1, 3, 10]),
+    ("vocab_oov_rate_by_source", [1, 3, 10]),
+    ("events_hopping_window_rate", [1, 3, 10]),
+    ("events_value_trend_ols", [1, 3, 10]),
+    ("customers_record_linkage_fs", [1, 3, 10]),
+    ("text_source_length_emd", [1, 3, 10]),
+    ("events_touch_attribution", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
