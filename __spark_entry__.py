@@ -80,7 +80,6 @@ _PRIORITY = [
     "price_percentiles",
     "orders_of_overdrawn_customers",
     "segments_intersect_except",
-    "dedup_clusters",
     "grouped_map_normalize",
     # Round-6 additions / changed implementations (displaced the
     # approx_distinct_kmv + multimodal_features canaries, both green r4
@@ -124,6 +123,11 @@ _PRIORITY = [
     # family holds five other window slots this round): session-scoped
     # first/last-touch revenue attribution.
     "events_touch_attribution",
+    # (batch 10, displacing the dedup_clusters canary — its CC chain is
+    # exercised by this query's own invariant pytest, which compares
+    # LPA communities against dedup_clusters_minhash components):
+    # self-inclusive synchronous label propagation.
+    "dedup_graph_label_propagation",
 ]
 
 

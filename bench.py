@@ -144,6 +144,7 @@ def main() -> None:
         "customers_record_linkage_fs",
         "text_source_length_emd",
         "events_touch_attribution",
+        "dedup_graph_label_propagation",
     }
     import hashlib
 

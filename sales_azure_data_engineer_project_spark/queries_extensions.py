@@ -13569,3 +13569,104 @@ def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 10: label-propagation communities over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_LPA_STEP_SQL = """
+    nl{i} AS (
+        SELECT e.u AS node, l.lbl AS lbl, COUNT(*) AS c
+        FROM edges_self e JOIN lab{p} l ON l.node = e.v
+        GROUP BY e.u, l.lbl
+    ),
+    mx{i} AS (SELECT node, MAX(c) AS mc FROM nl{i} GROUP BY node),
+    pick{i} AS (
+        SELECT n.node, MIN(n.lbl) AS lbl
+        FROM nl{i} n JOIN mx{i} m ON m.node = n.node AND n.c = m.mc
+        GROUP BY n.node
+    ),
+    lab{i} AS (
+        SELECT l.node, COALESCE(p.lbl, l.lbl) AS lbl
+        FROM lab{p} l LEFT JOIN pick{i} p ON p.node = l.node
+    )"""
+
+
+@register(
+    "dedup_graph_label_propagation",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL}, {_MINHASH_BANDS_SQL},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM cand
+              UNION ALL SELECT id_b AS u, id_a AS v FROM cand),
+    edges_self AS (SELECT u, v FROM edges
+                   UNION ALL SELECT doc_id, doc_id FROM corpus),
+    lab0 AS (SELECT doc_id AS node, doc_id AS lbl FROM corpus),
+    {_LPA_STEP_SQL.format(i=1, p=0)},
+    {_LPA_STEP_SQL.format(i=2, p=1)}
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(lbl AS BIGINT) AS community
+    FROM lab2 ORDER BY doc_id
+    """,
+)
+def dedup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (2 unrolled rounds) over the LSH
+    candidate graph — community detection, the graph tier between
+    connected components (pure reachability — `dedup_clusters_minhash`)
+    and PageRank (centrality): every node adopts the most frequent
+    label among its neighbors AND itself each round (self-inclusive
+    voting — the standard fix for sync-LPA's two-node label-swap
+    oscillation), ties to the SMALLEST label (the determinism rule
+    that makes sync LPA replayable — vanilla LPA with arbitrary
+    tie-breaks is non-deterministic by construction).  Isolated nodes
+    keep their own id via their self-vote.  Two rounds label dense
+    cores without bleeding across weak bridges the way full transitive
+    closure does.
+
+    Scale shape: each round is ONE equi-join of the undirected edge
+    list with the label vector + two combinable aggregates (per-(node,
+    label) counts, then max-count pick with MIN tie-break — the argmax
+    expressed as aggregate+filter, no window, no sort).  Per-round cost
+    O(|E|), fixed round count, the same static-unroll pattern as the
+    PageRank query; the edge list is persisted once and reused by both
+    rounds (pinned at runtime by the iterative-graph cache test
+    pattern)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    cand = D.lsh_candidate_pairs(bands, "doc_id").select("id_a", "id_b")
+    edges = (
+        cand.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(cand.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .unionByName(
+            corpus.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v"))
+        )
+        .transform(tracked_persist)
+    )
+    lab = corpus.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
+    for _ in range(2):
+        nl = (
+            edges.join(lab.select(F.col("node").alias("v"), F.col("lbl").alias("nlbl")), "v")
+            .groupBy(F.col("u").alias("node"), F.col("nlbl").alias("cand_lbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        mx = nl.groupBy("node").agg(F.max("c").alias("mc"))
+        pick = (
+            nl.join(mx, "node")
+            .filter(F.col("c") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("cand_lbl").alias("plbl"))
+        )
+        lab = lab.join(pick, "node", "left").select(
+            "node", F.coalesce("plbl", "lbl").alias("lbl")
+        )
+    return lab.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("lbl").cast("bigint").alias("community"),
+    ).orderBy("doc_id")

@@ -2510,3 +2510,32 @@ def test_touch_attribution_differential(spark):
         "error": (1, 3000, 1, 3000),
         "view": (2, 15000, 0, 0),
     }
+
+
+def test_label_propagation_invariants(spark):
+    """dedup_graph_label_propagation: labels are node ids; communities
+    refine connected components (two nodes in different CCs can never
+    share a label — propagation only crosses edges); isolated docs keep
+    their own id; planted exact dups adopt a shared label."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    lpa = {r["doc_id"]: r["community"] for r in m.queries()["dedup_graph_label_propagation"](spark, sf).collect()}
+    cc = {r["doc_id"]: r["component"] for r in m.queries()["dedup_clusters_minhash"](spark, sf).collect()}
+    assert set(lpa) == set(cc)
+    # refinement: same LPA label -> same CC component
+    by_lbl: dict = {}
+    for d, l in lpa.items():
+        by_lbl.setdefault(l, set()).add(cc[d])
+    assert all(len(comps) == 1 for comps in by_lbl.values())
+    # isolated docs (singleton components) keep their own id
+    from collections import Counter
+
+    comp_sizes = Counter(cc.values())
+    for d, comp in cc.items():
+        if comp_sizes[comp] == 1:
+            assert lpa[d] == d
+    # planted exact dups (doc_id + 200000, every 17th) share a label
+    # with their original after 2 rounds of a direct edge
+    planted = [d for d in lpa if d >= 200000]
+    assert planted and all(lpa[d] == lpa[d - 200000] for d in planted)

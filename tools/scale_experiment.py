@@ -199,6 +199,7 @@ QUERIES = [
     ("customers_record_linkage_fs", [1, 3, 10]),
     ("text_source_length_emd", [1, 3, 10]),
     ("events_touch_attribution", [1, 3, 10]),
+    ("dedup_graph_label_propagation", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
