@@ -13670,3 +13670,227 @@ def dedup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("lbl").cast("bigint").alias("community"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 8: audience set-overlap, series autocorrelation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_audience_overlap_jaccard",
+    """
+    WITH tmap AS (
+        SELECT event_type,
+               CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS INTEGER) AS idx
+        FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    masks AS (
+        SELECT e.user_id, bit_or(CAST(1 AS BIGINT) << t.idx) AS mask
+        FROM events e JOIN tmap t USING (event_type)
+        GROUP BY e.user_id
+    ),
+    mc AS (SELECT mask, COUNT(*) AS n FROM masks GROUP BY mask),
+    pairs AS (
+        SELECT a.event_type AS type_a, a.idx AS ia,
+               b.event_type AS type_b, b.idx AS ib
+        FROM tmap a JOIN tmap b ON a.idx < b.idx
+    )
+    SELECT type_a, type_b,
+           CAST(SUM(CASE WHEN (mask & (CAST(1 AS BIGINT) << ia)) != 0
+                         THEN n ELSE 0 END) AS BIGINT) AS n_users_a,
+           CAST(SUM(CASE WHEN (mask & (CAST(1 AS BIGINT) << ib)) != 0
+                         THEN n ELSE 0 END) AS BIGINT) AS n_users_b,
+           CAST(SUM(CASE WHEN (mask & (CAST(1 AS BIGINT) << ia)) != 0
+                          AND (mask & (CAST(1 AS BIGINT) << ib)) != 0
+                         THEN n ELSE 0 END) AS BIGINT) AS n_intersection,
+           CAST(SUM(CASE WHEN (mask & (CAST(1 AS BIGINT) << ia)) != 0
+                          OR (mask & (CAST(1 AS BIGINT) << ib)) != 0
+                         THEN n ELSE 0 END) AS BIGINT) AS n_union,
+           CAST((1000 * SUM(CASE WHEN (mask & (CAST(1 AS BIGINT) << ia)) != 0
+                                  AND (mask & (CAST(1 AS BIGINT) << ib)) != 0
+                                 THEN n ELSE 0 END))
+                // SUM(CASE WHEN (mask & (CAST(1 AS BIGINT) << ia)) != 0
+                             OR (mask & (CAST(1 AS BIGINT) << ib)) != 0
+                            THEN n ELSE 0 END) AS BIGINT) AS jaccard_permille
+    FROM pairs CROSS JOIN mc
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def events_audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience-overlap Jaccard for every event-type pair via the
+    bitmask-inventory trick: one groupBy(user) folds each user's type
+    set into a ≤64-bit mask (``bit_or(1 << idx)``, map-side
+    combinable), a second groupBy collapses the corpus to the ≤2^|types|
+    distinct-mask inventory, and every pairwise |A∩B| / |A∪B| is then a
+    conditional sum over that BOUNDED relation — the naive spelling
+    (|types|² distinct-user self-joins) re-shuffles the corpus 25
+    times; this shape shuffles it ONCE and never materializes a
+    user-level pair.  The audience-overlap matrix is the campaign /
+    cannibalization diagnostic for event instrumentation (do 'view'
+    and 'purchase' reach the same users?).
+
+    Parity contract: type index = alphabetical dense rank (both
+    engines); Jaccard in permille by integer division (union ≥ 1 since
+    each type has ≥1 user).  Requires |types| ≤ 63 (asserted upstream
+    by the mask width; the generator has 5).
+
+    Scale shape: groupBy(user_id) is the single corpus-wide shuffle;
+    the mask inventory (≤2^|types| rows) × the type-pair grid
+    (|types|² rows) BNLJ is constant-size on both sides — allowlisted
+    in test_scale_ops.  The dense-rank window runs over the DISTINCT
+    TYPE relation (an aggregate output, ≤|types| rows) —
+    global-window-allowlisted."""
+    ev = load_testdata(spark, sf_dir, "events").select("user_id", "event_type")
+    tmap = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.dense_rank().over(Window.orderBy("event_type")) - 1)
+            .cast("int")
+            .alias("idx"),
+        )
+    )
+    masks = (
+        ev.join(F.broadcast(tmap), "event_type")
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), idx))").alias("mask"))
+    )
+    mc = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        tmap.select(F.col("event_type").alias("type_a"), F.col("idx").alias("ia"))
+        .join(
+            tmap.select(F.col("event_type").alias("type_b"), F.col("idx").alias("ib")),
+            F.col("ia") < F.col("ib"),
+        )
+    )
+    bit_a = F.expr("mask & shiftleft(cast(1 as bigint), ia)") != 0
+    bit_b = F.expr("mask & shiftleft(cast(1 as bigint), ib)") != 0
+    cells = F.broadcast(pairs).crossJoin(mc)
+    agg = cells.groupBy("type_a", "type_b").agg(
+        F.sum(F.when(bit_a, F.col("n")).otherwise(0)).alias("n_users_a"),
+        F.sum(F.when(bit_b, F.col("n")).otherwise(0)).alias("n_users_b"),
+        F.sum(F.when(bit_a & bit_b, F.col("n")).otherwise(0)).alias("n_intersection"),
+        F.sum(F.when(bit_a | bit_b, F.col("n")).otherwise(0)).alias("n_union"),
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("n_users_a").cast("bigint"),
+        F.col("n_users_b").cast("bigint"),
+        F.col("n_intersection").cast("bigint"),
+        F.col("n_union").cast("bigint"),
+        F.expr("div(1000 * n_intersection, n_union)")
+        .cast("bigint")
+        .alias("jaccard_permille"),
+    ).orderBy("type_a", "type_b")
+
+
+@register(
+    "events_autocorr_daily",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, SUM(cnt) AS s FROM daily GROUP BY 1),
+    p AS (
+        SELECT d.event_type, d.x, (1000000 * d.cnt) // t.s AS pm
+        FROM daily d JOIN tot t USING (event_type)
+    ),
+    mu AS (
+        SELECT event_type, SUM(pm) // COUNT(*) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM p GROUP BY 1
+    ),
+    c AS (
+        SELECT p.event_type, p.x, p.pm - mu.m AS cv
+        FROM p JOIN mu USING (event_type)
+    ),
+    den AS (SELECT event_type, SUM(cv * cv) AS d2 FROM c GROUP BY 1),
+    num AS (
+        SELECT a.event_type, lg.lag AS lag,
+               SUM(a.cv * b.cv) AS nm, COUNT(*) AS n_pairs
+        FROM (VALUES (1), (7)) lg(lag)
+        JOIN c a ON TRUE
+        JOIN c b ON a.event_type = b.event_type AND b.x = a.x + lg.lag
+        GROUP BY 1, 2
+    )
+    SELECT n.event_type, CAST(n.lag AS INTEGER) AS lag,
+           mu.n_days, CAST(n.n_pairs AS BIGINT) AS n_pairs,
+           CAST((1000000 * n.nm) // den.d2 AS BIGINT) AS acf_micro
+    FROM num n JOIN den USING (event_type) JOIN mu USING (event_type)
+    ORDER BY event_type, lag
+    """,
+)
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 / lag-7 autocorrelation of each event type's DAILY COUNT
+    series — the periodicity detector (is traffic weekly-seasonal?)
+    that complements the trend (``events_value_trend_ols``) and
+    change-point (``events_cusum_changepoint``) monitors.
+
+    Overflow-proof by construction: daily counts are first normalized
+    to PERMILLE-OF-TOTAL×1000 (pm = 1e6·cnt // Σcnt ≤ 1e6) so every
+    centered deviation is ≤1e6, every product ≤1e12, and the sums are
+    bounded by |days|·1e12 FOREVER — corpus growth cannot overflow the
+    bigint moments (the lesson from this round's OLS 10x overflow,
+    NOTES.md).  ACF is scale-invariant, so the normalization only
+    costs integer rounding (≤1 part in 1e6 per term).  Centering uses
+    the truncated integer mean; all divisions are truncating on both
+    engines.  Denominator is the full-series sum of squares (the
+    standard biased ACF estimator); numerator pairs are (t, t+k) days
+    both present (equi-join on x+k — robust to gap days).
+
+    Scale shape: ONE map-side-combinable groupBy(type, day) collapses
+    the corpus; everything after runs on ≤|types|·|days| rows via
+    keyed equi-joins (type, day) — no window, no BNLJ, no broadcast of
+    anything unbounded."""
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("datediff(cast(ts as date), date'2024-01-01')").alias("x"),
+    )
+    daily = ev.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = daily.groupBy("event_type").agg(F.sum("cnt").alias("s"))
+    p = daily.join(tot, "event_type").select(
+        "event_type", "x", F.expr("div(1000000 * cnt, s)").alias("pm")
+    )
+    mu = p.groupBy("event_type").agg(
+        F.expr("div(sum(pm), count(1))").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    c = p.join(mu.select("event_type", "m"), "event_type").select(
+        "event_type", "x", (F.col("pm") - F.col("m")).alias("cv")
+    )
+    den = c.groupBy("event_type").agg(F.sum(F.col("cv") * F.col("cv")).alias("d2"))
+    nums = []
+    for k in (1, 7):
+        a = c.select("event_type", "x", F.col("cv").alias("ca"))
+        b = c.select(
+            "event_type", (F.col("x") - k).alias("x"), F.col("cv").alias("cb")
+        )
+        nums.append(
+            a.join(b, ["event_type", "x"])
+            .groupBy("event_type")
+            .agg(
+                F.lit(k).cast("int").alias("lag"),
+                F.sum(F.col("ca") * F.col("cb")).alias("nm"),
+                F.count(F.lit(1)).alias("n_pairs"),
+            )
+        )
+    num = nums[0].unionByName(nums[1])
+    return (
+        num.join(den, "event_type")
+        .join(mu.select("event_type", "n_days"), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "n_days",
+            F.col("n_pairs").cast("bigint"),
+            F.expr("div(1000000 * nm, d2)").cast("bigint").alias("acf_micro"),
+        )
+        .orderBy("event_type", "lag")
+    )

@@ -2539,3 +2539,87 @@ def test_label_propagation_invariants(spark):
     # with their original after 2 rounds of a direct edge
     planted = [d for d in lpa if d >= 200000]
     assert planted and all(lpa[d] == lpa[d - 200000] for d in planted)
+
+
+def test_audience_overlap_jaccard_differential(spark):
+    """events_audience_overlap_jaccard vs brute-force Python sets on
+    the real sf0.001 events: the bitmask-inventory shape must produce
+    the EXACT per-pair |A|, |B|, |A∩B|, |A∪B| that materializing the
+    user sets gives, for every type pair, plus the permille contract."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT DISTINCT event_type, user_id FROM '{sf}/events.parquet'"
+    ).fetchall()
+    sets: dict = {}
+    for ty, u in rows:
+        sets.setdefault(ty, set()).add(u)
+    types = sorted(sets)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in m.queries()["events_audience_overlap_jaccard"](spark, sf).collect()
+    }
+    expected_pairs = {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    }
+    assert set(got) == expected_pairs
+    for (a, b), r in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert r["n_users_a"] == len(sets[a])
+        assert r["n_users_b"] == len(sets[b])
+        assert r["n_intersection"] == inter
+        assert r["n_union"] == union
+        assert r["jaccard_permille"] == (1000 * inter) // union
+
+
+def test_autocorr_daily_differential(spark):
+    """events_autocorr_daily vs a plain-Python replication of the
+    integer permille-normalized estimator on the real sf0.001 events,
+    plus a float sanity bound vs the classic biased ACF on the same
+    daily series (tolerance covers the 1e-6 integer-rounding steps)."""
+    import datetime as dt
+
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE), COUNT(*) FROM '{sf}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    anchor = dt.date(2024, 1, 1)
+    per: dict = {}
+    for ty, d, c in rows:
+        per.setdefault(ty, {})[(d - anchor).days] = int(c)
+    got = {
+        (r["event_type"], r["lag"]): r
+        for r in m.queries()["events_autocorr_daily"](spark, sf).collect()
+    }
+    assert set(got) == {(ty, k) for ty in per for k in (1, 7)}
+    for ty, days in per.items():
+        s = sum(days.values())
+        pm = {x: (1000000 * c) // s for x, c in days.items()}
+        mu = sum(pm.values()) // len(pm)
+        cv = {x: v - mu for x, v in pm.items()}
+        d2 = sum(v * v for v in cv.values())
+        for k in (1, 7):
+            pairs = [(cv[x], cv[x + k]) for x in cv if x + k in cv]
+            nm = sum(a * b for a, b in pairs)
+            q = abs(1000000 * nm) // d2
+            expect = -q if nm < 0 else q
+            r = got[(ty, k)]
+            assert r["n_days"] == len(days)
+            assert r["n_pairs"] == len(pairs)
+            assert r["acf_micro"] == expect
+            # float sanity: same estimator in numpy over the same series
+            xs = sorted(cv)
+            v = np.array([cv[x] for x in xs], dtype=float)
+            num_f = sum(
+                cv[x] * cv[x + k] for x in cv if x + k in cv
+            )
+            assert abs(r["acf_micro"] - 1e6 * num_f / float(d2)) <= 1.0

@@ -527,6 +527,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "text_source_length_emd",  # 1-row min/max broadcast for
                                    # bucketing + 32-row bucket-grid
                                    # broadcast onto |sources|
+        "events_audience_overlap_jaccard",  # ≤2^|types| mask inventory
+                                            # (groupBy output) × |types|²
+                                            # pair grid — both bounded
     }
     # Unpartitioned windows: every entry must name the BOUNDED relation
     # the global window runs over (always an aggregate output, never the
@@ -554,6 +557,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "pipeline_skew_report",  # cumsum over the count-of-counts
                                  # grid (bounded by |distinct key
                                  # frequencies| — groupBy output)
+        "events_audience_overlap_jaccard",  # dense_rank over the
+                                            # DISTINCT event-type
+                                            # relation (≤|types| rows)
     }
     offenders = {}
     for name, fn in m.queries().items():
