@@ -13894,3 +13894,301 @@ def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 9: rank correlation, robust trend, inter-arrival quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_spearman_daily",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               COUNT(*) AS cnt,
+               SUM(CAST(round(value * 1000) AS BIGINT)) // COUNT(*) AS ybar
+        FROM events GROUP BY 1, 2
+    ),
+    na AS (SELECT event_type, cnt, COUNT(*) AS n_eq FROM daily GROUP BY 1, 2),
+    nb AS (SELECT event_type, ybar, COUNT(*) AS n_eq FROM daily GROUP BY 1, 2),
+    ranked AS (
+        SELECT d.event_type,
+               2 * rank() OVER (PARTITION BY d.event_type ORDER BY d.cnt)
+                 + na.n_eq - 1 AS a2,
+               2 * rank() OVER (PARTITION BY d.event_type ORDER BY d.ybar)
+                 + nb.n_eq - 1 AS b2
+        FROM daily d
+        JOIN na ON na.event_type = d.event_type AND na.cnt = d.cnt
+        JOIN nb ON nb.event_type = d.event_type AND nb.ybar = d.ybar
+    ),
+    m AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(a2) AS sa, SUM(b2) AS sb, SUM(a2 * b2) AS sab,
+               SUM(a2 * a2) AS saa, SUM(b2 * b2) AS sbb
+        FROM ranked GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0 THEN NULL
+                ELSE CAST(floor((1000000.0 * (n * sab - sa * sb))
+                     / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                        * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))) AS BIGINT)
+           END AS rho_micro
+    FROM m ORDER BY event_type
+    """,
+)
+def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-corrected, per event type)
+    between each day's EVENT VOLUME and its MEAN VALUE — the monotone-
+    association monitor ("do busy days run hotter?") that Pearson-on-
+    raw-values gets wrong under outliers and nonlinearity.
+
+    Exactness contract: classical average ranks carry .5 halves, so
+    both engines compute DOUBLED average ranks — ``2·rank() + n_eq − 1``
+    (min-rank window plus the tied-group size from a groupBy join) —
+    keeping every moment integer; the constant factor cancels in the
+    correlation.  The only float steps are the final two IEEE sqrt
+    calls and one division — both CORRECTLY ROUNDED per IEEE 754 on
+    identical integer inputs, hence bit-identical across engines
+    (unlike ln/exp, which the fleet avoids).  Zero-variance series
+    yield NULL on both sides.
+
+    Scale shape: one combinable groupBy(type, day) bounds everything
+    at ≤|types|·|days| rows; the rank windows are PARTITIONED by type
+    over that bounded relation; tie sizes come from two more bounded
+    groupBys — no global window, no BNLJ, no unbounded broadcast."""
+    daily = (
+        load_testdata(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("datediff(cast(ts as date), date'2024-01-01')").alias("x"),
+            F.expr("cast(round(value * 1000) as bigint)").alias("y"),
+        )
+        .groupBy("event_type", "x")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr("div(sum(y), count(1))").alias("ybar"),
+        )
+    )
+    na = daily.groupBy("event_type", "cnt").agg(F.count(F.lit(1)).alias("na_eq"))
+    nb = daily.groupBy("event_type", "ybar").agg(F.count(F.lit(1)).alias("nb_eq"))
+    wa = Window.partitionBy("event_type").orderBy("cnt")
+    wb = Window.partitionBy("event_type").orderBy("ybar")
+    ranked = (
+        daily.join(na, ["event_type", "cnt"])
+        .join(nb, ["event_type", "ybar"])
+        .select(
+            "event_type",
+            (2 * F.rank().over(wa) + F.col("na_eq") - 1).alias("a2"),
+            (2 * F.rank().over(wb) + F.col("nb_eq") - 1).alias("b2"),
+        )
+    )
+    m = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a2").alias("sa"),
+        F.sum("b2").alias("sb"),
+        F.sum(F.col("a2") * F.col("b2")).alias("sab"),
+        F.sum(F.col("a2") * F.col("a2")).alias("saa"),
+        F.sum(F.col("b2") * F.col("b2")).alias("sbb"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "case when n * saa - sa * sa = 0 or n * sbb - sb * sb = 0 then null"
+            " else cast(floor((1000000.0 * (n * sab - sa * sb))"
+            " / (sqrt(cast(n * saa - sa * sa as double))"
+            " * sqrt(cast(n * sbb - sb * sb as double)))) as bigint) end"
+        ).alias("rho_micro"),
+    ).orderBy("event_type")
+
+
+@register(
+    "stats_theil_sen_trend",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(round(value * 1000) AS BIGINT)) // COUNT(*) AS ybar
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(floor((1000000.0 * (b.ybar - a.ybar))
+                          / CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS slope_micro,
+               a.x AS x1, b.x AS x2
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    numbered AS (
+        SELECT event_type, slope_micro,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope_micro, x1, x2) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM slopes
+    )
+    SELECT event_type,
+           CAST((SELECT COUNT(*) FROM daily d
+                 WHERE d.event_type = numbered.event_type) AS BIGINT) AS n_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(slope_micro AS BIGINT) AS median_slope_micro
+    FROM numbered
+    WHERE rn = (n_pairs + 1) // 2
+    ORDER BY event_type
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — the median of all
+    pairwise slopes over the DAILY MEAN value series, the estimator
+    that shrugs off the outlier days that drag OLS
+    (``events_value_trend_ols``) around: a 29.3% breakdown point for
+    the cost of |days|² bounded pairs.
+
+    Parity contract: each slope is one exact integer subtraction pair
+    fed through IEEE-correctly-rounded multiply/divide/floor —
+    bit-identical across engines; the median is picked POSITIONALLY
+    (row_number at ⌈n/2⌉ under the total order (slope, x1, x2)), never
+    averaged, so no new arithmetic enters.
+
+    Scale shape: the corpus collapses to ≤|types|·|days| daily rows in
+    one combinable groupBy; the pair 'self-join' is an EQUI-join on
+    event_type whose per-key output is |days|² ≈ 10⁵ rows at worst —
+    bounded by the calendar, not the corpus, forever.  The
+    median-pick window is PARTITIONED by type over that bounded pair
+    relation.  No global window, no BNLJ."""
+    daily = (
+        load_testdata(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("datediff(cast(ts as date), date'2024-01-01')").alias("x"),
+            F.expr("cast(round(value * 1000) as bigint)").alias("y"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.expr("div(sum(y), count(1))").alias("ybar"))
+    )
+    a = daily.select("event_type", F.col("x").alias("x1"), F.col("ybar").alias("y1"))
+    b = daily.select("event_type", F.col("x").alias("x2"), F.col("ybar").alias("y2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "event_type",
+            F.expr(
+                "cast(floor((1000000.0 * (y2 - y1)) / cast(x2 - x1 as double))"
+                " as bigint)"
+            ).alias("slope_micro"),
+            "x1",
+            "x2",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro", "x1", "x2")
+    wn = Window.partitionBy("event_type")
+    numbered = slopes.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    )
+    ndays = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        numbered.filter(F.col("rn") == F.expr("div(n_pairs + 1, 2)"))
+        .join(ndays, "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint"),
+            F.col("n_pairs").cast("bigint"),
+            F.col("slope_micro").cast("bigint").alias("median_slope_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_interarrival_quantiles",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ems FROM events
+    ),
+    g AS (
+        SELECT ems - lag(ems) OVER (PARTITION BY user_id
+                                    ORDER BY ems, event_id) AS gap
+        FROM e
+    ),
+    gg AS (SELECT gap, COUNT(*) AS c FROM g WHERE gap IS NOT NULL GROUP BY gap),
+    cum AS (
+        SELECT gap,
+               SUM(c) OVER (ORDER BY gap
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cc
+        FROM gg
+    ),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gg)
+    SELECT CAST(t.n AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN cc >= (50 * t.n + 99) // 100 THEN gap END)
+                AS BIGINT) AS p50_ms,
+           CAST(MIN(CASE WHEN cc >= (90 * t.n + 99) // 100 THEN gap END)
+                AS BIGINT) AS p90_ms,
+           CAST(MIN(CASE WHEN cc >= (99 * t.n + 99) // 100 THEN gap END)
+                AS BIGINT) AS p99_ms
+    FROM cum CROSS JOIN t
+    GROUP BY t.n
+    """,
+)
+def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of per-user inter-arrival time (milliseconds)
+    — the engagement-cadence fingerprint behind session-timeout
+    choices (``events_sessionization``'s 30-min gap is exactly a point
+    on this distribution) and bot detection (impossibly tight p50s).
+
+    Exact at scale, no global sort: gaps come from a USER-partitioned
+    lag window; the quantile selection runs on the (gap → count)
+    aggregate via ``operators/prefixsum.bucketed_cumsum`` — the same
+    two-level exact-ECDF scan as ``stats_ks_two_sample`` — then one
+    1-row total broadcast turns percentile ranks ⌈p·n/100⌉ into
+    threshold selections (percentile_disc semantics, smallest value
+    whose cumulative count reaches the rank).  The oracle spells the
+    identical cumsum explicitly.
+
+    Scale shape: the only corpus-wide operations are the user-
+    partitioned window (natural key partitioning) and one combinable
+    groupBy(gap); the cumsum's single-task step touches only BUCKET
+    TOTALS (≤ span/width rows — global-window-allowlisted), and the
+    1-row threshold crossJoin is BNLJ-allowlisted."""
+    from .operators.prefixsum import bucketed_cumsum
+
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("unix_millis(ts)").alias("ems")
+    )
+    w = Window.partitionBy("user_id").orderBy("ems", "event_id")
+    gaps = (
+        ev.select((F.col("ems") - F.lag("ems").over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    gg = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("c"))
+    cum = bucketed_cumsum(gg, [], "gap", ["c"], bucket_width=10_000_000)
+    t = gg.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .groupBy("n")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum_c") >= F.expr(f"div({p} * n + 99, 100)"),
+                        F.col("gap"),
+                    )
+                )
+                .cast("bigint")
+                .alias(f"p{p}_ms")
+                for p in (50, 90, 99)
+            ]
+        )
+        .select(
+            F.col("n").alias("n_gaps"),
+            "p50_ms",
+            "p90_ms",
+            "p99_ms",
+        )
+    )

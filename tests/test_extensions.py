@@ -2623,3 +2623,124 @@ def test_autocorr_daily_differential(spark):
                 cv[x] * cv[x + k] for x in cv if x + k in cv
             )
             assert abs(r["acf_micro"] - 1e6 * num_f / float(d2)) <= 1.0
+
+
+def test_spearman_daily_differential(spark):
+    """stats_spearman_daily vs plain-Python classical Spearman with
+    average ranks (scipy semantics) on the real sf0.001 events: the
+    doubled-integer-rank formulation must agree with the float
+    average-rank computation to within the 1e-6 floor step."""
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt,
+                   SUM(CAST(round(value*1000) AS BIGINT)) // COUNT(*) AS ybar
+            FROM '{sf}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict = {}
+    for ty, _, cnt, ybar in rows:
+        per.setdefault(ty, []).append((int(cnt), int(ybar)))
+    got = {
+        r["event_type"]: r
+        for r in m.queries()["stats_spearman_daily"](spark, sf).collect()
+    }
+    assert set(got) == set(per)
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2.0 + 1.0
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    for ty, pts in per.items():
+        ra = avg_ranks([p[0] for p in pts])
+        rb = avg_ranks([p[1] for p in pts])
+        n = len(pts)
+        ma = sum(ra) / n
+        mb = sum(rb) / n
+        num = sum((a - ma) * (b - mb) for a, b in zip(ra, rb))
+        da = sum((a - ma) ** 2 for a in ra)
+        db = sum((b - mb) ** 2 for b in rb)
+        rho = num / math.sqrt(da * db)
+        assert got[ty]["n_days"] == n
+        assert abs(got[ty]["rho_micro"] - 1e6 * rho) <= 2.0
+
+
+def test_theil_sen_differential(spark):
+    """stats_theil_sen_trend vs plain-Python positional median of the
+    exact pairwise slope list on the real sf0.001 events."""
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT event_type,
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                   SUM(CAST(round(value*1000) AS BIGINT)) // COUNT(*) AS ybar
+            FROM '{sf}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict = {}
+    for ty, x, ybar in rows:
+        per.setdefault(ty, {})[int(x)] = int(ybar)
+    got = {
+        r["event_type"]: r
+        for r in m.queries()["stats_theil_sen_trend"](spark, sf).collect()
+    }
+    for ty, days in per.items():
+        xs = sorted(days)
+        slopes = []
+        for i, x1 in enumerate(xs):
+            for x2 in xs[i + 1 :]:
+                s = int(math.floor(1e6 * (days[x2] - days[x1]) / float(x2 - x1)))
+                slopes.append((s, x1, x2))
+        slopes.sort()
+        n_pairs = len(slopes)
+        med = slopes[(n_pairs + 1) // 2 - 1][0]
+        r = got[ty]
+        assert r["n_days"] == len(xs)
+        assert r["n_pairs"] == n_pairs
+        assert r["median_slope_micro"] == med
+
+
+def test_interarrival_quantiles_differential(spark):
+    """events_interarrival_quantiles vs plain-Python sorted-gap
+    percentile_disc (smallest value at cumulative rank ⌈p·n/100⌉) on
+    the real sf0.001 events."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id, epoch_ms(ts) FROM '{sf}/events.parquet'"
+    ).fetchall()
+    per_user: dict = {}
+    for u, eid, ems in rows:
+        per_user.setdefault(u, []).append((int(ems), int(eid)))
+    gaps = []
+    for seq in per_user.values():
+        seq.sort()
+        gaps.extend(seq[i + 1][0] - seq[i][0] for i in range(len(seq) - 1))
+    gaps.sort()
+    n = len(gaps)
+    [r] = m.queries()["events_interarrival_quantiles"](spark, sf).collect()
+    assert r["n_gaps"] == n
+    for p in (50, 90, 99):
+        rank = (p * n + 99) // 100
+        assert r[f"p{p}_ms"] == gaps[rank - 1]

@@ -530,6 +530,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "events_audience_overlap_jaccard",  # ≤2^|types| mask inventory
                                             # (groupBy output) × |types|²
                                             # pair grid — both bounded
+        "events_interarrival_quantiles",  # 1-row gap-total broadcast
+                                          # onto the distinct-gap ECDF
+                                          # (as stats_ks_two_sample)
     }
     # Unpartitioned windows: every entry must name the BOUNDED relation
     # the global window runs over (always an aggregate output, never the
@@ -560,6 +563,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "events_audience_overlap_jaccard",  # dense_rank over the
                                             # DISTINCT event-type
                                             # relation (≤|types| rows)
+        "events_interarrival_quantiles",  # bucketed_cumsum level 2:
+                                          # cumsum over ≤ span/10⁷ ms
+                                          # bucket TOTALS (aggregate)
     }
     offenders = {}
     for name, fn in m.queries().items():
