@@ -14192,3 +14192,111 @@ def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
             "p99_ms",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 10: k-core decomposition over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_graph_kcore",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(concat_ws('|', h4, h5, h6, h7)) AS band_sig FROM sig
+    ),
+    e AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+            AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    ed AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    d0 AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY 1),
+    a1 AS (SELECT node FROM d0 WHERE d >= 2),
+    e1 AS (SELECT ed.src, ed.dst FROM ed
+           JOIN a1 x ON x.node = ed.src JOIN a1 y ON y.node = ed.dst),
+    d1 AS (SELECT src AS node, COUNT(*) AS d FROM e1 GROUP BY 1),
+    a2 AS (SELECT node FROM d1 WHERE d >= 2),
+    e2 AS (SELECT e1.src, e1.dst FROM e1
+           JOIN a2 x ON x.node = e1.src JOIN a2 y ON y.node = e1.dst),
+    d2 AS (SELECT src AS node, COUNT(*) AS d FROM e2 GROUP BY 1),
+    a3 AS (SELECT node FROM d2 WHERE d >= 2),
+    e3 AS (SELECT e2.src, e2.dst FROM e2
+           JOIN a3 x ON x.node = e2.src JOIN a3 y ON y.node = e2.dst),
+    df AS (SELECT src AS node, COUNT(*) AS d FROM e3 GROUP BY 1)
+    SELECT CAST(a3.node AS BIGINT) AS doc_id,
+           CAST(COALESCE(df.d, 0) AS BIGINT) AS core_degree
+    FROM a3 LEFT JOIN df ON df.node = a3.node
+    ORDER BY core_degree DESC, doc_id LIMIT 50
+    """,
+)
+def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 2-core of the near-dup candidate graph via THREE
+    unrolled peeling rounds: each round drops nodes with degree < 2 and
+    the edges they carried.  Leaf docs (one accidental LSH collision)
+    wash out; what survives is the densely-interlinked duplication
+    MASS — template farms, mirror sets — exactly the subgraph worth
+    human audit before a dedup pass deletes it.  Output: surviving
+    nodes with their residual in-core degree, top-50 (deterministic
+    (degree desc, doc_id) order).  Fixed round count makes the
+    iterative fixpoint replay exactly in the unrolled DuckDB twin (a
+    3-round peel is a documented approximation of the true 2-core —
+    converged for every planted fixture; production would loop to
+    emptiness with the same per-round plan).
+
+    Scale shape: textbook distributed peeling — each round is ONE
+    map-side-combinable degree groupBy over the persisted edge list
+    plus two semi-shaped equi-joins restricting endpoints; per-round
+    cost O(|E|), monotonically shrinking.  No driver involvement, no
+    global window, top-k via TakeOrderedAndProject.  Same persisted-
+    edge reuse contract as dedup_graph_pagerank (pinned by the
+    iterative-graph runtime test)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    e = (
+        D.lsh_candidate_pairs(bands, "doc_id")
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .distinct()
+    )
+    edges = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .transform(tracked_persist)
+    )
+    active = None
+    for _ in range(3):
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        active = deg.filter(F.col("d") >= 2).select("node")
+        edges = (
+            edges.join(active.select(F.col("node").alias("src")), "src")
+            .join(active.select(F.col("node").alias("dst")), "dst")
+            .select("src", "dst")
+            .transform(tracked_persist)
+        )
+    final_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    return (
+        active.join(final_deg, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("doc_id"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("bigint").alias("core_degree"),
+        )
+        .orderBy(F.col("core_degree").desc(), "doc_id")
+        .limit(50)
+    )

@@ -2744,3 +2744,44 @@ def test_interarrival_quantiles_differential(spark):
     for p in (50, 90, 99):
         rank = (p * n + 99) // 100
         assert r[f"p{p}_ms"] == gaps[rank - 1]
+
+
+def test_kcore_peeling_differential(spark):
+    """dedup_graph_kcore vs a plain-Python 3-round degree-2 peel over
+    the SAME candidate edge list (extracted via the same minhash/LSH
+    operators at sf0.001): distributed peeling must match the
+    sequential reference exactly, including residual degrees and the
+    (degree desc, doc_id) top-50 order."""
+    import __spark_entry__ as m
+    from sales_azure_data_engineer_project_spark.operators import dedup as D
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _dedup_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = _dedup_corpus(spark, sf)
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(bands, "doc_id")
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    active = set(adj)
+    for _ in range(3):
+        active = {n for n in active if len(adj[n] & active) >= 2}
+        # restrict adjacency to the surviving set for the next round
+        adj = {n: adj[n] & active for n in active}
+    expect = sorted(
+        ((n, len(adj[n])) for n in active), key=lambda t: (-t[1], t[0])
+    )[:50]
+    got = [
+        (r["doc_id"], r["core_degree"])
+        for r in m.queries()["dedup_graph_kcore"](spark, sf).collect()
+    ]
+    assert got == expect
