@@ -70,17 +70,25 @@ _PRIORITY = [
     "q6_forecast_revenue",
     "q10_returned_item_losses",
     "events_latest_per_user",
-    "date_functions",
-    "map_functions",
-    "array_regex_functions",
     "full_outer_nation_presence",
-    "rollup_revenue",
     "range_band_join",
-    "cross_join_region_priority",
     "price_percentiles",
     "orders_of_overdrawn_customers",
-    "segments_intersect_except",
     "grouped_map_normalize",
+    # (batches 8-10 of the session-7 continuation displaced the
+    # date_functions, map_functions, array_regex_functions,
+    # rollup_revenue, cross_join_region_priority, and
+    # segments_intersect_except canaries — r1/r2-green, untouched
+    # since; their scalar/rollup/join families remain canaried by
+    # cube_revenue_by_flag_status, q6/q10, range_band_join, and the
+    # conditional/string rows in earlier rounds' ledgers.  The six
+    # session-7 additions below each need a FIRST driver row.)
+    "events_audience_overlap_jaccard",
+    "events_autocorr_daily",
+    "stats_spearman_daily",
+    "stats_theil_sen_trend",
+    "events_interarrival_quantiles",
+    "dedup_graph_kcore",
     # Round-6 additions / changed implementations (displaced the
     # approx_distinct_kmv + multimodal_features canaries, both green r4
     # and untouched): the planted-hot-band capped-LSH query is NEW, and

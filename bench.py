@@ -145,6 +145,12 @@ def main() -> None:
         "text_source_length_emd",
         "events_touch_attribution",
         "dedup_graph_label_propagation",
+        "events_audience_overlap_jaccard",
+        "events_autocorr_daily",
+        "stats_spearman_daily",
+        "stats_theil_sen_trend",
+        "events_interarrival_quantiles",
+        "dedup_graph_kcore",
     }
     import hashlib
 
