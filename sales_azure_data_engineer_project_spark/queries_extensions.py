@@ -14300,3 +14300,256 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("core_degree").desc(), "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 11: Heaps growth, Tukey fences, journey trigrams
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_heaps_growth",
+    r"""
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    fo AS (
+        SELECT tok, MIN(doc_id) AS fd
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ),
+    vd AS (
+        SELECT least((fd * 10) // (m + 1), 9) AS decile, COUNT(*) AS nv
+        FROM fo CROSS JOIN mx GROUP BY 1
+    ),
+    dd AS (
+        SELECT least((doc_id * 10) // (m + 1), 9) AS decile, COUNT(*) AS nd
+        FROM documents CROSS JOIN mx GROUP BY 1
+    )
+    SELECT CAST(dd.decile AS INTEGER) AS decile,
+           CAST(SUM(dd.nd) OVER (ORDER BY dd.decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS docs_cum,
+           CAST(SUM(COALESCE(vd.nv, 0)) OVER (ORDER BY dd.decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS vocab_cum
+    FROM dd LEFT JOIN vd ON vd.decile = dd.decile
+    ORDER BY decile
+    """,
+)
+def vocab_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: cumulative distinct-token
+    count after each decile of the corpus in doc_id order — the
+    diminishing-returns measurement behind "will more data still grow
+    the tokenizer's vocab?" and the sanity check that a crawl isn't
+    looping (a FLAT tail means new docs bring no new words — suspect
+    duplication; Heaps predicts V ∝ N^β, β≈0.5).
+
+    Exactness trick: no per-prefix distinct-count is ever run —
+    a token's contribution to every prefix is determined by its FIRST
+    occurrence (min doc_id, a map-side-combinable aggregate), so the
+    whole curve falls out of ONE groupBy(token) + a 10-row decile
+    histogram + a cumsum over those 10 rows.  The naive spelling (10
+    countDistinct passes) re-scans the corpus 10 times.
+
+    Scale shape: explode → groupBy(token) is the vocabulary-build
+    shuffle every tokenizer pipeline already pays; everything after is
+    ≤10 rows.  The 1-row max-id broadcast is BNLJ-allowlisted; the
+    cumsum window runs over the 10-row decile grid —
+    global-window-allowlisted."""
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    fo = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vd = (
+        fo.crossJoin(F.broadcast(mx))
+        .select(F.expr("least(div(fd * 10, m + 1), 9)").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    dd = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(F.expr("least(div(doc_id * 10, m + 1), 9)").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dd.join(vd, "decile", "left")
+        .select(
+            F.col("decile").cast("int"),
+            F.sum("nd").over(w).cast("bigint").alias("docs_cum"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab_cum"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "quality_tukey_fences_by_source",
+    """
+    WITH grid AS (
+        SELECT source, n_chars, COUNT(*) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT source, n_chars, c,
+               SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cc
+        FROM grid
+    ),
+    tot AS (SELECT source, SUM(c) AS n FROM grid GROUP BY 1),
+    q AS (
+        SELECT cum.source,
+               MIN(CASE WHEN cc >= (25 * n + 99) // 100 THEN n_chars END) AS q1,
+               MIN(CASE WHEN cc >= (75 * n + 99) // 100 THEN n_chars END) AS q3,
+               CAST(MIN(n) AS BIGINT) AS n_docs
+        FROM cum JOIN tot ON tot.source = cum.source
+        GROUP BY cum.source
+    )
+    SELECT d.source,
+           CAST(q.q1 AS BIGINT) AS q1,
+           CAST(q.q3 AS BIGINT) AS q3,
+           q.n_docs,
+           CAST(SUM(CASE WHEN 2 * d.n_chars < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 2 * d.n_chars > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM documents d JOIN q ON q.source = d.source
+    GROUP BY d.source, q.q1, q.q3, q.n_docs
+    ORDER BY d.source
+    """,
+)
+def quality_tukey_fences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Tukey outlier fences on document length: exact
+    quartiles (percentile_disc semantics over the per-source length
+    grid) and the count of docs beyond Q1−1.5·IQR / Q3+1.5·IQR — the
+    box-plot audit that flags a source whose length distribution has
+    grown a truncation spike or a concatenation tail before those docs
+    poison a training mix.  Complements the GLOBAL MAD detector
+    (events_robust_anomalies_mad) with a per-group exact-quartile
+    form.
+
+    Integer contract: fences are compared in DOUBLED units
+    (2·len < 2·Q1 − 3·IQR) so the 1.5 multiplier never leaves ℤ; the
+    quartile is the smallest length whose cumulative count reaches
+    ⌈p·n/100⌉ — both engines spell the identical cumsum.
+
+    Scale shape: ONE combinable groupBy(source, n_chars) collapses the
+    corpus to the per-source length grid (bounded by the length
+    domain, not N); the cumsum window is PARTITIONED by source over
+    that grid; the fence lookup joins a |sources|-row relation back —
+    a broadcast equi-join.  No global window, no BNLJ."""
+    docs = load_testdata(spark, sf_dir, "documents").select("source", "n_chars")
+    grid = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select("source", "n_chars", "c", F.sum("c").over(w).alias("cc"))
+    tot = grid.groupBy("source").agg(F.sum("c").alias("n"))
+    q = (
+        cum.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.min(
+                F.when(F.col("cc") >= F.expr("div(25 * n + 99, 100)"), F.col("n_chars"))
+            ).alias("q1"),
+            F.min(
+                F.when(F.col("cc") >= F.expr("div(75 * n + 99, 100)"), F.col("n_chars"))
+            ).alias("q3"),
+            F.min("n").cast("bigint").alias("n_docs"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(q), "source")
+        .groupBy("source", "q1", "q3", "n_docs")
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("n_chars") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_low"),
+            F.sum(
+                F.when(
+                    2 * F.col("n_chars") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_high"),
+        )
+        .select(
+            "source",
+            F.col("q1").cast("bigint"),
+            F.col("q3").cast("bigint"),
+            "n_docs",
+            F.col("n_low").cast("bigint"),
+            F.col("n_high").cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_journey_trigrams",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t3
+        FROM events
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS journey,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, journey
+    LIMIT 20
+    """,
+)
+def events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys (event-type trigrams in strict
+    per-user time order) — the sequence view of behavior that the
+    first-order ``events_transition_matrix`` cannot see: a high
+    view>click>purchase count versus view>click>error separates a
+    working funnel from a broken checkout, and anomalous
+    signup>signup>signup loops expose bot registration.
+
+    Parity contract: ordering ties (same user, same timestamp) are
+    broken by event_id on both engines; journeys with fewer than two
+    successors are dropped (no NULL-padded partial trigrams).
+
+    Scale shape: the double-lead runs in ONE user-partitioned window
+    pass (natural key partitioning — the same shuffle sessionization
+    pays); the trigram count is a map-side-combinable groupBy over
+    ≤|types|³ keys, and top-20 plans as TakeOrderedAndProject — per-
+    partition heaps, never a global sort."""
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("journey")
+        )
+        .groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("journey", F.col("n").cast("bigint"))
+        .orderBy(F.col("n").desc(), "journey")
+        .limit(20)
+    )

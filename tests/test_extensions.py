@@ -2785,3 +2785,106 @@ def test_kcore_peeling_differential(spark):
         for r in m.queries()["dedup_graph_kcore"](spark, sf).collect()
     ]
     assert got == expect
+
+
+def test_heaps_growth_differential(spark):
+    """vocab_heaps_growth vs a sequential Python scan: walk documents
+    in doc_id order accumulating a seen-token set; the cumulative
+    vocab at each decile boundary must equal the first-occurrence
+    histogram formulation exactly."""
+    import re
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    mx = max(r[0] for r in rows)
+    seen: set = set()
+    docs_cum = [0] * 10
+    vocab_at = [0] * 10
+    for doc_id, text in rows:
+        dec = min((doc_id * 10) // (mx + 1), 9)
+        docs_cum[dec] += 1
+        for t in re.split(r"\s+", text):
+            seen.add(t)
+        vocab_at[dec] = len(seen)
+    # forward-fill vocab (a decile inherits the running set) and
+    # accumulate docs
+    for i in range(1, 10):
+        if vocab_at[i] == 0:
+            vocab_at[i] = vocab_at[i - 1]
+        docs_cum[i] += docs_cum[i - 1]
+    got = m.queries()["vocab_heaps_growth"](spark, sf).collect()
+    assert [r["decile"] for r in got] == list(range(10))
+    assert [r["docs_cum"] for r in got] == docs_cum
+    assert [r["vocab_cum"] for r in got] == vocab_at
+    # Heaps sanity: cumulative vocab is monotone and positive (the
+    # sf0.001 generator vocab saturates in decile 0 — 31 tokens — so
+    # strict growth only appears at larger SFs)
+    assert vocab_at[9] >= vocab_at[0] > 0
+
+
+def test_tukey_fences_differential(spark):
+    """quality_tukey_fences_by_source vs plain-Python per-source
+    quartiles (percentile_disc at ⌈p·n/100⌉) and fence counts."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT source, n_chars FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    per: dict = {}
+    for s, nc in rows:
+        per.setdefault(s, []).append(int(nc))
+    got = {
+        r["source"]: r
+        for r in m.queries()["quality_tukey_fences_by_source"](spark, sf).collect()
+    }
+    assert set(got) == set(per)
+    for s, lens in per.items():
+        lens.sort()
+        n = len(lens)
+        q1 = lens[(25 * n + 99) // 100 - 1]
+        q3 = lens[(75 * n + 99) // 100 - 1]
+        iqr = q3 - q1
+        n_low = sum(1 for v in lens if 2 * v < 2 * q1 - 3 * iqr)
+        n_high = sum(1 for v in lens if 2 * v > 2 * q3 + 3 * iqr)
+        r = got[s]
+        assert (r["q1"], r["q3"], r["n_docs"]) == (q1, q3, n)
+        assert (r["n_low"], r["n_high"]) == (n_low, n_high)
+
+
+def test_journey_trigrams_differential(spark):
+    """events_journey_trigrams vs a plain-Python per-user sequence
+    walk with (ts, event_id) ordering on the real sf0.001 events."""
+    from collections import Counter
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM '{sf}/events.parquet'"
+    ).fetchall()
+    per: dict = {}
+    for u, ts, eid, ty in rows:
+        per.setdefault(u, []).append((ts, eid, ty))
+    cnt: Counter = Counter()
+    for seq in per.values():
+        seq.sort()
+        types = [t[2] for t in seq]
+        for i in range(len(types) - 2):
+            cnt[">".join(types[i : i + 3])] += 1
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["journey"], r["n"])
+        for r in m.queries()["events_journey_trigrams"](spark, sf).collect()
+    ]
+    assert got == expect

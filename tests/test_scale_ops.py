@@ -533,6 +533,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "events_interarrival_quantiles",  # 1-row gap-total broadcast
                                           # onto the distinct-gap ECDF
                                           # (as stats_ks_two_sample)
+        "vocab_heaps_growth",  # 1-row max-doc-id broadcast onto the
+                               # first-occurrence and doc relations
     }
     # Unpartitioned windows: every entry must name the BOUNDED relation
     # the global window runs over (always an aggregate output, never the
@@ -566,6 +568,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "events_interarrival_quantiles",  # bucketed_cumsum level 2:
                                           # cumsum over ≤ span/10⁷ ms
                                           # bucket TOTALS (aggregate)
+        "vocab_heaps_growth",  # cumsum over the 10-row decile grid
+                               # (groupBy output)
     }
     offenders = {}
     for name, fn in m.queries().items():

@@ -200,6 +200,19 @@ QUERIES = [
     ("text_source_length_emd", [1, 3, 10]),
     ("events_touch_attribution", [1, 3, 10]),
     ("dedup_graph_label_propagation", [1, 3, 10]),
+    # session-7 additions.  Audience overlap: users ∝ N but the mask
+    # inventory stays ≤2^|types|; spearman/theil-sen/autocorr all
+    # collapse to the ≤|types|·|days| daily grid in one combinable
+    # groupBy (copies repeat the calendar, so the grid is CONSTANT and
+    # only the first aggregate grows); inter-arrival gaps: disjoint
+    # users ∝ N, distinct-gap grid grows sub-linearly (ms collisions);
+    # k-core peels the same banded candidate graph as pagerank.
+    ("events_audience_overlap_jaccard", [1, 3, 10]),
+    ("events_autocorr_daily", [1, 3, 10]),
+    ("stats_spearman_daily", [1, 3, 10]),
+    ("stats_theil_sen_trend", [1, 3, 10]),
+    ("events_interarrival_quantiles", [1, 3, 10]),
+    ("dedup_graph_kcore", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
