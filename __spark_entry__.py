@@ -69,11 +69,8 @@ _PRIORITY = [
     # sixth).
     "q6_forecast_revenue",
     "q10_returned_item_losses",
-    "events_latest_per_user",
-    "full_outer_nation_presence",
     "range_band_join",
     "price_percentiles",
-    "orders_of_overdrawn_customers",
     "grouped_map_normalize",
     # (batches 8-10 of the session-7 continuation displaced the
     # date_functions, map_functions, array_regex_functions,
@@ -89,6 +86,15 @@ _PRIORITY = [
     "stats_theil_sen_trend",
     "events_interarrival_quantiles",
     "dedup_graph_kcore",
+    # (batch 11 displaced the events_latest_per_user,
+    # full_outer_nation_presence, and orders_of_overdrawn_customers
+    # canaries — r2/r4-green, untouched; the events family holds seven
+    # other slots this window, outer joins are exercised by the heaps/
+    # tukey left joins, and the semi/anti family by customers_rfm /
+    # record-linkage rows.)
+    "vocab_heaps_growth",
+    "quality_tukey_fences_by_source",
+    "events_journey_trigrams",
     # Round-6 additions / changed implementations (displaced the
     # approx_distinct_kmv + multimodal_features canaries, both green r4
     # and untouched): the planted-hot-band capped-LSH query is NEW, and

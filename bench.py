@@ -151,6 +151,9 @@ def main() -> None:
         "stats_theil_sen_trend",
         "events_interarrival_quantiles",
         "dedup_graph_kcore",
+        "vocab_heaps_growth",
+        "quality_tukey_fences_by_source",
+        "events_journey_trigrams",
     }
     import hashlib
 

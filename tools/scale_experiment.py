@@ -213,6 +213,14 @@ QUERIES = [
     ("stats_theil_sen_trend", [1, 3, 10]),
     ("events_interarrival_quantiles", [1, 3, 10]),
     ("dedup_graph_kcore", [1, 3, 10]),
+    # heaps: the ONE groupBy(token) vocab build grows ∝ N (disjoint
+    # per-copy shingle spaces), the decile grid stays 10 rows; tukey:
+    # per-source length grid is bounded by the length domain (copies
+    # repeat it verbatim); trigrams: disjoint users ∝ N, constant
+    # per-user window size, ≤|types|³ journey keys.
+    ("vocab_heaps_growth", [1, 3, 10]),
+    ("quality_tukey_fences_by_source", [1, 3, 10]),
+    ("events_journey_trigrams", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
