@@ -69,9 +69,6 @@ _PRIORITY = [
     # sixth).
     "q6_forecast_revenue",
     "q10_returned_item_losses",
-    "range_band_join",
-    "price_percentiles",
-    "grouped_map_normalize",
     # (batches 8-10 of the session-7 continuation displaced the
     # date_functions, map_functions, array_regex_functions,
     # rollup_revenue, cross_join_region_priority, and
@@ -95,6 +92,15 @@ _PRIORITY = [
     "vocab_heaps_growth",
     "quality_tukey_fences_by_source",
     "events_journey_trigrams",
+    # (batch 12 displaced the range_band_join, price_percentiles, and
+    # grouped_map_normalize canaries — r2/r4-green, untouched; the
+    # non-equi-join shape stays pinned by the fleet BNLJ plan test,
+    # exact quantiles by tukey/interarrival in this window, and the
+    # Arrow grouped-map path by multimodal/pandas rows in earlier
+    # ledgers.  q6/q10 remain as the TPC-H r1 anchors.)
+    "events_weekday_deseasonalized_anomalies",
+    "sample_balanced_class_downsample",
+    "events_dau_wau_stickiness",
     # Round-6 additions / changed implementations (displaced the
     # approx_distinct_kmv + multimodal_features canaries, both green r4
     # and untouched): the planted-hot-band capped-LSH query is NEW, and

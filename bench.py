@@ -154,6 +154,9 @@ def main() -> None:
         "vocab_heaps_growth",
         "quality_tukey_fences_by_source",
         "events_journey_trigrams",
+        "events_weekday_deseasonalized_anomalies",
+        "sample_balanced_class_downsample",
+        "events_dau_wau_stickiness",
     }
     import hashlib
 

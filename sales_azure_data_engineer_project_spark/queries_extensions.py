@@ -14553,3 +14553,222 @@ def events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "journey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 12: deseasonalized anomalies, balanced downsample, DAU/WAU
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_weekday_deseasonalized_anomalies",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    wk AS (
+        SELECT event_type, x % 7 AS wd,
+               SUM(cnt) // COUNT(*) AS wmean
+        FROM daily GROUP BY 1, 2
+    )
+    SELECT d.event_type, CAST(d.x AS INTEGER) AS day_idx,
+           CAST(d.cnt AS BIGINT) AS cnt,
+           CAST(w.wmean AS BIGINT) AS weekday_mean,
+           CAST((1000 * (d.cnt - w.wmean)) // w.wmean AS BIGINT)
+               AS excess_permille
+    FROM daily d JOIN wk w
+      ON w.event_type = d.event_type AND w.wd = d.x % 7
+    ORDER BY abs((1000 * (d.cnt - w.wmean)) // w.wmean) DESC,
+             d.event_type, d.x
+    LIMIT 20
+    """,
+)
+def events_weekday_deseasonalized_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 daily volume anomalies AFTER removing the weekly cycle:
+    each (type, day) is scored against its weekday's own mean
+    (Monday vs Mondays), so a quiet Sunday stops masquerading as an
+    incident and a Tuesday spike stops hiding inside the weekly swing
+    — the deseasonalized complement to the raw-level CUSUM
+    (events_cusum_changepoint) and MAD (events_robust_anomalies_mad)
+    detectors.  Day 0 (2024-01-01) is a Monday, so weekday = x mod 7.
+
+    Parity: weekday means are truncated integer division; excess is
+    permille by truncating division (negative numerators truncate
+    toward zero identically on both engines); the top-20 order is
+    total (|excess| desc, type, day).
+
+    Scale shape: one combinable groupBy(type, day) collapses the
+    corpus; weekday means are a second groupBy over the ≤|types|·|days|
+    grid; the score join is grid × (|types|·7) — bounded both sides;
+    top-20 is TakeOrderedAndProject.  No window, no BNLJ."""
+    daily = (
+        load_testdata(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("datediff(cast(ts as date), date'2024-01-01')").alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wk = (
+        daily.select("event_type", (F.col("x") % 7).alias("wd"), "cnt")
+        .groupBy("event_type", "wd")
+        .agg(F.expr("div(sum(cnt), count(1))").alias("wmean"))
+    )
+    scored = (
+        daily.withColumn("wd", F.col("x") % 7)
+        .join(wk, ["event_type", "wd"])
+        .select(
+            "event_type",
+            F.col("x").cast("int").alias("day_idx"),
+            F.col("cnt").cast("bigint"),
+            F.col("wmean").cast("bigint").alias("weekday_mean"),
+            F.expr("cast(div(1000 * (cnt - wmean), wmean) as bigint)").alias(
+                "excess_permille"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.abs(F.col("excess_permille")).desc(), "event_type", "day_idx"
+    ).limit(20)
+
+
+@register(
+    "sample_balanced_class_downsample",
+    """
+    WITH cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+    m AS (SELECT MIN(n) AS m FROM cnt),
+    ranked AS (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS rn
+        FROM embeddings
+    ),
+    kept AS (SELECT label, vec_id FROM ranked CROSS JOIN m WHERE rn <= m.m)
+    SELECT c.label,
+           CAST(c.n AS BIGINT) AS n_orig,
+           CAST(COUNT(k.vec_id) AS BIGINT) AS n_kept,
+           CAST(SUM(k.vec_id) AS BIGINT) AS kept_id_sum
+    FROM cnt c JOIN kept k ON k.label = c.label
+    GROUP BY c.label, c.n
+    ORDER BY c.label
+    """,
+)
+def sample_balanced_class_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced downsampling: every label class is cut
+    to the MINORITY class's size by keeping each class's first
+    min-count rows under the md5(vec_id) hash order — the standard
+    class-rebalancing step before training a probe/classifier head,
+    made reproducible (no RNG state: the same corpus always keeps the
+    same rows, and adding rows to ONE class never changes another
+    class's selection).  ``kept_id_sum`` checksums the exact selected
+    SET, so the oracle proves both engines picked identical rows, not
+    just identical counts.
+
+    Scale shape: the class-size table is one combinable groupBy; the
+    1-row global min broadcasts (BNLJ-allowlisted); selection is a
+    row_number window PARTITIONED by label — the distributed sort
+    shuffle a per-class top-k always pays (Spark plans a
+    WindowGroupLimit-style rank filter; classes are assumed
+    comparable-sized after upstream stratification — a pathologic
+    mega-class would call for the salting operator first)."""
+    emb = load_testdata(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    m = cnt.agg(F.min("n").alias("m"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    kept = (
+        emb.select("label", "vec_id", F.row_number().over(w).alias("rn"))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+    )
+    return (
+        cnt.join(kept, "label")
+        .groupBy("label", "n")
+        .agg(
+            F.count("vec_id").cast("bigint").alias("n_kept"),
+            F.sum("vec_id").cast("bigint").alias("kept_id_sum"),
+        )
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n_orig"),
+            "n_kept",
+            "kept_id_sum",
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x
+        FROM events
+    ),
+    dau AS (SELECT x, COUNT(*) AS dau FROM ud GROUP BY 1),
+    span AS (
+        SELECT DISTINCT u.user_id, d AS x
+        FROM ud u CROSS JOIN unnest(generate_series(u.x, u.x + 6)) t(d)
+    ),
+    wau AS (SELECT x, COUNT(*) AS wau FROM span GROUP BY 1)
+    SELECT CAST(d.x AS INTEGER) AS day_idx,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST((1000 * d.dau) // w.wau AS BIGINT) AS stickiness_permille
+    FROM dau d JOIN wau w ON w.x = d.x
+    ORDER BY day_idx
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day — the classic stickiness ratio
+    (DAU/WAU → how much of the weekly audience shows up daily).  WAU
+    is EXACT distinct users over [d−6, d], computed scalably by the
+    expansion trick: each (user, active-day) row emits its 7 trailing
+    membership days, and a distinct-then-count groupBy(day) replaces
+    the naive 7-day range self-join (which re-scans the activity table
+    per day) — a constant 7× map-side blow-up of the ALREADY
+    user-day-deduplicated relation, never of raw events.  First 6 days
+    carry partial windows (standard for trailing metrics); days are
+    emitted only where DAU exists (inner join).
+
+    Scale shape: groupBy(user, day) dedup is the one corpus shuffle;
+    the ×7 sequence-explode is map-side; both counts are combinable
+    groupBys on day keys.  No window, no BNLJ, no driver loop."""
+    ud = (
+        load_testdata(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("datediff(cast(ts as date), date'2024-01-01')").alias("x"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("x").agg(F.count(F.lit(1)).alias("dau"))
+    span = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("x"), F.col("x") + 6)).alias("x"),
+        )
+        .distinct()
+    )
+    wau = span.groupBy("x").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "x")
+        .select(
+            F.col("x").cast("int").alias("day_idx"),
+            F.col("dau").cast("bigint"),
+            F.col("wau").cast("bigint"),
+            F.expr("cast(div(1000 * dau, wau) as bigint)").alias(
+                "stickiness_permille"
+            ),
+        )
+        .orderBy("day_idx")
+    )

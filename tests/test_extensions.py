@@ -2888,3 +2888,112 @@ def test_journey_trigrams_differential(spark):
         for r in m.queries()["events_journey_trigrams"](spark, sf).collect()
     ]
     assert got == expect
+
+
+def test_weekday_deseasonalized_differential(spark):
+    """events_weekday_deseasonalized_anomalies vs plain-Python weekday
+    means and permille scoring on the real sf0.001 events."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT event_type,
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE)),
+                   COUNT(*)
+            FROM '{sf}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    daily = {(ty, int(x)): int(c) for ty, x, c in rows}
+    wk: dict = {}
+    for (ty, x), c in daily.items():
+        wk.setdefault((ty, x % 7), []).append(c)
+    wmean = {k: sum(v) // len(v) for k, v in wk.items()}
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    scored = [
+        (
+            ty,
+            x,
+            c,
+            wmean[(ty, x % 7)],
+            trunc_div(1000 * (c - wmean[(ty, x % 7)]), wmean[(ty, x % 7)]),
+        )
+        for (ty, x), c in daily.items()
+    ]
+    scored.sort(key=lambda t: (-abs(t[4]), t[0], t[1]))
+    expect = scored[:20]
+    got = [
+        (r["event_type"], r["day_idx"], r["cnt"], r["weekday_mean"], r["excess_permille"])
+        for r in m.queries()["events_weekday_deseasonalized_anomalies"](
+            spark, sf
+        ).collect()
+    ]
+    assert got == expect
+
+
+def test_balanced_downsample_differential(spark):
+    """sample_balanced_class_downsample vs plain-Python md5-ordered
+    selection: identical kept SET per label (checksummed), minority
+    size everywhere, and determinism — the kept set of a label never
+    depends on other labels' rows."""
+    import hashlib
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT vec_id, label FROM '{sf}/embeddings.parquet'"
+    ).fetchall()
+    per: dict = {}
+    for vid, lab in rows:
+        per.setdefault(lab, []).append(int(vid))
+    mn = min(len(v) for v in per.values())
+    got = {
+        r["label"]: r
+        for r in m.queries()["sample_balanced_class_downsample"](spark, sf).collect()
+    }
+    assert set(got) == set(per)
+    for lab, ids in per.items():
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        kept = ranked[:mn]
+        r = got[lab]
+        assert r["n_orig"] == len(ids)
+        assert r["n_kept"] == mn
+        assert r["kept_id_sum"] == sum(kept)
+
+
+def test_dau_wau_differential(spark):
+    """events_dau_wau_stickiness vs plain-Python day sets: WAU(d) must
+    equal |union of active sets over [d-6, d]| exactly."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT DISTINCT user_id,
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            FROM '{sf}/events.parquet'"""
+    ).fetchall()
+    per_day: dict = {}
+    for u, x in rows:
+        per_day.setdefault(int(x), set()).add(u)
+    got = {
+        r["day_idx"]: r
+        for r in m.queries()["events_dau_wau_stickiness"](spark, sf).collect()
+    }
+    assert set(got) == set(per_day)
+    for d, users in per_day.items():
+        wau_set = set()
+        for k in range(7):
+            wau_set |= per_day.get(d - k, set())
+        r = got[d]
+        assert r["dau"] == len(users)
+        assert r["wau"] == len(wau_set)
+        assert r["stickiness_permille"] == (1000 * len(users)) // len(wau_set)

@@ -535,6 +535,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                           # (as stats_ks_two_sample)
         "vocab_heaps_growth",  # 1-row max-doc-id broadcast onto the
                                # first-occurrence and doc relations
+        "sample_balanced_class_downsample",  # 1-row global min-class-
+                                             # size broadcast onto the
+                                             # ranked rows
     }
     # Unpartitioned windows: every entry must name the BOUNDED relation
     # the global window runs over (always an aggregate output, never the

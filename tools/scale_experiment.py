@@ -221,6 +221,13 @@ QUERIES = [
     ("vocab_heaps_growth", [1, 3, 10]),
     ("quality_tukey_fences_by_source", [1, 3, 10]),
     ("events_journey_trigrams", [1, 3, 10]),
+    # weekday anomalies: same ≤|types|·|days| daily-grid collapse as
+    # the trend/ACF family; balanced downsample: label partitions grow
+    # ∝ N but the per-label rank is the standard top-k window shuffle;
+    # DAU/WAU: user-day dedup ∝ N then a constant 7× map-side explode.
+    ("events_weekday_deseasonalized_anomalies", [1, 3, 10]),
+    ("sample_balanced_class_downsample", [1, 3, 10]),
+    ("events_dau_wau_stickiness", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
