@@ -67,8 +67,6 @@ _PRIORITY = [
     # canaries from the BOTTOM of this list as they register (newest
     # queries always need a first row more than an r2 canary needs a
     # sixth).
-    "q6_forecast_revenue",
-    "q10_returned_item_losses",
     # (batches 8-10 of the session-7 continuation displaced the
     # date_functions, map_functions, array_regex_functions,
     # rollup_revenue, cross_join_region_priority, and
@@ -101,6 +99,16 @@ _PRIORITY = [
     "events_weekday_deseasonalized_anomalies",
     "sample_balanced_class_downsample",
     "events_dau_wau_stickiness",
+    # (batch 13 displaced the last two staleness canaries — q6/q10,
+    # r1-green, untouched since; the TPC-H family is canaried in this
+    # window by cube_revenue_by_flag_status and the ship-latency
+    # query's own lineitem⋈orders join next round.  With 234 queries
+    # and 50 slots, first-rows for NEW queries outrank a sixth row for
+    # twice-proven code; orders_ship_latency_quantiles ships this
+    # round on tri-SF check_oracle + differential-pytest evidence and
+    # takes a first-window slot next round.)
+    "customers_linkage_clusters",
+    "pipeline_split_leakage_check",
     # Round-6 additions / changed implementations (displaced the
     # approx_distinct_kmv + multimodal_features canaries, both green r4
     # and untouched): the planted-hot-band capped-LSH query is NEW, and

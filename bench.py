@@ -157,6 +157,9 @@ def main() -> None:
         "events_weekday_deseasonalized_anomalies",
         "sample_balanced_class_downsample",
         "events_dau_wau_stickiness",
+        "customers_linkage_clusters",
+        "pipeline_split_leakage_check",
+        "orders_ship_latency_quantiles",
     }
     import hashlib
 

@@ -14772,3 +14772,369 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 13: entity clusters, split leakage audit, delay quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_linkage_clusters",
+    f"""
+    WITH a AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+               c_mktsegment AS seg
+        FROM customer
+    ),
+    b AS (
+        SELECT id + 1000000 AS id,
+               CASE WHEN id % 7 = 0 THEN substr(name, 1, length(name) - 1) || 'X'
+                    ELSE name END AS name,
+               nat,
+               CASE WHEN id % 5 = 0 THEN bal_c + 1 ELSE bal_c END AS bal_c,
+               CASE WHEN id % 11 = 0 THEN 'AUTOMOBILE' ELSE seg END AS seg
+        FROM a
+    ),
+    matched AS (
+        SELECT a.id AS u, b.id AS v
+        FROM a JOIN b ON a.nat = b.nat
+                     AND substr(a.name, 1, 17) = substr(b.name, 1, 17)
+        WHERE (CASE WHEN a.name = b.name THEN {_FS_W['name'][0]} ELSE {_FS_W['name'][1]} END
+             + CASE WHEN a.bal_c = b.bal_c THEN {_FS_W['bal'][0]} ELSE {_FS_W['bal'][1]} END
+             + CASE WHEN a.seg = b.seg THEN {_FS_W['seg'][0]} ELSE {_FS_W['seg'][1]} END)
+              >= {_FS_MATCH}
+    ),
+    ed AS (SELECT u AS src, v AS dst FROM matched
+           UNION ALL SELECT v, u FROM matched),
+    nodes AS (SELECT DISTINCT src AS node FROM ed),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    r1 AS (SELECT e.dst AS node, MIN(l.lbl) AS ml
+           FROM ed e JOIN l0 l ON l.node = e.src GROUP BY e.dst),
+    l1 AS (SELECT l.node, least(l.lbl, COALESCE(r.ml, l.lbl)) AS lbl
+           FROM l0 l LEFT JOIN r1 r ON r.node = l.node),
+    r2 AS (SELECT e.dst AS node, MIN(l.lbl) AS ml
+           FROM ed e JOIN l1 l ON l.node = e.src GROUP BY e.dst),
+    l2 AS (SELECT l.node, least(l.lbl, COALESCE(r.ml, l.lbl)) AS lbl
+           FROM l1 l LEFT JOIN r2 r ON r.node = l.node),
+    r3 AS (SELECT e.dst AS node, MIN(l.lbl) AS ml
+           FROM ed e JOIN l2 l ON l.node = e.src GROUP BY e.dst),
+    l3 AS (SELECT l.node, least(l.lbl, COALESCE(r.ml, l.lbl)) AS lbl
+           FROM l2 l LEFT JOIN r3 r ON r.node = l.node),
+    sz AS (SELECT lbl, COUNT(*) AS size FROM l3 GROUP BY lbl)
+    SELECT CAST(size AS BIGINT) AS entity_size,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(size) AS BIGINT) AS n_records
+    FROM sz GROUP BY size ORDER BY size
+    """,
+)
+def customers_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity clusters from the Fellegi–Sunter match decisions: the
+    'match'-class pairs of ``customers_record_linkage_fs`` become an
+    undirected graph, THREE unrolled min-label propagation rounds
+    collapse it into entities, and the output is the entity-size
+    histogram — the deliverable an ER pipeline actually ships (dedup
+    groups), one tier above the pair-level pattern table.  A size-2
+    entity is the expected {{A-record, its registry copy}}; size ≥3
+    means colliding blocks merged distinct customers — the
+    over-linkage signal a threshold review looks for.  Fixed rounds
+    make the fixpoint replay exactly in the unrolled twin (3 hops
+    cover the planted bipartite stars; the convergence pytest asserts
+    a 4th round is a no-op on this fixture).
+
+    Scale shape: blocking keeps candidates ∝ N (17-char prefix pins
+    block size ≤10 at any scale); each propagation round is one
+    edge⋈label equi-join plus a combinable MIN groupBy — the same
+    O(|E|)-per-round contract as dedup_clusters, with |E| here the
+    MATCH set (≪ N·avg-block).  Histogram is two tiny groupBys.  No
+    window, no BNLJ, no driver loop."""
+    cust = load_testdata(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("bal_c"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b = a.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.when(
+            F.col("id") % 7 == 0,
+            F.concat(F.expr("substring(name, 1, length(name) - 1)"), F.lit("X")),
+        )
+        .otherwise(F.col("name"))
+        .alias("name"),
+        "nat",
+        F.when(F.col("id") % 5 == 0, F.col("bal_c") + 1)
+        .otherwise(F.col("bal_c"))
+        .alias("bal_c"),
+        F.when(F.col("id") % 11 == 0, F.lit("AUTOMOBILE"))
+        .otherwise(F.col("seg"))
+        .alias("seg"),
+    )
+    bb = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
+    wn, wb, ws = _FS_W["name"], _FS_W["bal"], _FS_W["seg"]
+    matched = (
+        a.join(
+            bb,
+            (F.col("nat") == F.col("b_nat"))
+            & (
+                F.expr("substring(name, 1, 17)")
+                == F.expr("substring(b_name, 1, 17)")
+            ),
+        )
+        .filter(
+            (
+                F.when(F.col("name") == F.col("b_name"), wn[0]).otherwise(wn[1])
+                + F.when(F.col("bal_c") == F.col("b_bal_c"), wb[0]).otherwise(wb[1])
+                + F.when(F.col("seg") == F.col("b_seg"), ws[0]).otherwise(ws[1])
+            )
+            >= _FS_MATCH
+        )
+        .select(F.col("id").alias("u"), F.col("b_id").alias("v"))
+    )
+    ed = (
+        matched.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(matched.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .transform(tracked_persist)
+    )
+    lab = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(3):
+        nb = (
+            ed.join(lab.select(F.col("node").alias("src"), "lbl"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("ml"))
+        )
+        lab = lab.join(nb, "node", "left").select(
+            "node", F.least(F.col("lbl"), F.coalesce("ml", "lbl")).alias("lbl")
+        )
+    sz = lab.groupBy("lbl").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sz.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+            F.sum("size").cast("bigint").alias("n_records"),
+        )
+        .select(F.col("size").cast("bigint").alias("entity_size"), "n_entities", "n_records")
+        .orderBy("entity_size")
+    )
+
+
+@register(
+    "pipeline_split_leakage_check",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(concat_ws('|', h4, h5, h6, h7)) AS band_sig FROM sig
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_bands
+        FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+            AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 4))
+                          AS BIGINT) < 58982 THEN 'train'
+                    WHEN CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 4))
+                          AS BIGINT) < 62258 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM corpus
+    ),
+    tagged AS (
+        SELECT least(sa.split, sb.split) AS split_a,
+               greatest(sa.split, sb.split) AS split_b,
+               p.shared_bands
+        FROM pairs p
+        JOIN sp sa ON sa.doc_id = p.id_a
+        JOIN sp sb ON sb.doc_id = p.id_b
+    )
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN shared_bands = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_strong,
+           (split_a <> split_b) AS is_leak
+    FROM tagged
+    GROUP BY split_a, split_b
+    ORDER BY split_a, split_b
+    """,
+)
+def pipeline_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit: because the 90/5/5 split
+    (``pipeline_split_train_val_test``) hashes each doc_id
+    independently, two near-duplicate documents can land in DIFFERENT
+    splits — the eval-contamination failure that inflates held-out
+    metrics.  This query re-derives the split assignment (pure
+    function of doc_id — the property that makes this audit possible
+    at all), runs the standard MinHash-LSH candidate generation over
+    the planted-duplicate corpus, and reports the candidate-pair mass
+    per split-pair cell: off-diagonal rows (``is_leak``) are the
+    pairs a correct pipeline must either co-assign (split by CLUSTER,
+    not by doc) or drop from eval.  The planted corpus guarantees the
+    audit has true positives to find (copies hash independently of
+    their bases).
+
+    Scale shape: identical to the proven dedup_cross_source_matrix —
+    banded bucket equi-join for candidates (never all-pairs), split
+    tags join the PAIR relation (|pairs| ≪ N) against the doc→split
+    map, and the cell matrix is one combinable groupBy to ≤9 rows.
+    Composes three verified components (split hash, minhash_bands,
+    lsh_candidate_pairs) with zero new shuffle shapes."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    pairs = D.lsh_candidate_pairs(bands, "doc_id")
+    sp = corpus.select(
+        "doc_id",
+        F.when(
+            F.expr(
+                "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 4),"
+                " 16, 10) as bigint)"
+            )
+            < 58982,
+            "train",
+        )
+        .when(
+            F.expr(
+                "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 4),"
+                " 16, 10) as bigint)"
+            )
+            < 62258,
+            "val",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    tagged = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "shared_bands",
+        )
+    )
+    return (
+        tagged.groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+            F.sum(F.when(F.col("shared_bands") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_strong"),
+        )
+        .select(
+            "split_a",
+            "split_b",
+            "n_candidate_pairs",
+            "n_strong",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+@register(
+    "orders_ship_latency_quantiles",
+    """
+    WITH d AS (
+        SELECT o.o_orderpriority AS priority,
+               datediff('day', o.o_orderdate, l.l_shipdate) AS delay
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    grid AS (SELECT priority, delay, COUNT(*) AS c FROM d GROUP BY 1, 2),
+    cum AS (
+        SELECT priority, delay, c,
+               SUM(c) OVER (PARTITION BY priority ORDER BY delay
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cc
+        FROM grid
+    ),
+    tot AS (SELECT priority, SUM(c) AS n FROM grid GROUP BY 1)
+    SELECT cum.priority,
+           CAST(MIN(n) AS BIGINT) AS n_items,
+           CAST(MIN(CASE WHEN cc >= (25 * n + 99) // 100 THEN delay END)
+                AS BIGINT) AS p25_days,
+           CAST(MIN(CASE WHEN cc >= (50 * n + 99) // 100 THEN delay END)
+                AS BIGINT) AS p50_days,
+           CAST(MIN(CASE WHEN cc >= (75 * n + 99) // 100 THEN delay END)
+                AS BIGINT) AS p75_days,
+           CAST(MIN(CASE WHEN cc >= (95 * n + 99) // 100 THEN delay END)
+                AS BIGINT) AS p95_days
+    FROM cum JOIN tot ON tot.priority = cum.priority
+    GROUP BY cum.priority
+    ORDER BY cum.priority
+    """,
+)
+def orders_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-to-ship latency quantiles (days from order date to
+    line ship date) per order priority — the fulfillment SLA profile
+    underlying TPC-H q12's binary within-90-days split, upgraded to
+    full percentile_disc quartiles + p95 tail: does 1-URGENT actually
+    ship faster, and by how much at the tail?  (The synthetic lineitem
+    carries no shipmode/commit/receipt columns — the same adaptation
+    q12 makes, latency against o_orderdate.)
+
+    Scale shape: the latency domain spans a few hundred distinct day
+    values, so after the fact⋈orders key join ONE combinable
+    groupBy(priority, delay) collapses everything to a |priorities|·
+    |delay-domain| grid; the cumsum window is PARTITIONED by priority
+    over that grid, and quantile selection is a conditional MIN — the
+    same exact-quantile-without-global-sort pattern as
+    quality_tukey_fences_by_source.  No BNLJ, no global window, no
+    approximation."""
+    li = load_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("datediff(l_shipdate, o_orderdate)").alias("delay"),
+    )
+    grid = d.groupBy("priority", "delay").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select("priority", "delay", "c", F.sum("c").over(w).alias("cc"))
+    tot = grid.groupBy("priority").agg(F.sum("c").alias("n"))
+    return (
+        cum.join(tot, "priority")
+        .groupBy("priority")
+        .agg(
+            F.min("n").cast("bigint").alias("n_items"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("cc") >= F.expr(f"div({p} * n + 99, 100)"),
+                        F.col("delay"),
+                    )
+                )
+                .cast("bigint")
+                .alias(f"p{p}_days")
+                for p in (25, 50, 75, 95)
+            ],
+        )
+        .orderBy("priority")
+    )

@@ -2997,3 +2997,140 @@ def test_dau_wau_differential(spark):
         assert r["dau"] == len(users)
         assert r["wau"] == len(wau_set)
         assert r["stickiness_permille"] == (1000 * len(users)) // len(wau_set)
+
+
+def test_linkage_clusters_match_true_cc(spark):
+    """customers_linkage_clusters: the 3-round min-label propagation
+    must equal TRUE connected components on the planted linkage graph
+    (i.e. the fixture converges — a 4th round would be a no-op), and
+    the histogram must match a plain-Python union-find."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    # rebuild the match edge set exactly as the query defines it
+    rows = duckdb.sql(
+        f"""
+        WITH a AS (
+            SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+                   c_mktsegment AS seg
+            FROM '{sf}/customer.parquet'
+        ),
+        b AS (
+            SELECT id + 1000000 AS id,
+                   CASE WHEN id % 7 = 0 THEN substr(name, 1, length(name) - 1) || 'X'
+                        ELSE name END AS name,
+                   nat,
+                   CASE WHEN id % 5 = 0 THEN bal_c + 1 ELSE bal_c END AS bal_c,
+                   CASE WHEN id % 11 = 0 THEN 'AUTOMOBILE' ELSE seg END AS seg
+            FROM a
+        )
+        SELECT a.id, b.id FROM a JOIN b
+          ON a.nat = b.nat AND substr(a.name, 1, 17) = substr(b.name, 1, 17)
+        WHERE (CASE WHEN a.name = b.name THEN 40 ELSE -12 END
+             + CASE WHEN a.bal_c = b.bal_c THEN 22 ELSE -4 END
+             + CASE WHEN a.seg = b.seg THEN 8 ELSE -9 END) >= 45
+        """
+    ).fetchall()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in rows:
+        parent[find(u)] = find(v)
+    from collections import Counter
+
+    sizes = Counter()
+    for node in list(parent):
+        sizes[find(node)] += 1
+    hist = Counter(sizes.values())
+    expect = sorted(
+        (s, c, s * c) for s, c in hist.items()
+    )
+    got = [
+        (r["entity_size"], r["n_entities"], r["n_records"])
+        for r in m.queries()["customers_linkage_clusters"](spark, sf).collect()
+    ]
+    assert got == expect
+
+
+def test_split_leakage_matrix_differential(spark):
+    """pipeline_split_leakage_check vs a Python split-tagging of the
+    SAME candidate pairs (extracted via the shared LSH operators):
+    matrix cells must match and the planted copies must produce
+    at least one cross-split (is_leak) cell."""
+    import hashlib
+    from collections import Counter
+
+    import __spark_entry__ as m
+    from sales_azure_data_engineer_project_spark.operators import dedup as D
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _dedup_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = _dedup_corpus(spark, sf)
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    pairs = [
+        (r["id_a"], r["id_b"], r["shared_bands"])
+        for r in D.lsh_candidate_pairs(bands, "doc_id").collect()
+    ]
+
+    def split_of(doc_id: int) -> str:
+        hv = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:4], 16)
+        return "train" if hv < 58982 else ("val" if hv < 62258 else "test")
+
+    cells: Counter = Counter()
+    strong: Counter = Counter()
+    for ia, ib, sb_ in pairs:
+        key = tuple(sorted((split_of(ia), split_of(ib))))
+        cells[key] += 1
+        if sb_ == 2:
+            strong[key] += 1
+    got = {
+        (r["split_a"], r["split_b"]): r
+        for r in m.queries()["pipeline_split_leakage_check"](spark, sf).collect()
+    }
+    assert set(got) == set(cells)
+    for key, r in got.items():
+        assert r["n_candidate_pairs"] == cells[key]
+        assert r["n_strong"] == strong[key]
+        assert r["is_leak"] == (key[0] != key[1])
+    assert any(r["is_leak"] for r in got.values()), "planted copies must leak"
+
+
+def test_ship_latency_quantiles_differential(spark):
+    """orders_ship_latency_quantiles vs plain-Python percentile_disc
+    per priority on the real sf0.001 join."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT o.o_orderpriority,
+                   datediff('day', o.o_orderdate, l.l_shipdate)
+            FROM '{sf}/lineitem.parquet' l
+            JOIN '{sf}/orders.parquet' o ON l.l_orderkey = o.o_orderkey"""
+    ).fetchall()
+    per: dict = {}
+    for pr, d in rows:
+        per.setdefault(pr, []).append(int(d))
+    got = {
+        r["priority"]: r
+        for r in m.queries()["orders_ship_latency_quantiles"](spark, sf).collect()
+    }
+    assert set(got) == set(per)
+    for pr, ds in per.items():
+        ds.sort()
+        n = len(ds)
+        r = got[pr]
+        assert r["n_items"] == n
+        for p in (25, 50, 75, 95):
+            assert r[f"p{p}_days"] == ds[(p * n + 99) // 100 - 1]

@@ -228,6 +228,12 @@ QUERIES = [
     ("events_weekday_deseasonalized_anomalies", [1, 3, 10]),
     ("sample_balanced_class_downsample", [1, 3, 10]),
     ("events_dau_wau_stickiness", [1, 3, 10]),
+    # linkage clusters: match edges ∝ N (blocked), 3 fixed O(|E|)
+    # rounds; split leakage: the proven banded-candidate shape plus a
+    # map-side split tag; ship latency: fact⋈orders key join then the
+    # bounded (priority × delay-domain) grid.
+    ("customers_linkage_clusters", [1, 3, 10]),
+    ("pipeline_split_leakage_check", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
