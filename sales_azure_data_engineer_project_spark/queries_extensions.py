@@ -15138,3 +15138,252 @@ def orders_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 14: LSH banding sweep, user lifetimes, modality coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_multiband_sweep",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    b4 AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(concat_ws('|', h4, h5, h6, h7)) FROM sig
+    ),
+    b2 AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1)) AS band_sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h4, h5)) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM sig
+    ),
+    b1 AS (
+        {' UNION ALL '.join(f"SELECT doc_id, {i} AS band_idx, md5(concat_ws('|', h{i})) AS band_sig FROM sig" for i in range(8))}
+    ),
+    all_bands AS (
+        SELECT 4 AS band_size, * FROM b4
+        UNION ALL SELECT 2, * FROM b2
+        UNION ALL SELECT 1, * FROM b1
+    ),
+    bs AS (
+        SELECT band_size, band_idx, band_sig, COUNT(*) AS c
+        FROM all_bands GROUP BY 1, 2, 3
+    ),
+    flagged AS (
+        SELECT ab.band_size, ab.doc_id
+        FROM all_bands ab
+        JOIN bs ON bs.band_size = ab.band_size
+               AND bs.band_idx = ab.band_idx
+               AND bs.band_sig = ab.band_sig
+        WHERE bs.c >= 2
+        GROUP BY 1, 2
+    ),
+    mass AS (
+        SELECT band_size,
+               SUM(c * (c - 1) // 2) AS collision_pairs,
+               MAX(c) AS max_bucket
+        FROM bs GROUP BY 1
+    ),
+    fl AS (SELECT band_size, COUNT(*) AS n_flagged FROM flagged GROUP BY 1)
+    SELECT CAST(m.band_size AS INTEGER) AS band_size,
+           CAST(8 // m.band_size AS INTEGER) AS n_bands,
+           CAST(m.collision_pairs AS BIGINT) AS collision_pairs,
+           CAST(m.max_bucket AS BIGINT) AS max_bucket,
+           CAST(COALESCE(fl.n_flagged, 0) AS BIGINT) AS n_flagged_docs
+    FROM mass m LEFT JOIN fl ON fl.band_size = m.band_size
+    ORDER BY band_size
+    """,
+)
+def dedup_minhash_multiband_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter tuning sweep WITHOUT building a candidate
+    set: the SAME 8-hash MinHash signatures re-banded three ways —
+    (r=4, b=2) high-precision, (r=2, b=4) balanced, (r=1, b=8)
+    high-recall — scored purely from BUCKET-SIZE MOMENTS: candidate
+    mass Σ C(bucket, 2) (the exact number of in-bucket collisions the
+    banded join WOULD emit), the max bucket size (the hot-bucket /
+    task-skew hazard indicator), and the flagged-doc count (docs
+    sharing any bucket).  This is the S-curve P=1−(1−s^r)^b made
+    empirical, read BEFORE committing to a join: on this corpus r=1
+    is ~100× the candidate mass of r=4 — the measurement that tells
+    an engineer r=1 needs the hot-bucket valve, made without paying
+    the quadratic emission to learn it (an earlier draft materialized
+    the r=1 pairs and took 76 s at sf0.1; this form never joins
+    bucket members at all).
+
+    Scale shape: shingling + signatures run ONCE; each layout is a
+    constant-size projection; bucket sizes are ONE combinable
+    groupBy; the flagged-doc pass is a linear equi-join of bands
+    against bucket counts.  Zero pair materialization at ANY r —
+    Σ C(c,2) comes from counts, not joins.  No BNLJ, no window."""
+    from .operators.dedup import _shingled, minhash_signatures_from_shingled
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    sig = minhash_signatures_from_shingled(
+        _shingled(corpus, "doc_id", "text", 3), "doc_id", n_hashes=8
+    )
+    layouts = None
+    for band_size in (4, 2, 1):
+        for b in range(8 // band_size):
+            cols = [f"h{b * band_size + j}" for j in range(band_size)]
+            part = sig.select(
+                F.lit(band_size).alias("band_size"),
+                F.col("doc_id"),
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols).cast("binary")).alias("band_sig"),
+            )
+            layouts = part if layouts is None else layouts.unionByName(part)
+    layouts = layouts.transform(tracked_persist)
+    bs = layouts.groupBy("band_size", "band_idx", "band_sig").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mass = bs.groupBy("band_size").agg(
+        F.sum(F.expr("div(c * (c - 1), 2)")).alias("collision_pairs"),
+        F.max("c").alias("max_bucket"),
+    )
+    flagged = (
+        layouts.join(bs.filter(F.col("c") >= 2), ["band_size", "band_idx", "band_sig"])
+        .select("band_size", "doc_id")
+        .distinct()
+        .groupBy("band_size")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    return (
+        mass.join(flagged, "band_size", "left")
+        .select(
+            F.col("band_size").cast("int"),
+            F.expr("cast(div(8, band_size) as int)").alias("n_bands"),
+            F.col("collision_pairs").cast("bigint"),
+            F.col("max_bucket").cast("bigint"),
+            F.coalesce(F.col("n_flagged"), F.lit(0))
+            .cast("bigint")
+            .alias("n_flagged_docs"),
+        )
+        .orderBy("band_size")
+    )
+
+
+@register(
+    "events_user_lifetime_stats",
+    """
+    WITH ul AS (
+        SELECT user_id,
+               MAX(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+                 - MIN(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+                 AS lifetime_days,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(lifetime_days // 7 AS INTEGER) AS lifetime_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(SUM(n_events) // COUNT(*) AS BIGINT) AS events_per_user
+    FROM ul GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime histogram: days between each user's first and
+    last event, bucketed by week, with cohort mass and per-user
+    intensity — the churn-shape summary (is the base long-lived or a
+    spike of one-week tourists?) that complements the cohort-retention
+    matrix (events_cohort_retention tracks WHEN users return; this
+    tracks HOW LONG they stay at all).
+
+    Scale shape: ONE map-side-combinable groupBy(user) computes
+    min/max/count per user; the week histogram is a second combinable
+    groupBy over the per-user relation.  Two shuffles total, both on
+    natural keys; no window, no BNLJ, no broadcast."""
+    ul = (
+        load_testdata(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("datediff(cast(ts as date), date'2024-01-01')").alias("x"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.max("x") - F.min("x")).alias("lifetime_days"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        ul.groupBy(F.expr("cast(div(lifetime_days, 7) as int)").alias("lifetime_weeks"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+        )
+        .select(
+            "lifetime_weeks",
+            "n_users",
+            "total_events",
+            F.expr("cast(div(total_events, n_users) as bigint)").alias(
+                "events_per_user"
+            ),
+        )
+        .orderBy("lifetime_weeks")
+    )
+
+
+@register(
+    "crossmodal_coverage_report",
+    """
+    WITH cov AS (
+        SELECT d.source,
+               CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS has_vec
+        FROM documents d
+        LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(has_vec) AS BIGINT) AS n_with_embedding,
+           CAST((1000 * SUM(has_vec)) // COUNT(*) AS BIGINT)
+               AS coverage_permille
+    FROM cov GROUP BY source ORDER BY source
+    """,
+)
+def crossmodal_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-coverage audit: per source, how many documents have a
+    paired embedding row (id-join convention doc_id = vec_id, as
+    crossmodal_doc_embedding_join) — the data-completeness gate a
+    multimodal training run checks BEFORE sampling, because a source
+    whose vectors are missing silently vanishes from contrastive
+    batches built by inner joins.
+
+    Scale shape: one LEFT equi-join on the id key (both sides
+    id-partitioned at production layout, so co-located) and one
+    combinable groupBy(source) to |sources| rows.  No window, no
+    BNLJ."""
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_testdata(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_vec")
+    )
+    return (
+        docs.join(emb, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("has_vec"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_with_embedding"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_with_embedding",
+            F.expr("cast(div(1000 * n_with_embedding, n_docs) as bigint)").alias(
+                "coverage_permille"
+            ),
+        )
+        .orderBy("source")
+    )

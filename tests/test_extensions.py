@@ -3134,3 +3134,117 @@ def test_ship_latency_quantiles_differential(spark):
         assert r["n_items"] == n
         for p in (25, 50, 75, 95):
             assert r[f"p{p}_days"] == ds[(p * n + 99) // 100 - 1]
+
+
+def test_multiband_sweep_differential(spark):
+    """dedup_minhash_multiband_sweep vs plain-Python bucket moments
+    over the SAME signature frame, plus the S-curve invariant: wider
+    banding (smaller r) always flags a superset of docs."""
+    from collections import Counter
+
+    import __spark_entry__ as m
+    from sales_azure_data_engineer_project_spark.operators.dedup import (
+        _shingled,
+        minhash_signatures_from_shingled,
+    )
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _dedup_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sig = minhash_signatures_from_shingled(
+        _shingled(_dedup_corpus(spark, sf), "doc_id", "text", 3),
+        "doc_id",
+        n_hashes=8,
+    ).collect()
+    got = {
+        r["band_size"]: r
+        for r in m.queries()["dedup_minhash_multiband_sweep"](spark, sf).collect()
+    }
+    flagged_by_r = {}
+    for band_size in (4, 2, 1):
+        buckets: Counter = Counter()
+        members: dict = {}
+        for row in sig:
+            for b in range(8 // band_size):
+                cols = [row[f"h{b * band_size + j}"] for j in range(band_size)]
+                key = (b, "|".join(cols))
+                buckets[key] += 1
+                members.setdefault(key, []).append(row["doc_id"])
+        collision = sum(c * (c - 1) // 2 for c in buckets.values())
+        flagged = {d for k, ds in members.items() for d in ds if buckets[k] >= 2}
+        flagged_by_r[band_size] = flagged
+        r = got[band_size]
+        assert r["n_bands"] == 8 // band_size
+        assert r["collision_pairs"] == collision
+        assert r["max_bucket"] == max(buckets.values())
+        assert r["n_flagged_docs"] == len(flagged)
+    # S-curve: r=1 flags a superset of r=2, which flags a superset of r=4
+    assert flagged_by_r[4] <= flagged_by_r[2] <= flagged_by_r[1]
+
+
+def test_user_lifetime_differential(spark):
+    """events_user_lifetime_stats vs plain-Python per-user min/max."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE)),
+                   COUNT(*)
+            FROM '{sf}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict = {}
+    for u, x, c in rows:
+        lo, hi, n = per.get(u, (10**9, -(10**9), 0))
+        per[u] = (min(lo, x), max(hi, x), n + c)
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for lo, hi, n in per.values():
+        wk = (hi - lo) // 7
+        agg[wk][0] += 1
+        agg[wk][1] += n
+    got = {
+        r["lifetime_weeks"]: r
+        for r in m.queries()["events_user_lifetime_stats"](spark, sf).collect()
+    }
+    assert set(got) == set(agg)
+    for wk, (nu, te) in agg.items():
+        r = got[wk]
+        assert r["n_users"] == nu
+        assert r["total_events"] == te
+        assert r["events_per_user"] == te // nu
+
+
+def test_crossmodal_coverage_differential(spark):
+    """crossmodal_coverage_report vs plain-Python id-set coverage."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    vecs = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT vec_id FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+    }
+    per: dict = {}
+    for did, src in docs:
+        n, w = per.get(src, (0, 0))
+        per[src] = (n + 1, w + (1 if did in vecs else 0))
+    got = {
+        r["source"]: r
+        for r in m.queries()["crossmodal_coverage_report"](spark, sf).collect()
+    }
+    assert set(got) == set(per)
+    for src, (n, wv) in per.items():
+        r = got[src]
+        assert (r["n_docs"], r["n_with_embedding"]) == (n, wv)
+        assert r["coverage_permille"] == (1000 * wv) // n
