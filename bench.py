@@ -160,6 +160,9 @@ def main() -> None:
         "customers_linkage_clusters",
         "pipeline_split_leakage_check",
         "orders_ship_latency_quantiles",
+        "dedup_minhash_multiband_sweep",
+        "events_user_lifetime_stats",
+        "crossmodal_coverage_report",
     }
     import hashlib
 

@@ -15387,3 +15387,318 @@ def crossmodal_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 15: dedup removal bias, repeat-purchase gaps, hash collisions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_removal_bias_audit",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(concat_ws('|', h4, h5, h6, h7)) FROM sig
+    ),
+    flagged AS (
+        SELECT DISTINCT d FROM (
+            SELECT a.doc_id AS d
+            FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                AND a.band_sig = b.band_sig AND a.doc_id <> b.doc_id
+        )
+    ),
+    lens AS (SELECT doc_id, length(text) AS len FROM corpus),
+    grid AS (SELECT len, COUNT(*) AS c FROM lens GROUP BY len),
+    cum AS (
+        SELECT len, SUM(c) OVER (ORDER BY len
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        FROM grid
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM grid),
+    qs AS (
+        SELECT MIN(CASE WHEN cc >= (25 * n + 99) // 100 THEN len END) AS q1,
+               MIN(CASE WHEN cc >= (50 * n + 99) // 100 THEN len END) AS q2,
+               MIN(CASE WHEN cc >= (75 * n + 99) // 100 THEN len END) AS q3
+        FROM cum CROSS JOIN tot
+    ),
+    tagged AS (
+        SELECT CASE WHEN l.len <= q.q1 THEN 0
+                    WHEN l.len <= q.q2 THEN 1
+                    WHEN l.len <= q.q3 THEN 2
+                    ELSE 3 END AS quartile,
+               CASE WHEN f.d IS NULL THEN 0 ELSE 1 END AS flagged
+        FROM lens l CROSS JOIN qs q
+        LEFT JOIN flagged f ON f.d = l.doc_id
+    )
+    SELECT CAST(quartile AS INTEGER) AS length_quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+           CAST((1000 * SUM(flagged)) // COUNT(*) AS BIGINT)
+               AS flagged_permille
+    FROM tagged GROUP BY quartile ORDER BY quartile
+    """,
+)
+def dedup_removal_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup REMOVAL-BIAS audit: profile the docs an LSH near-dup pass
+    would flag, by corpus length quartile — the distribution-shift
+    check run before committing a dedup config, because deduplication
+    is never length-neutral (boilerplate and templates concentrate in
+    specific length bands) and a skewed removal silently changes the
+    training mixture (the 'dedup changes your data distribution'
+    hazard the data-curation literature warns about; the source-axis
+    twin is dedup_cross_source_matrix).
+
+    Scale shape: the flagged set comes from the banded bucket join
+    (never all-pairs), distinct-projected to doc ids; the quartile
+    cutoffs use the distinct-length grid cumsum (bounded by the
+    length domain — global-window-allowlisted) with a 1-row threshold
+    broadcast (BNLJ-allowlisted, as stats_ks_two_sample); tagging is
+    a LEFT key join + one combinable 4-row groupBy."""
+    from .operators.prefixsum import bucketed_cumsum
+
+    corpus = _dedup_corpus(spark, sf_dir).transform(tracked_persist)
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    pairs = D.lsh_candidate_pairs(bands, "doc_id")
+    flagged = (
+        pairs.select(F.col("id_a").alias("d"))
+        .unionByName(pairs.select(F.col("id_b").alias("d")))
+        .distinct()
+        .select("d", F.lit(1).alias("flagged"))
+    )
+    lens = corpus.select("doc_id", F.length("text").alias("len"))
+    grid = lens.groupBy("len").agg(F.count(F.lit(1)).alias("c"))
+    cum = bucketed_cumsum(grid, [], "len", ["c"], bucket_width=64)
+    tot = grid.agg(F.sum("c").cast("bigint").alias("n"))
+    qs = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum_c") >= F.expr(f"div({p} * n + 99, 100)"),
+                        F.col("len"),
+                    )
+                ).alias(q)
+                for p, q in ((25, "q1"), (50, "q2"), (75, "q3"))
+            ]
+        )
+    )
+    tagged = (
+        lens.crossJoin(F.broadcast(qs))
+        .join(flagged.withColumnRenamed("d", "doc_id"), "doc_id", "left")
+        .select(
+            F.when(F.col("len") <= F.col("q1"), 0)
+            .when(F.col("len") <= F.col("q2"), 1)
+            .when(F.col("len") <= F.col("q3"), 2)
+            .otherwise(3)
+            .alias("length_quartile"),
+            F.coalesce(F.col("flagged"), F.lit(0)).alias("flagged"),
+        )
+    )
+    return (
+        tagged.groupBy("length_quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("flagged").cast("bigint").alias("n_flagged"),
+        )
+        .select(
+            F.col("length_quartile").cast("int"),
+            "n_docs",
+            "n_flagged",
+            F.expr("cast(div(1000 * n_flagged, n_docs) as bigint)").alias(
+                "flagged_permille"
+            ),
+        )
+        .orderBy("length_quartile")
+    )
+
+
+@register(
+    "orders_repeat_purchase_intervals",
+    """
+    WITH o AS (
+        SELECT o_custkey,
+               datediff('day', DATE '1992-01-01', o_orderdate) AS x,
+               o_orderkey
+        FROM orders
+    ),
+    gaps AS (
+        SELECT o_custkey,
+               x - lag(x) OVER (PARTITION BY o_custkey
+                                ORDER BY x, o_orderkey) AS gap
+        FROM o
+    ),
+    g2 AS (
+        SELECT c.c_mktsegment AS segment, g.gap
+        FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+        WHERE g.gap IS NOT NULL
+    ),
+    grid AS (SELECT segment, gap, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    cum AS (
+        SELECT segment, gap, c,
+               SUM(c) OVER (PARTITION BY segment ORDER BY gap
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cc
+        FROM grid
+    ),
+    tot AS (SELECT segment, SUM(c) AS n FROM grid GROUP BY 1)
+    SELECT cum.segment,
+           CAST(MIN(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN cc >= (50 * n + 99) // 100 THEN gap END)
+                AS BIGINT) AS p50_days,
+           CAST(MIN(CASE WHEN cc >= (90 * n + 99) // 100 THEN gap END)
+                AS BIGINT) AS p90_days
+    FROM cum JOIN tot ON tot.segment = cum.segment
+    GROUP BY cum.segment
+    ORDER BY cum.segment
+    """,
+)
+def orders_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per market segment: exact p50/p90 of
+    the days between a customer's consecutive orders — the
+    reorder-cycle profile behind replenishment forecasting and the
+    'is BUILDING stickier than MACHINERY' comparison; the commerce
+    twin of events_interarrival_quantiles (same estimator, order
+    grain, per-segment cuts).
+
+    Parity: per-customer ordering ties (same order date) break by
+    o_orderkey on both engines; quantiles are percentile_disc via the
+    shared cumsum-threshold contract.
+
+    Scale shape: the lag runs in a CUSTOMER-partitioned window
+    (natural key); the segment tag is one key equi-join to the
+    customer dim; quantile selection collapses to the bounded
+    (|segments| × gap-day-domain) grid with a segment-PARTITIONED
+    cumsum — no global window, no BNLJ."""
+    o = load_testdata(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("datediff(o_orderdate, date'1992-01-01')").alias("x"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("x", "o_orderkey")
+    gaps = o.select(
+        "o_custkey", (F.col("x") - F.lag("x").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    cust = load_testdata(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    g2 = gaps.join(cust, "o_custkey").select("segment", "gap")
+    grid = g2.groupBy("segment", "gap").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        Window.partitionBy("segment")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select("segment", "gap", "c", F.sum("c").over(wv).alias("cc"))
+    tot = grid.groupBy("segment").agg(F.sum("c").alias("n"))
+    return (
+        cum.join(tot, "segment")
+        .groupBy("segment")
+        .agg(
+            F.min("n").cast("bigint").alias("n_gaps"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("cc") >= F.expr(f"div({p} * n + 99, 100)"),
+                        F.col("gap"),
+                    )
+                )
+                .cast("bigint")
+                .alias(f"p{p}_days")
+                for p in (50, 90)
+            ],
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "text_hash_collision_audit",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+    ),
+    tri AS (
+        SELECT DISTINCT unnest(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks)-2),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                 ELSE []::VARCHAR[] END) AS feat
+        FROM tok
+    ),
+    bucketed AS (
+        SELECT CAST(concat('0x', substr(md5(feat), 1, 4)) AS BIGINT) AS bucket
+        FROM tri
+    ),
+    bc AS (SELECT bucket, COUNT(*) AS c FROM bucketed GROUP BY bucket)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_features,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(SUM(c - 1) AS BIGINT) AS n_collided_features,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST((1000 * SUM(c - 1)) // SUM(c) AS BIGINT)
+               AS collision_permille
+    FROM bc
+    """,
+)
+def text_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit for a 2¹⁶-bucket feature space:
+    how many DISTINCT trigram features collide when hashed to 16 bits
+    (md5 prefix — the same feature hashing text_quality_classifier_
+    hashed trains over)?  The birthday arithmetic says ~38% of 2¹⁶
+    buckets collide at ~65k features; this measures the actual rate
+    on the corpus vocabulary, the number an ML engineer checks before
+    trusting hashed-feature model weights (collisions alias gradients
+    between unrelated n-grams).
+
+    Scale shape: trigram explode → DISTINCT (one combinable shuffle,
+    vocabulary-bounded ≪ corpus at web scale); bucket histogram is a
+    second combinable groupBy over ≤2¹⁶ keys; the report is one
+    5-column aggregate row.  No window, no BNLJ, no join at all."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), X.TOKEN_RE)
+    tri = (
+        docs.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 3,
+                    F.expr(
+                        "transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
+                        " i -> concat_ws(' ', split(text, '\\\\s+')[i-1],"
+                        " split(text, '\\\\s+')[i], split(text, '\\\\s+')[i+1]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("feat")
+        )
+        .distinct()
+    )
+    bc = (
+        tri.select(
+            F.expr("cast(conv(substring(md5(feat), 1, 4), 16, 10) as bigint)").alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return bc.agg(
+        F.sum("c").cast("bigint").alias("n_features"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.sum(F.col("c") - 1).cast("bigint").alias("n_collided_features"),
+        F.max("c").cast("bigint").alias("max_bucket"),
+        F.expr("cast(div(1000 * sum(c - 1), sum(c)) as bigint)").alias(
+            "collision_permille"
+        ),
+    )

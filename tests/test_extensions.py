@@ -3248,3 +3248,120 @@ def test_crossmodal_coverage_differential(spark):
         r = got[src]
         assert (r["n_docs"], r["n_with_embedding"]) == (n, wv)
         assert r["coverage_permille"] == (1000 * wv) // n
+
+
+def test_removal_bias_audit_differential(spark):
+    """dedup_removal_bias_audit vs Python: flagged set from the shared
+    LSH operators, quartiles from the sorted length list, exact cell
+    counts — plus the planted-corpus expectation that flagged docs
+    exist in more than one quartile (copies span the length range)."""
+    import __spark_entry__ as m
+    from sales_azure_data_engineer_project_spark.operators import dedup as D
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _dedup_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = {
+        r["doc_id"]: r["text"] for r in _dedup_corpus(spark, sf).collect()
+    }
+    bands = D.minhash_bands(
+        _dedup_corpus(spark, sf), "doc_id", "text", n_hashes=8, band_size=4
+    )
+    pairs = D.lsh_candidate_pairs(bands, "doc_id").select("id_a", "id_b").collect()
+    flagged = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    lens = sorted(len(t) for t in corpus.values())
+    n = len(lens)
+    q1, q2, q3 = (lens[(p * n + 99) // 100 - 1] for p in (25, 50, 75))
+
+    def quart(ln):
+        return 0 if ln <= q1 else (1 if ln <= q2 else (2 if ln <= q3 else 3))
+
+    cells = {qi: [0, 0] for qi in range(4)}
+    for did, text in corpus.items():
+        qi = quart(len(text))
+        cells[qi][0] += 1
+        cells[qi][1] += 1 if did in flagged else 0
+    got = {
+        r["length_quartile"]: r
+        for r in m.queries()["dedup_removal_bias_audit"](spark, sf).collect()
+    }
+    assert set(got) == {k for k, v in cells.items() if v[0] > 0}
+    for qi, (nd, nf) in cells.items():
+        if nd == 0:
+            continue
+        r = got[qi]
+        assert (r["n_docs"], r["n_flagged"]) == (nd, nf)
+        assert r["flagged_permille"] == (1000 * nf) // nd
+    assert sum(1 for r in got.values() if r["n_flagged"] > 0) >= 2
+
+
+def test_repeat_purchase_intervals_differential(spark):
+    """orders_repeat_purchase_intervals vs plain-Python per-customer
+    gap walk + percentile_disc per segment."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    orders = duckdb.sql(
+        f"""SELECT o_custkey,
+                   datediff('day', DATE '1992-01-01', o_orderdate),
+                   o_orderkey
+            FROM '{sf}/orders.parquet'"""
+    ).fetchall()
+    seg = dict(
+        duckdb.sql(
+            f"SELECT c_custkey, c_mktsegment FROM '{sf}/customer.parquet'"
+        ).fetchall()
+    )
+    per: dict = {}
+    for ck, x, ok in orders:
+        per.setdefault(ck, []).append((int(x), int(ok)))
+    gaps: dict = {}
+    for ck, seq in per.items():
+        seq.sort()
+        for i in range(1, len(seq)):
+            gaps.setdefault(seg[ck], []).append(seq[i][0] - seq[i - 1][0])
+    got = {
+        r["segment"]: r
+        for r in m.queries()["orders_repeat_purchase_intervals"](spark, sf).collect()
+    }
+    assert set(got) == set(gaps)
+    for s, gs in gaps.items():
+        gs.sort()
+        n = len(gs)
+        r = got[s]
+        assert r["n_gaps"] == n
+        assert r["p50_days"] == gs[(50 * n + 99) // 100 - 1]
+        assert r["p90_days"] == gs[(90 * n + 99) // 100 - 1]
+
+
+def test_hash_collision_audit_differential(spark):
+    """text_hash_collision_audit vs plain-Python 16-bit bucketing of
+    the distinct trigram set."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    feats = set()
+    for (text,) in duckdb.sql(
+        f"SELECT text FROM '{sf}/documents.parquet'"
+    ).fetchall():
+        toks = re.split(r"\s+", text)
+        for i in range(len(toks) - 2):
+            feats.add(" ".join(toks[i : i + 3]))
+    buckets = Counter(
+        int(hashlib.md5(f.encode()).hexdigest()[:4], 16) for f in feats
+    )
+    [r] = m.queries()["text_hash_collision_audit"](spark, sf).collect()
+    assert r["n_features"] == len(feats)
+    assert r["n_buckets_used"] == len(buckets)
+    assert r["n_collided_features"] == sum(c - 1 for c in buckets.values())
+    assert r["max_bucket"] == max(buckets.values())
+    assert r["collision_permille"] == (1000 * sum(c - 1 for c in buckets.values())) // len(feats)

@@ -538,6 +538,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "sample_balanced_class_downsample",  # 1-row global min-class-
                                              # size broadcast onto the
                                              # ranked rows
+        "dedup_removal_bias_audit",  # 1-row total + 1-row quartile-
+                                     # cutoff broadcasts onto the
+                                     # length grid / corpus rows
     }
     # Unpartitioned windows: every entry must name the BOUNDED relation
     # the global window runs over (always an aggregate output, never the
@@ -573,6 +576,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                           # bucket TOTALS (aggregate)
         "vocab_heaps_growth",  # cumsum over the 10-row decile grid
                                # (groupBy output)
+        "dedup_removal_bias_audit",  # bucketed_cumsum level 2: cumsum
+                                     # over length-domain bucket
+                                     # TOTALS (aggregate)
     }
     offenders = {}
     for name, fn in m.queries().items():

@@ -234,6 +234,13 @@ QUERIES = [
     # bounded (priority × delay-domain) grid.
     ("customers_linkage_clusters", [1, 3, 10]),
     ("pipeline_split_leakage_check", [1, 3, 10]),
+    # banding sweep: ONE signature build + bucket-moment aggregates,
+    # zero pair materialization at any r (the 76s pair-join draft was
+    # rewritten for exactly this); lifetimes: two combinable groupBys;
+    # coverage: one key equi-join + groupBy(source).
+    ("dedup_minhash_multiband_sweep", [1, 3, 10]),
+    ("events_user_lifetime_stats", [1, 3, 10]),
+    ("crossmodal_coverage_report", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
