@@ -163,6 +163,9 @@ def main() -> None:
         "dedup_minhash_multiband_sweep",
         "events_user_lifetime_stats",
         "crossmodal_coverage_report",
+        "dedup_removal_bias_audit",
+        "orders_repeat_purchase_intervals",
+        "text_hash_collision_audit",
     }
     import hashlib
 

@@ -241,6 +241,10 @@ QUERIES = [
     ("dedup_minhash_multiband_sweep", [1, 3, 10]),
     ("events_user_lifetime_stats", [1, 3, 10]),
     ("crossmodal_coverage_report", [1, 3, 10]),
+    # removal-bias: banded flag set + length-grid cumsum (bounded);
+    # collision audit: vocabulary-bounded distinct + ≤2^16 buckets.
+    ("dedup_removal_bias_audit", [1, 3, 10]),
+    ("text_hash_collision_audit", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
