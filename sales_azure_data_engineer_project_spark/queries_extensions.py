@@ -15668,16 +15668,15 @@ def text_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     second combinable groupBy over ≤2¹⁶ keys; the report is one
     5-column aggregate row.  No window, no BNLJ, no join at all."""
     docs = load_testdata(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), X.TOKEN_RE)
     tri = (
-        docs.select(
+        docs.select(F.split(F.col("text"), X.TOKEN_RE).alias("toks"))
+        .select(
             F.explode(
                 F.when(
-                    F.size(toks) >= 3,
+                    F.size("toks") >= 3,
                     F.expr(
-                        "transform(sequence(1, size(split(text, '\\\\s+')) - 2),"
-                        " i -> concat_ws(' ', split(text, '\\\\s+')[i-1],"
-                        " split(text, '\\\\s+')[i], split(text, '\\\\s+')[i+1]))"
+                        "transform(sequence(1, size(toks) - 2),"
+                        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
                     ),
                 ).otherwise(F.array().cast("array<string>"))
             ).alias("feat")
