@@ -15701,3 +15701,220 @@ def text_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "collision_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 16: Wilson interval, runs test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_wilson_ci_error_rate",
+    """
+    WITH daily AS (
+        SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(x AS INTEGER) AS day_idx,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(e AS BIGINT) AS n_errors,
+           CAST((1000 * e) // n AS BIGINT) AS rate_permille,
+           CAST(floor(1000000.0 *
+                ((CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                  - 1.96 * sqrt((CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (1.0 - CAST(e AS DOUBLE) / CAST(n AS DOUBLE))
+                       + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+                      / CAST(n AS DOUBLE)))
+                 / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)))) AS BIGINT)
+               AS wilson_lo_micro,
+           CAST(floor(1000000.0 *
+                ((CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                  + 1.96 * sqrt((CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (1.0 - CAST(e AS DOUBLE) / CAST(n AS DOUBLE))
+                       + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+                      / CAST(n AS DOUBLE)))
+                 / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)))) AS BIGINT)
+               AS wilson_hi_micro
+    FROM daily ORDER BY day_idx
+    """,
+)
+def events_wilson_ci_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day error-rate with the WILSON 95% confidence interval —
+    the proportion CI that stays inside [0,1] and behaves at small n
+    (unlike the normal approximation), i.e. the correct error-budget
+    arithmetic for an SRE daily report: a day is statistically bad
+    only if its whole interval clears the SLO line.  Complements
+    stats_bootstrap_ci (resampled CI for MEANS) with the closed-form
+    CI for PROPORTIONS.
+
+    Float-parity note (the fleet's transcendental rule): the Wilson
+    bound uses ONLY +,−,×,÷,√ — every one IEEE-754 correctly rounded,
+    so identical integer inputs give bit-identical doubles on both
+    engines, and the final micro-unit floor transports exactly.  The
+    1.96 literal parses to the same double everywhere.  (ln/exp-based
+    intervals would NOT have this property; that is why the fleet has
+    no Poisson/Jeffreys query.)
+
+    Scale shape: ONE map-side-combinable groupBy(day) — the CI math
+    is a projection over the ≤|days| aggregate.  Nothing else."""
+    daily = (
+        load_testdata(spark, sf_dir, "events")
+        .select(
+            F.expr("datediff(cast(ts as date), date'2024-01-01')").alias("x"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+        )
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("is_err").alias("e"))
+    )
+    wilson = (
+        "((cast(e as double) / cast(n as double)"
+        " + (1.96 * 1.96) / (2.0D * cast(n as double))"
+        " {sign} 1.96 * sqrt((cast(e as double) / cast(n as double)"
+        " * (1.0D - cast(e as double) / cast(n as double))"
+        " + (1.96 * 1.96) / (4.0D * cast(n as double)))"
+        " / cast(n as double)))"
+        " / (1.0D + (1.96 * 1.96) / cast(n as double)))"
+    )
+    return daily.select(
+        F.col("x").cast("int").alias("day_idx"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("e").cast("bigint").alias("n_errors"),
+        F.expr("cast(div(1000 * e, n) as bigint)").alias("rate_permille"),
+        F.expr(
+            f"cast(floor(1000000.0D * {wilson.format(sign='-')}) as bigint)"
+        ).alias("wilson_lo_micro"),
+        F.expr(
+            f"cast(floor(1000000.0D * {wilson.format(sign='+')}) as bigint)"
+        ).alias("wilson_hi_micro"),
+    ).orderBy("day_idx")
+
+
+@register(
+    "stats_runs_test_daily",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    dx AS (
+        SELECT event_type, x,
+               cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY x) AS d
+        FROM daily
+    ),
+    sgn AS (
+        SELECT event_type, x,
+               CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+        FROM dx WHERE d IS NOT NULL AND d <> 0
+    ),
+    flips AS (
+        SELECT event_type, s,
+               CASE WHEN s <> lag(s) OVER (PARTITION BY event_type ORDER BY x)
+                    THEN 1 ELSE 0 END AS flip
+        FROM sgn
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(1 + SUM(CASE WHEN flip = 1 THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+               CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+               CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+        FROM flips GROUP BY 1
+    )
+    SELECT event_type, runs, n_up, n_down,
+           CASE WHEN n_up = 0 OR n_down = 0 OR n_up + n_down < 2
+                     OR (2.0 * n_up * n_down)
+                        * (2.0 * n_up * n_down - n_up - n_down) <= 0.0
+                THEN NULL
+                ELSE CAST(floor(1000000.0 *
+                     (CAST(runs AS DOUBLE)
+                      - (1.0 + (2.0 * n_up * n_down)
+                               / (CAST(n_up AS DOUBLE) + n_down)))
+                     / sqrt(((2.0 * n_up * n_down)
+                             * (2.0 * n_up * n_down - n_up - n_down))
+                            / ((CAST(n_up AS DOUBLE) + n_down)
+                               * (CAST(n_up AS DOUBLE) + n_down)
+                               * (CAST(n_up AS DOUBLE) + n_down - 1.0))))
+                     AS BIGINT)
+           END AS z_micro
+    FROM m ORDER BY event_type
+    """,
+)
+def stats_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on each event type's daily up/down
+    moves — are consecutive day-over-day changes independent, or does
+    the series trend/oscillate?  Too FEW runs ⇒ momentum (a level
+    shift the CUSUM will localize); too MANY ⇒ oscillation (e.g. a
+    batch job alternating load).  Zero deltas are dropped (standard
+    treatment); z is the normal approximation in micro-units.
+
+    Float parity: like the Wilson query, the statistic touches only
+    IEEE-correctly-rounded ops (×,÷,+,−,√) on integer inputs —
+    bit-identical across engines; degenerate sign sequences yield
+    NULL on both sides.
+
+    Scale shape: one combinable groupBy(type, day); the delta and
+    flip passes are type-PARTITIONED windows over the bounded daily
+    grid; the test statistic is a projection over ≤|types| aggregate
+    rows.  No global window, no BNLJ."""
+    daily = (
+        load_testdata(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("datediff(cast(ts as date), date'2024-01-01')").alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("x")
+    sgn = (
+        daily.select(
+            "event_type", "x", (F.col("cnt") - F.lag("cnt").over(wd)).alias("d")
+        )
+        .filter(F.col("d").isNotNull() & (F.col("d") != 0))
+        .select(
+            "event_type",
+            "x",
+            F.when(F.col("d") > 0, 1).otherwise(-1).alias("s"),
+        )
+    )
+    flips = sgn.select(
+        "event_type",
+        "s",
+        F.when(F.col("s") != F.lag("s").over(wd), 1).otherwise(0).alias("flip"),
+    )
+    m = flips.groupBy("event_type").agg(
+        (1 + F.sum(F.when(F.col("flip") == 1, 1).otherwise(0)))
+        .cast("bigint")
+        .alias("runs"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("bigint").alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+    )
+    return m.select(
+        "event_type",
+        "runs",
+        "n_up",
+        "n_down",
+        F.expr(
+            "case when n_up = 0 or n_down = 0 or n_up + n_down < 2"
+            " or (2.0D * n_up * n_down)"
+            " * (2.0D * n_up * n_down - n_up - n_down) <= 0.0D"
+            " then null"
+            " else cast(floor(1000000.0D *"
+            " (cast(runs as double)"
+            " - (1.0D + (2.0D * n_up * n_down)"
+            " / (cast(n_up as double) + n_down)))"
+            " / sqrt(((2.0D * n_up * n_down)"
+            " * (2.0D * n_up * n_down - n_up - n_down))"
+            " / ((cast(n_up as double) + n_down)"
+            " * (cast(n_up as double) + n_down)"
+            " * (cast(n_up as double) + n_down - 1.0D))))"
+            " as bigint) end"
+        ).alias("z_micro"),
+    ).orderBy("event_type")

@@ -3365,3 +3365,85 @@ def test_hash_collision_audit_differential(spark):
     assert r["n_collided_features"] == sum(c - 1 for c in buckets.values())
     assert r["max_bucket"] == max(buckets.values())
     assert r["collision_permille"] == (1000 * sum(c - 1 for c in buckets.values())) // len(feats)
+
+
+def test_wilson_ci_differential(spark):
+    """events_wilson_ci_error_rate vs the same IEEE double arithmetic
+    in Python (CPython floats are IEEE-754 doubles; identical op order
+    gives bit-identical results), plus interval sanity."""
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)),
+                   COUNT(*),
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            FROM '{sf}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    got = {
+        r["day_idx"]: r
+        for r in m.queries()["events_wilson_ci_error_rate"](spark, sf).collect()
+    }
+    assert set(got) == {int(x) for x, _, _ in rows}
+    for x, n, e in rows:
+        n_f, e_f = float(n), float(e)
+        p = e_f / n_f
+        z2 = 1.96 * 1.96
+        half = 1.96 * math.sqrt((p * (1.0 - p) + z2 / (4.0 * n_f)) / n_f)
+        lo = math.floor(1e6 * ((p + z2 / (2.0 * n_f) - half) / (1.0 + z2 / n_f)))
+        hi = math.floor(1e6 * ((p + z2 / (2.0 * n_f) + half) / (1.0 + z2 / n_f)))
+        r = got[int(x)]
+        assert (r["n_events"], r["n_errors"]) == (n, e)
+        assert r["wilson_lo_micro"] == lo
+        assert r["wilson_hi_micro"] == hi
+        # interval sanity: lo ≤ point rate ≤ hi, and inside [0, 1e6]
+        assert 0 <= r["wilson_lo_micro"] <= 1000 * r["rate_permille"] + 1
+        assert 1000 * r["rate_permille"] <= r["wilson_hi_micro"] <= 1000000
+
+
+def test_runs_test_differential(spark):
+    """stats_runs_test_daily vs a plain-Python runs count and the same
+    IEEE z computation on the real sf0.001 events."""
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT event_type,
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE)),
+                   COUNT(*)
+            FROM '{sf}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict = {}
+    for ty, x, c in rows:
+        per.setdefault(ty, {})[int(x)] = int(c)
+    got = {
+        r["event_type"]: r
+        for r in m.queries()["stats_runs_test_daily"](spark, sf).collect()
+    }
+    for ty, days in per.items():
+        xs = sorted(days)
+        signs = []
+        for i in range(1, len(xs)):
+            d = days[xs[i]] - days[xs[i - 1]]
+            if d != 0:
+                signs.append(1 if d > 0 else -1)
+        runs = 1 + sum(1 for i in range(1, len(signs)) if signs[i] != signs[i - 1])
+        n_up = sum(1 for s in signs if s == 1)
+        n_dn = len(signs) - n_up
+        r = got[ty]
+        assert (r["runs"], r["n_up"], r["n_down"]) == (runs, n_up, n_dn)
+        if n_up and n_dn and n_up + n_dn >= 2:
+            nf = float(n_up) + n_dn
+            two_nn = 2.0 * n_up * n_dn
+            var = (two_nn * (two_nn - n_up - n_dn)) / (nf * nf * (nf - 1.0))
+            if var > 0:
+                z = math.floor(1e6 * (float(runs) - (1.0 + two_nn / nf)) / math.sqrt(var))
+                assert r["z_micro"] == z
