@@ -166,6 +166,8 @@ def main() -> None:
         "dedup_removal_bias_audit",
         "orders_repeat_purchase_intervals",
         "text_hash_collision_audit",
+        "events_wilson_ci_error_rate",
+        "stats_runs_test_daily",
     }
     import hashlib
 

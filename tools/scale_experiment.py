@@ -245,6 +245,11 @@ QUERIES = [
     # collision audit: vocabulary-bounded distinct + ≤2^16 buckets.
     ("dedup_removal_bias_audit", [1, 3, 10]),
     ("text_hash_collision_audit", [1, 3, 10]),
+    # Wilson / runs test: both collapse to the ≤|days| / ≤|types|·|days|
+    # daily grid in one combinable groupBy; the statistics are
+    # projections (IEEE-only float ops) over the bounded aggregate.
+    ("events_wilson_ci_error_rate", [1, 3, 10]),
+    ("stats_runs_test_daily", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
