@@ -14446,27 +14446,16 @@ def quality_tukey_fences_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     domain, not N); the cumsum window is PARTITIONED by source over
     that grid; the fence lookup joins a |sources|-row relation back —
     a broadcast equi-join.  No global window, no BNLJ."""
+    from .operators.quantiles import grid_quantiles
+
     docs = load_testdata(spark, sf_dir, "documents").select("source", "n_chars")
-    grid = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = grid.select("source", "n_chars", "c", F.sum("c").over(w).alias("cc"))
-    tot = grid.groupBy("source").agg(F.sum("c").alias("n"))
-    q = (
-        cum.join(tot, "source")
-        .groupBy("source")
-        .agg(
-            F.min(
-                F.when(F.col("cc") >= F.expr("div(25 * n + 99, 100)"), F.col("n_chars"))
-            ).alias("q1"),
-            F.min(
-                F.when(F.col("cc") >= F.expr("div(75 * n + 99, 100)"), F.col("n_chars"))
-            ).alias("q3"),
-            F.min("n").cast("bigint").alias("n_docs"),
-        )
+    q = grid_quantiles(
+        docs, ["source"], "n_chars", [25, 75], count_alias="n_docs"
+    ).select(
+        "source",
+        F.col("p25").alias("q1"),
+        F.col("p75").alias("q3"),
+        "n_docs",
     )
     return (
         docs.join(F.broadcast(q), "source")
@@ -15103,6 +15092,8 @@ def orders_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     same exact-quantile-without-global-sort pattern as
     quality_tukey_fences_by_source.  No BNLJ, no global window, no
     approximation."""
+    from .operators.quantiles import grid_quantiles
+
     li = load_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     orders = load_testdata(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
@@ -15111,33 +15102,12 @@ def orders_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("o_orderpriority").alias("priority"),
         F.expr("datediff(l_shipdate, o_orderdate)").alias("delay"),
     )
-    grid = d.groupBy("priority", "delay").agg(F.count(F.lit(1)).alias("c"))
-    w = (
-        Window.partitionBy("priority")
-        .orderBy("delay")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = grid.select("priority", "delay", "c", F.sum("c").over(w).alias("cc"))
-    tot = grid.groupBy("priority").agg(F.sum("c").alias("n"))
-    return (
-        cum.join(tot, "priority")
-        .groupBy("priority")
-        .agg(
-            F.min("n").cast("bigint").alias("n_items"),
-            *[
-                F.min(
-                    F.when(
-                        F.col("cc") >= F.expr(f"div({p} * n + 99, 100)"),
-                        F.col("delay"),
-                    )
-                )
-                .cast("bigint")
-                .alias(f"p{p}_days")
-                for p in (25, 50, 75, 95)
-            ],
-        )
-        .orderBy("priority")
-    )
+    q = grid_quantiles(d, ["priority"], "delay", [25, 50, 75, 95], count_alias="n_items")
+    return q.select(
+        "priority",
+        "n_items",
+        *[F.col(f"p{p}").alias(f"p{p}_days") for p in (25, 50, 75, 95)],
+    ).orderBy("priority")
 
 
 # ---------------------------------------------------------------------------
@@ -15595,34 +15565,16 @@ def orders_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFr
     cust = load_testdata(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
     )
+    from .operators.quantiles import grid_quantiles
+
     g2 = gaps.join(cust, "o_custkey").select("segment", "gap")
-    grid = g2.groupBy("segment", "gap").agg(F.count(F.lit(1)).alias("c"))
-    wv = (
-        Window.partitionBy("segment")
-        .orderBy("gap")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = grid.select("segment", "gap", "c", F.sum("c").over(wv).alias("cc"))
-    tot = grid.groupBy("segment").agg(F.sum("c").alias("n"))
-    return (
-        cum.join(tot, "segment")
-        .groupBy("segment")
-        .agg(
-            F.min("n").cast("bigint").alias("n_gaps"),
-            *[
-                F.min(
-                    F.when(
-                        F.col("cc") >= F.expr(f"div({p} * n + 99, 100)"),
-                        F.col("gap"),
-                    )
-                )
-                .cast("bigint")
-                .alias(f"p{p}_days")
-                for p in (50, 90)
-            ],
-        )
-        .orderBy("segment")
-    )
+    q = grid_quantiles(g2, ["segment"], "gap", [50, 90], count_alias="n_gaps")
+    return q.select(
+        "segment",
+        "n_gaps",
+        F.col("p50").alias("p50_days"),
+        F.col("p90").alias("p90_days"),
+    ).orderBy("segment")
 
 
 @register(
