@@ -219,3 +219,35 @@ def test_ffd_packing_invariants_and_beats_singleton(spark):
         # rate stays a true in-[0,1000] bin-utilization figure even on
         # shard 0 (one 5000-token oversize doc against B=512 bins)
         assert 0 <= rep[shard]["fill_permille"] <= 1000
+
+
+def test_grid_quantiles_matches_percentile_disc(spark):
+    """operators/quantiles.grid_quantiles vs plain-Python
+    percentile_disc on a synthetic grouped frame with ties, negative
+    values, and a singleton group."""
+    from pyspark.sql import functions as F
+
+    from sales_azure_data_engineer_project_spark.operators.quantiles import (
+        grid_quantiles,
+    )
+
+    data = (
+        [("a", v) for v in [5, 1, 1, -3, 9, 9, 9, 2, 0, 7]]
+        + [("b", v) for v in [100, -100, 0, 0]]
+        + [("c", 42)]
+    )
+    df = spark.createDataFrame(data, ["g", "v"]).repartition(8)
+    got = {
+        r["g"]: r
+        for r in grid_quantiles(df, ["g"], "v", [25, 50, 75, 95]).collect()
+    }
+    per = {}
+    for g, v in data:
+        per.setdefault(g, []).append(v)
+    for g, vs in per.items():
+        vs.sort()
+        n = len(vs)
+        r = got[g]
+        assert r["n"] == n
+        for p in (25, 50, 75, 95):
+            assert r[f"p{p}"] == vs[(p * n + 99) // 100 - 1], (g, p)
