@@ -15870,3 +15870,152 @@ def stats_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint) end"
         ).alias("z_micro"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 17: Good-Turing unseen mass, weekly type-mix drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_good_turing_unseen_mass",
+    r"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+    ),
+    tc AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dis_legomena,
+           CAST((1000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // SUM(c)
+               AS BIGINT) AS unseen_mass_permille,
+           CAST((1000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+               AS BIGINT) AS hapax_vocab_permille
+    FROM tc
+    """,
+)
+def vocab_good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen-probability-mass estimate: P(next token is
+    NOVEL) ≈ N₁/N (hapax count over token count) — the language-model
+    smoothing number that says how much probability a model trained
+    on this corpus must reserve for words it has never seen, and the
+    leading indicator for 'will more data still help the tokenizer'
+    (falling hapax share = saturating vocabulary — the same signal
+    vocab_heaps_growth reads as a curve, here as the classical point
+    estimate).  Dis-legomena (c=2) ride along for the GT confidence
+    heuristic (N₁ should ≈ 2·N₂ under Zipf).
+
+    Scale shape: explode → ONE map-side-combinable groupBy(token),
+    then a single global aggregate projection — no join, no window,
+    no broadcast, nothing else.  The vocabulary relation is the same
+    one every tokenizer-build query already pays for."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tc.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dis_legomena"),
+        F.expr(
+            "cast(div(1000 * sum(case when c = 1 then 1 else 0 end), sum(c))"
+            " as bigint)"
+        ).alias("unseen_mass_permille"),
+        F.expr(
+            "cast(div(1000 * sum(case when c = 1 then 1 else 0 end), count(1))"
+            " as bigint)"
+        ).alias("hapax_vocab_permille"),
+    )
+
+
+@register(
+    "events_type_mix_drift_weekly",
+    """
+    WITH e AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+        FROM events
+    ),
+    wt AS (SELECT wk, event_type, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    wn AS (SELECT wk, SUM(c) AS nw FROM wt GROUP BY 1),
+    ot AS (SELECT event_type, COUNT(*) AS ct FROM e GROUP BY 1),
+    tot AS (SELECT SUM(ct) AS n FROM ot),
+    cells AS (
+        -- FULL week x type grid: a type with ZERO events in a week
+        -- must still contribute |0 - p_all| (the vanished-logger case
+        -- is the largest deviation, not a missing term)
+        SELECT g.wk,
+               abs((1000000 * COALESCE(wt.c, 0)) // g.nw
+                   - (1000000 * g.ct) // tot.n) AS dev
+        FROM (SELECT wn.wk, wn.nw, ot.event_type, ot.ct
+              FROM wn CROSS JOIN ot) g
+        LEFT JOIN wt ON wt.wk = g.wk AND wt.event_type = g.event_type
+        CROSS JOIN tot
+    )
+    SELECT CAST(c.wk AS INTEGER) AS week,
+           CAST(MIN(wn.nw) AS BIGINT) AS n_events,
+           CAST(SUM(c.dev) // 2000 AS BIGINT) AS tvd_permille
+    FROM cells c JOIN wn ON wn.wk = c.wk
+    GROUP BY c.wk
+    ORDER BY week
+    """,
+)
+def events_type_mix_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly event-type MIX drift: total-variation distance (permille)
+    between each week's event-type distribution and the whole-corpus
+    mix — the instrumentation-health monitor that catches a logger
+    change ('clicks stopped firing in week 9') as a composition shift
+    even when total volume looks normal.  Complements
+    events_distribution_drift (VALUE drift between time halves) on
+    the categorical axis with a per-week trail.
+
+    Integer contract: shares in micro-units by truncating division;
+    TVD = Σ|dev| // 2000 (the ½ and the permille fold into one
+    divisor).  Slight truncation bias is identical on both engines.
+
+    Scale shape: one combinable groupBy(week, type) bounds everything
+    at ≤|weeks|·|types| rows; the deviation runs over the FULL
+    week×type grid (|weeks| totals × |types| mix — both bounded
+    aggregates, crossJoin BNLJ-allowlisted) left-joined with observed
+    counts, so zero cells keep their |0 − p_all| term; the 1-row
+    grand total broadcasts.  No window."""
+    e = load_testdata(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("div(datediff(cast(ts as date), date'2024-01-01'), 7)").alias("wk"),
+    )
+    wt = e.groupBy("wk", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    wn = wt.groupBy("wk").agg(F.sum("c").alias("nw"))
+    ot = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("ct"))
+    tot = ot.agg(F.sum("ct").alias("n"))
+    grid = wn.crossJoin(F.broadcast(ot))
+    cells = (
+        grid.join(wt, ["wk", "event_type"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "wk",
+            F.abs(
+                F.expr("div(1000000 * coalesce(c, 0L), nw)")
+                - F.expr("div(1000000 * ct, n)")
+            ).alias("dev"),
+        )
+    )
+    return (
+        cells.groupBy("wk")
+        .agg(F.sum("dev").alias("sdev"))
+        .join(wn, "wk")
+        .select(
+            F.col("wk").cast("int").alias("week"),
+            F.col("nw").cast("bigint").alias("n_events"),
+            F.expr("cast(div(sdev, 2000) as bigint)").alias("tvd_permille"),
+        )
+        .orderBy("week")
+    )

@@ -3447,3 +3447,65 @@ def test_runs_test_differential(spark):
             if var > 0:
                 z = math.floor(1e6 * (float(runs) - (1.0 + two_nn / nf)) / math.sqrt(var))
                 assert r["z_micro"] == z
+
+
+def test_good_turing_differential(spark):
+    """vocab_good_turing_unseen_mass vs plain-Python token counting."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    cnt: Counter = Counter()
+    for (text,) in duckdb.sql(
+        f"SELECT text FROM '{sf}/documents.parquet'"
+    ).fetchall():
+        cnt.update(re.split(r"\s+", text))
+    n = sum(cnt.values())
+    v = len(cnt)
+    n1 = sum(1 for c in cnt.values() if c == 1)
+    n2 = sum(1 for c in cnt.values() if c == 2)
+    [r] = m.queries()["vocab_good_turing_unseen_mass"](spark, sf).collect()
+    assert (r["n_tokens"], r["vocab_size"]) == (n, v)
+    assert (r["n_hapax"], r["n_dis_legomena"]) == (n1, n2)
+    assert r["unseen_mass_permille"] == (1000 * n1) // n
+    assert r["hapax_vocab_permille"] == (1000 * n1) // v
+
+
+def test_type_mix_drift_differential(spark):
+    """events_type_mix_drift_weekly vs plain-Python weekly TVD."""
+    from collections import Counter
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7,
+                   event_type, COUNT(*)
+            FROM '{sf}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    wt: dict = {}
+    ot: Counter = Counter()
+    for wk, ty, c in rows:
+        wt.setdefault(int(wk), Counter())[ty] = int(c)
+        ot[ty] += int(c)
+    n = sum(ot.values())
+    got = {
+        r["week"]: r
+        for r in m.queries()["events_type_mix_drift_weekly"](spark, sf).collect()
+    }
+    assert set(got) == set(wt)
+    for wk, cc in wt.items():
+        nw = sum(cc.values())
+        sdev = sum(
+            abs((1000000 * cc.get(ty, 0)) // nw - (1000000 * ot[ty]) // n)
+            for ty in ot  # FULL type set: zero cells contribute |0 - p_all|
+        )
+        r = got[wk]
+        assert r["n_events"] == nw
+        assert r["tvd_permille"] == sdev // 2000

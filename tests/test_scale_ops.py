@@ -541,6 +541,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "dedup_removal_bias_audit",  # 1-row total + 1-row quartile-
                                      # cutoff broadcasts onto the
                                      # length grid / corpus rows
+        "events_type_mix_drift_weekly",  # 1-row grand-total broadcast
+                                         # onto the |weeks|·|types| grid
     }
     # Unpartitioned windows: every entry must name the BOUNDED relation
     # the global window runs over (always an aggregate output, never the
