@@ -168,6 +168,8 @@ def main() -> None:
         "text_hash_collision_audit",
         "events_wilson_ci_error_rate",
         "stats_runs_test_daily",
+        "vocab_good_turing_unseen_mass",
+        "events_type_mix_drift_weekly",
     }
     import hashlib
 

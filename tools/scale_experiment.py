@@ -250,6 +250,10 @@ QUERIES = [
     # projections (IEEE-only float ops) over the bounded aggregate.
     ("events_wilson_ci_error_rate", [1, 3, 10]),
     ("stats_runs_test_daily", [1, 3, 10]),
+    # Good-Turing: the tokenizer-build groupBy(token) + one global
+    # aggregate; type-mix drift: the |weeks|·|types| grid.
+    ("vocab_good_turing_unseen_mass", [1, 3, 10]),
+    ("events_type_mix_drift_weekly", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
