@@ -756,6 +756,15 @@ def test_iterative_graph_queries_reuse_persisted_edges(spark):
         # triangles persists shingled+signatures and the oriented edge
         # list, referenced by the wedge and closing joins
         "dedup_graph_triangles": (3, 3),
+        # kcore persists shingled+signatures, the symmetric edge list,
+        # and each peel round's restricted edges; rounds 2-3 and the
+        # final degree read the PRIOR round's cache (its 864-scan
+        # initial plan in PLAN_AUDIT is lineage printed inside the
+        # cached relations, same artifact as pagerank's 240)
+        "dedup_graph_kcore": (4, 4),
+        # linkage clusters persists the symmetric match-edge list,
+        # referenced by each of 3 min-label rounds
+        "customers_linkage_clusters": (3, 1),
     }
     for name, (min_refs, min_cached) in expected.items():
         df = m.queries()[name](spark, sf)
