@@ -16019,3 +16019,112 @@ def events_type_mix_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 18: dedup token-savings report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_token_savings_report",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL}, {_MINHASH_BANDS_SQL},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS c
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE (1000 * c) // (sa.sz + sb.sz - c) >= 300
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+        SELECT c.doc_id,
+               least(c.doc_id, coalesce(MIN(r.v), c.doc_id)) AS component
+        FROM corpus c LEFT JOIN reach r ON r.u = c.doc_id
+        GROUP BY c.doc_id
+    ),
+    toks AS (
+        SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tok
+        FROM corpus
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT l.component) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN l.doc_id <> l.component THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed_docs,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN l.doc_id <> l.component THEN t.n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_removed,
+           CAST((1000 * SUM(CASE WHEN l.doc_id <> l.component
+                                 THEN t.n_tok ELSE 0 END)) // SUM(t.n_tok)
+                AS BIGINT) AS tokens_removed_permille
+    FROM labels l JOIN toks t ON t.doc_id = l.doc_id
+    """,
+)
+def dedup_token_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE headline number of a dedup run: how many TRAINING TOKENS
+    does keeping one representative per verified near-dup cluster
+    save?  Composes the production clustering path (banded MinHash
+    candidates → exact-Jaccard verification ≥ 0.3 → connected
+    components, all identical to ``dedup_clusters_minhash``) with the
+    min-id representative policy (the CC label IS the cluster's min
+    doc_id) and a token-mass rollup — one row: docs, clusters,
+    removed docs, token totals, and the permille of corpus tokens a
+    trainer stops paying for.  This is the cost-benefit line a data
+    lead reads before approving the dedup config (compare against
+    ``dedup_removal_bias_audit`` for WHAT is removed).
+
+    Scale shape: adds exactly ONE combinable token-count projection
+    and one key equi-join + global aggregate on top of the proven CC
+    chain (per-round localCheckpoint, O(|E|) iterations); the report
+    is a single row.  Oracle: the recursive-CTE CC twin shared with
+    the cluster queries."""
+    from .operators.graph import connected_components
+
+    corpus = _dedup_corpus(spark, sf_dir).transform(tracked_persist)
+    pairs = D.minhash_verified_pairs(
+        corpus, "doc_id", "text", n_hashes=8, band_size=4, min_permille=300
+    )
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    labels = connected_components(
+        nodes, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    toks = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split(F.col("text"), X.TOKEN_RE)).alias("n_tok"),
+    )
+    j = labels.join(toks, "id")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("component").cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("id") != F.col("component"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(F.col("id") != F.col("component"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_removed"),
+        F.expr(
+            "cast(div(1000 * sum(case when id <> component then n_tok else 0 end),"
+            " sum(n_tok)) as bigint)"
+        ).alias("tokens_removed_permille"),
+    )

@@ -3509,3 +3509,50 @@ def test_type_mix_drift_differential(spark):
         r = got[wk]
         assert r["n_events"] == nw
         assert r["tvd_permille"] == sdev // 2000
+
+
+def test_token_savings_differential(spark):
+    """dedup_token_savings_report vs a Python union-find with min-id
+    representatives over the SAME verified pair set, plus the planted
+    expectation that dedup saves a nonzero token mass."""
+    import re
+
+    import __spark_entry__ as m
+    from sales_azure_data_engineer_project_spark.operators import dedup as D
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _dedup_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = {r["doc_id"]: r["text"] for r in _dedup_corpus(spark, sf).collect()}
+    pairs = D.minhash_verified_pairs(
+        _dedup_corpus(spark, sf), "doc_id", "text",
+        n_hashes=8, band_size=4, min_permille=300,
+    ).select("id_a", "id_b").collect()
+    parent = {d: d for d in corpus}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["id_a"]), find(r["id_b"])
+        if a != b:
+            # union by min id so the root IS the representative
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    comp = {d: find(d) for d in corpus}
+    toks = {d: len(re.split(r"\s+", t)) for d, t in corpus.items()}
+    removed = [d for d in corpus if comp[d] != d]
+    [r] = m.queries()["dedup_token_savings_report"](spark, sf).collect()
+    assert r["n_docs"] == len(corpus)
+    assert r["n_clusters"] == len(set(comp.values()))
+    assert r["n_removed_docs"] == len(removed)
+    assert r["tokens_total"] == sum(toks.values())
+    assert r["tokens_removed"] == sum(toks[d] for d in removed)
+    assert r["tokens_removed_permille"] == (
+        1000 * sum(toks[d] for d in removed)
+    ) // sum(toks.values())
+    assert r["tokens_removed"] > 0, "planted copies must yield savings"
