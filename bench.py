@@ -170,6 +170,7 @@ def main() -> None:
         "stats_runs_test_daily",
         "vocab_good_turing_unseen_mass",
         "events_type_mix_drift_weekly",
+        "dedup_token_savings_report",
     }
     import hashlib
 

@@ -254,6 +254,9 @@ QUERIES = [
     # aggregate; type-mix drift: the |weeks|·|types| grid.
     ("vocab_good_turing_unseen_mass", [1, 3, 10]),
     ("events_type_mix_drift_weekly", [1, 3, 10]),
+    # token savings: the proven verified-pair + CC chain plus one
+    # token-count projection and a single-row aggregate.
+    ("dedup_token_savings_report", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
