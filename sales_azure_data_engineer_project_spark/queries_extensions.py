@@ -16128,3 +16128,169 @@ def dedup_token_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " sum(n_tok)) as bigint)"
         ).alias("tokens_removed_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 19: conversion latency, new-vs-returning split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_to_convert_quantiles",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(epoch_ms(ts)) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_ms(e.ts)) AS first_purchase
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= v.first_view
+        GROUP BY e.user_id
+    ),
+    g AS (
+        SELECT (p.first_purchase - v.first_view) // 60000 AS gap_min
+        FROM v JOIN p ON p.user_id = v.user_id
+    ),
+    gg AS (SELECT gap_min, COUNT(*) AS c FROM g GROUP BY gap_min),
+    cum AS (
+        SELECT gap_min,
+               SUM(c) OVER (ORDER BY gap_min
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cc
+        FROM gg
+    ),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gg)
+    SELECT CAST(t.n AS BIGINT) AS n_converters,
+           CAST(MIN(CASE WHEN cc >= (50 * t.n + 99) // 100 THEN gap_min END)
+                AS BIGINT) AS p50_min,
+           CAST(MIN(CASE WHEN cc >= (90 * t.n + 99) // 100 THEN gap_min END)
+                AS BIGINT) AS p90_min,
+           CAST(MIN(CASE WHEN cc >= (99 * t.n + 99) // 100 THEN gap_min END)
+                AS BIGINT) AS p99_min
+    FROM cum CROSS JOIN t
+    GROUP BY t.n
+    """,
+)
+def events_time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of VIEW→PURCHASE latency (minutes from a
+    user's first view to their first purchase at-or-after it) — the
+    conversion-velocity metric product teams pair with the funnel's
+    conversion RATE (events_funnel says how many convert; this says
+    how long the ones who do take, with the p99 tail exposing the
+    slow-consideration cohort).
+
+    Scale shape: two combinable groupBy(user) MIN-aggregates (the
+    purchase side pre-filtered by a key equi-join against first
+    views); the latency distribution collapses to the minute-domain
+    grid and quantile selection runs through the shared ECDF
+    threshold contract (cumsum over the bounded gap grid —
+    global-window-allowlisted; 1-row total broadcast —
+    BNLJ-allowlisted; same shape as events_interarrival_quantiles)."""
+    from .operators.prefixsum import bucketed_cumsum
+
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_millis(ts)").alias("ems")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ems").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ems") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ems").alias("first_purchase"))
+    )
+    g = v.join(p, "user_id").select(
+        F.expr("div(first_purchase - first_view, 60000)").alias("gap_min")
+    )
+    gg = g.groupBy("gap_min").agg(F.count(F.lit(1)).alias("c"))
+    cum = bucketed_cumsum(gg, [], "gap_min", ["c"], bucket_width=1440)
+    t = gg.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .groupBy("n")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum_c") >= F.expr(f"div({pp} * n + 99, 100)"),
+                        F.col("gap_min"),
+                    )
+                )
+                .cast("bigint")
+                .alias(f"p{pp}_min")
+                for pp in (50, 90, 99)
+            ]
+        )
+        .select(F.col("n").alias("n_converters"), "p50_min", "p90_min", "p99_min")
+    )
+
+
+@register(
+    "events_new_vs_returning_daily",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x
+        FROM events
+    ),
+    first_day AS (SELECT user_id, MIN(x) AS fd FROM ud GROUP BY user_id)
+    SELECT CAST(ud.x AS INTEGER) AS day_idx,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN f.fd = ud.x THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+           CAST(SUM(CASE WHEN f.fd < ud.x THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users,
+           CAST((1000 * SUM(CASE WHEN f.fd = ud.x THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS new_share_permille
+    FROM ud JOIN first_day f ON f.user_id = ud.user_id
+    GROUP BY ud.x ORDER BY day_idx
+    """,
+)
+def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever active day) vs
+    RETURNING — the growth-accounting decomposition behind every DAU
+    chart: flat DAU with a rising new-share means churn is eating
+    acquisition; the cohort-retention matrix
+    (events_cohort_retention) explains WHERE the returners come from,
+    this gives the daily topline split.
+
+    Scale shape: one groupBy(user, day) dedup, one combinable
+    groupBy(user) MIN for first-day, one key equi-join back, one
+    groupBy(day) — all natural-key shuffles, no window, no BNLJ."""
+    ud = (
+        load_testdata(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("datediff(cast(ts as date), date'2024-01-01')").alias("x"),
+        )
+        .distinct()
+    )
+    first_day = ud.groupBy("user_id").agg(F.min("x").alias("fd"))
+    return (
+        ud.join(first_day, "user_id")
+        .groupBy("x")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.sum(F.when(F.col("fd") == F.col("x"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("fd") < F.col("x"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .select(
+            F.col("x").cast("int").alias("day_idx"),
+            "active_users",
+            "new_users",
+            "returning_users",
+            F.expr("cast(div(1000 * new_users, active_users) as bigint)").alias(
+                "new_share_permille"
+            ),
+        )
+        .orderBy("day_idx")
+    )

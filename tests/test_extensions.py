@@ -3556,3 +3556,63 @@ def test_token_savings_differential(spark):
         1000 * sum(toks[d] for d in removed)
     ) // sum(toks.values())
     assert r["tokens_removed"] > 0, "planted copies must yield savings"
+
+
+def test_time_to_convert_differential(spark):
+    """events_time_to_convert_quantiles vs plain-Python first-view /
+    first-purchase-after walk + percentile_disc."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, epoch_ms(ts) FROM '{sf}/events.parquet'"
+    ).fetchall()
+    fv: dict = {}
+    for u, ty, ems in rows:
+        if ty == "view":
+            fv[u] = min(fv.get(u, ems), ems)
+    fp: dict = {}
+    for u, ty, ems in rows:
+        if ty == "purchase" and u in fv and ems >= fv[u]:
+            fp[u] = min(fp.get(u, ems), ems)
+    gaps = sorted((fp[u] - fv[u]) // 60000 for u in fp)
+    n = len(gaps)
+    [r] = m.queries()["events_time_to_convert_quantiles"](spark, sf).collect()
+    assert r["n_converters"] == n
+    for p in (50, 90, 99):
+        assert r[f"p{p}_min"] == gaps[(p * n + 99) // 100 - 1]
+
+
+def test_new_vs_returning_differential(spark):
+    """events_new_vs_returning_daily vs plain-Python first-day sets,
+    including the identity new + returning = active."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT DISTINCT user_id,
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            FROM '{sf}/events.parquet'"""
+    ).fetchall()
+    per_day: dict = {}
+    first: dict = {}
+    for u, x in rows:
+        per_day.setdefault(int(x), set()).add(u)
+        first[u] = min(first.get(u, int(x)), int(x))
+    got = {
+        r["day_idx"]: r
+        for r in m.queries()["events_new_vs_returning_daily"](spark, sf).collect()
+    }
+    assert set(got) == set(per_day)
+    for d, users in per_day.items():
+        new = sum(1 for u in users if first[u] == d)
+        r = got[d]
+        assert r["active_users"] == len(users)
+        assert r["new_users"] == new
+        assert r["returning_users"] == len(users) - new
+        assert r["new_users"] + r["returning_users"] == r["active_users"]
+        assert r["new_share_permille"] == (1000 * new) // len(users)

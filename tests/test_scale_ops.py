@@ -543,6 +543,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                      # length grid / corpus rows
         "events_type_mix_drift_weekly",  # 1-row grand-total broadcast
                                          # onto the |weeks|·|types| grid
+        "events_time_to_convert_quantiles",  # 1-row converter-total
+                                             # broadcast onto the gap
+                                             # ECDF (as interarrival)
     }
     # Unpartitioned windows: every entry must name the BOUNDED relation
     # the global window runs over (always an aggregate output, never the
@@ -581,6 +584,9 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
         "dedup_removal_bias_audit",  # bucketed_cumsum level 2: cumsum
                                      # over length-domain bucket
                                      # TOTALS (aggregate)
+        "events_time_to_convert_quantiles",  # bucketed_cumsum level 2:
+                                             # cumsum over ≤ span/day
+                                             # bucket TOTALS (aggregate)
     }
     offenders = {}
     for name, fn in m.queries().items():
