@@ -171,6 +171,8 @@ def main() -> None:
         "vocab_good_turing_unseen_mass",
         "events_type_mix_drift_weekly",
         "dedup_token_savings_report",
+        "events_time_to_convert_quantiles",
+        "events_new_vs_returning_daily",
     }
     import hashlib
 

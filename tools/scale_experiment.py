@@ -257,6 +257,11 @@ QUERIES = [
     # token savings: the proven verified-pair + CC chain plus one
     # token-count projection and a single-row aggregate.
     ("dedup_token_savings_report", [1, 3, 10]),
+    # conversion latency: two per-user MIN groupBys + the gap-grid
+    # ECDF; new-vs-returning: user-day dedup + first-day MIN + one
+    # key join — all natural-key shuffles.
+    ("events_time_to_convert_quantiles", [1, 3, 10]),
+    ("events_new_vs_returning_daily", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
