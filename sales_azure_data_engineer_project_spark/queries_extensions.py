@@ -16294,3 +16294,127 @@ def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 20: hour-of-week heatmap, trailing-7d revenue MA
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hour_weekday_heatmap",
+    """
+    WITH e AS (
+        SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS wd,
+               (epoch_ms(ts) // 3600000) % 24 AS hod
+        FROM events
+    ),
+    cells AS (SELECT wd, hod, COUNT(*) AS n FROM e GROUP BY 1, 2),
+    wt AS (SELECT wd, SUM(n) AS nw FROM cells GROUP BY 1)
+    SELECT CAST(c.wd AS INTEGER) AS weekday,
+           CAST(c.hod AS INTEGER) AS hour_utc,
+           CAST(c.n AS BIGINT) AS n_events,
+           CAST((1000 * c.n) // w.nw AS BIGINT) AS weekday_share_permille
+    FROM cells c JOIN wt w ON w.wd = c.wd
+    ORDER BY weekday, hour_utc
+    """,
+)
+def events_hour_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7×24 activity heatmap: event volume per (weekday,
+    UTC-hour) cell with each cell's permille share of its weekday —
+    the seasonality fingerprint behind capacity planning (when do we
+    scale up?) and anomaly-detector scheduling (the weekday
+    deseasonalizer assumes a stable weekly shape; this is the table
+    that VERIFIES the assumption).  Day 0 (2024-01-01) is a Monday;
+    hour-of-day is derived from epoch milliseconds (pure integer
+    arithmetic, timezone-free — the same TZ-proof contract the
+    hourly rollup uses via epoch, surviving the driver's
+    Asia/Kolkata session).
+
+    Scale shape: ONE map-side-combinable groupBy to ≤168 cells plus a
+    7-row weekday-total groupBy and their equi-join.  Nothing else."""
+    e = load_testdata(spark, sf_dir, "events").select(
+        F.expr("datediff(cast(ts as date), date'2024-01-01') % 7").alias("wd"),
+        F.expr("(div(unix_millis(ts), 3600000)) % 24").alias("hod"),
+    )
+    cells = e.groupBy("wd", "hod").agg(F.count(F.lit(1)).alias("n"))
+    wt = cells.groupBy("wd").agg(F.sum("n").alias("nw"))
+    return (
+        cells.join(wt, "wd")
+        .select(
+            F.col("wd").cast("int").alias("weekday"),
+            F.col("hod").cast("int").alias("hour_utc"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.expr("cast(div(1000 * n, nw) as bigint)").alias(
+                "weekday_share_permille"
+            ),
+        )
+        .orderBy("weekday", "hour_utc")
+    )
+
+
+@register(
+    "orders_daily_revenue_7d_ma",
+    """
+    WITH daily AS (
+        SELECT datediff('day', DATE '1992-01-01', o_orderdate) AS x,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    contrib AS (
+        SELECT d AS x, rev_c
+        FROM daily CROSS JOIN unnest(generate_series(daily.x, daily.x + 6)) t(d)
+    ),
+    ma AS (
+        SELECT x, SUM(rev_c) AS s, COUNT(*) AS k
+        FROM contrib GROUP BY x
+    )
+    SELECT CAST(d.x AS INTEGER) AS day_idx,
+           CAST(d.rev_c AS BIGINT) AS revenue_cents,
+           CAST(m.s // m.k AS BIGINT) AS ma7_cents,
+           CAST(m.k AS INTEGER) AS window_days
+    FROM daily d JOIN ma m ON m.x = d.x
+    ORDER BY day_idx
+    """,
+)
+def orders_daily_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue with its trailing-7-day moving average — the
+    smoothed topline read alongside the raw series (the MA crossing
+    under the daily line flags a slowdown earlier than eyeballing
+    noise).  Partial windows at the series head average over the
+    days actually present (window_days reports the divisor).
+
+    Scale shape: the SCALABLE moving-average spelling — each daily
+    aggregate row EMITS its 7 trailing membership days (constant ×7
+    map-side sequence-explode of the ALREADY-collapsed daily
+    relation, the events_dau_wau_stickiness trick), then one
+    combinable groupBy(day) — instead of an unpartitioned range
+    window over the series (the single-task shape the fleet bans).
+    At 100 TB the daily relation is |days| rows either way; the same
+    spelling keeps working when the grain drops to minutes."""
+    daily = (
+        load_testdata(spark, sf_dir, "orders")
+        .select(
+            F.expr("datediff(o_orderdate, date'1992-01-01')").alias("x"),
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("rc"),
+        )
+        .groupBy("x")
+        .agg(F.sum("rc").alias("rev_c"))
+    )
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("x"), F.col("x") + 6)).alias("x"),
+        "rev_c",
+    )
+    ma = contrib.groupBy("x").agg(
+        F.sum("rev_c").alias("s"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        daily.join(ma, "x")
+        .select(
+            F.col("x").cast("int").alias("day_idx"),
+            F.col("rev_c").cast("bigint").alias("revenue_cents"),
+            F.expr("cast(div(s, k) as bigint)").alias("ma7_cents"),
+            F.col("k").cast("int").alias("window_days"),
+        )
+        .orderBy("day_idx")
+    )

@@ -3616,3 +3616,58 @@ def test_new_vs_returning_differential(spark):
         assert r["returning_users"] == len(users) - new
         assert r["new_users"] + r["returning_users"] == r["active_users"]
         assert r["new_share_permille"] == (1000 * new) // len(users)
+
+
+def test_hour_weekday_heatmap_differential(spark):
+    """events_hour_weekday_heatmap vs plain-Python epoch bucketing."""
+    from collections import Counter
+
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7,
+                   (epoch_ms(ts) // 3600000) % 24
+            FROM '{sf}/events.parquet'"""
+    ).fetchall()
+    cells = Counter((int(w), int(h)) for w, h in rows)
+    wt = Counter()
+    for (w, _), n in cells.items():
+        wt[w] += n
+    got = {
+        (r["weekday"], r["hour_utc"]): r
+        for r in m.queries()["events_hour_weekday_heatmap"](spark, sf).collect()
+    }
+    assert set(got) == set(cells)
+    for (w, h), r in got.items():
+        assert r["n_events"] == cells[(w, h)]
+        assert r["weekday_share_permille"] == (1000 * cells[(w, h)]) // wt[w]
+
+
+def test_revenue_ma7_differential(spark):
+    """orders_daily_revenue_7d_ma vs plain-Python trailing average
+    over present days, including partial head windows."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT datediff('day', DATE '1992-01-01', o_orderdate),
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            FROM '{sf}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+    daily = {int(x): int(r) for x, r in rows}
+    got = {
+        r["day_idx"]: r
+        for r in m.queries()["orders_daily_revenue_7d_ma"](spark, sf).collect()
+    }
+    assert set(got) == set(daily)
+    for x, rev in daily.items():
+        window = [daily[d] for d in range(x - 6, x + 1) if d in daily]
+        r = got[x]
+        assert r["revenue_cents"] == rev
+        assert r["window_days"] == len(window)
+        assert r["ma7_cents"] == sum(window) // len(window)
