@@ -173,6 +173,8 @@ def main() -> None:
         "dedup_token_savings_report",
         "events_time_to_convert_quantiles",
         "events_new_vs_returning_daily",
+        "events_hour_weekday_heatmap",
+        "orders_daily_revenue_7d_ma",
     }
     import hashlib
 

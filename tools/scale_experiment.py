@@ -262,6 +262,10 @@ QUERIES = [
     # key join — all natural-key shuffles.
     ("events_time_to_convert_quantiles", [1, 3, 10]),
     ("events_new_vs_returning_daily", [1, 3, 10]),
+    # heatmap: one groupBy to ≤168 cells; MA7: daily aggregate + the
+    # constant ×7 sequence-explode of the collapsed daily relation.
+    ("events_hour_weekday_heatmap", [1, 3, 10]),
+    ("orders_daily_revenue_7d_ma", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
