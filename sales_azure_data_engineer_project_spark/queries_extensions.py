@@ -16418,3 +16418,119 @@ def orders_daily_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 21: soft-dedup duplicate down-weighting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_soft_dedup_weights",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL}, {_MINHASH_BANDS_SQL},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS c
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE (1000 * c) // (sa.sz + sb.sz - c) >= 300
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+        SELECT c.doc_id,
+               least(c.doc_id, coalesce(MIN(r.v), c.doc_id)) AS component
+        FROM corpus c LEFT JOIN reach r ON r.u = c.doc_id
+        GROUP BY c.doc_id
+    ),
+    csz AS (SELECT component, COUNT(*) AS s FROM labels GROUP BY component),
+    toks AS (
+        SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tok
+        FROM corpus
+    ),
+    weighted AS (
+        SELECT cs.s, t.n_tok, (1000 * t.n_tok) // cs.s AS wtok
+        FROM labels l
+        JOIN csz cs ON cs.component = l.component
+        JOIN toks t ON t.doc_id = l.doc_id
+    )
+    SELECT CAST(s AS BIGINT) AS cluster_size,
+           CAST(1000 // s AS BIGINT) AS weight_permille,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_raw,
+           CAST(SUM(wtok) AS BIGINT) AS tokens_effective_milli
+    FROM weighted GROUP BY s ORDER BY cluster_size
+    """,
+)
+def sample_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of deleting near-duplicates, down-weight
+    every member of a duplicate cluster by 1/cluster-size (the
+    SoftDedup idea — duplicated content keeps exactly ONE document's
+    worth of total sampling mass, so the mixture never over-trains on
+    boilerplate but rare paraphrase clusters aren't destroyed
+    either).  Output: per cluster size, the member weight (permille),
+    doc count, raw token mass, and the effective (weighted) token
+    mass in milli-tokens — the third leg of the dedup decision
+    triangle with HARD removal (`dedup_token_savings_report`: what
+    deleting saves) and the bias audit (`dedup_removal_bias_audit`:
+    what deleting skews).
+
+    Scale shape: the proven verified-LSH + CC chain plus one
+    combinable cluster-size groupBy, two key equi-joins, and a
+    ≤|distinct sizes|-row rollup.  Weights are pure integers
+    (1000·n_tok // size) — no float sampling state."""
+    from .operators.graph import connected_components
+
+    corpus = _dedup_corpus(spark, sf_dir).transform(tracked_persist)
+    pairs = D.minhash_verified_pairs(
+        corpus, "doc_id", "text", n_hashes=8, band_size=4, min_permille=300
+    )
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    labels = connected_components(
+        nodes, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    csz = labels.groupBy("component").agg(F.count(F.lit(1)).alias("s"))
+    toks = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split(F.col("text"), X.TOKEN_RE)).alias("n_tok"),
+    )
+    weighted = (
+        labels.join(csz, "component")
+        .join(toks, "id")
+        .select("s", "n_tok", F.expr("div(1000 * n_tok, s)").alias("wtok"))
+    )
+    return (
+        weighted.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_raw"),
+            F.sum("wtok").cast("bigint").alias("tokens_effective_milli"),
+        )
+        .select(
+            F.col("s").cast("bigint").alias("cluster_size"),
+            F.expr("cast(div(1000, s) as bigint)").alias("weight_permille"),
+            "n_docs",
+            "tokens_raw",
+            "tokens_effective_milli",
+        )
+        .orderBy("cluster_size")
+    )

@@ -3671,3 +3671,62 @@ def test_revenue_ma7_differential(spark):
         assert r["revenue_cents"] == rev
         assert r["window_days"] == len(window)
         assert r["ma7_cents"] == sum(window) // len(window)
+
+
+def test_soft_dedup_weights_differential(spark):
+    """sample_soft_dedup_weights vs the same union-find in Python:
+    per-size weights, doc counts, raw and effective token mass — plus
+    the conservation law Σ effective ≤ 1000·Σ raw with equality iff
+    every cluster is a singleton."""
+    import re
+    from collections import Counter
+
+    import __spark_entry__ as m
+    from sales_azure_data_engineer_project_spark.operators import dedup as D
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _dedup_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = {r["doc_id"]: r["text"] for r in _dedup_corpus(spark, sf).collect()}
+    pairs = D.minhash_verified_pairs(
+        _dedup_corpus(spark, sf), "doc_id", "text",
+        n_hashes=8, band_size=4, min_permille=300,
+    ).select("id_a", "id_b").collect()
+    parent = {d: d for d in corpus}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["id_a"]), find(r["id_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    comp = {d: find(d) for d in corpus}
+    sizes = Counter(comp.values())
+    toks = {d: len(re.split(r"\s+", t)) for d, t in corpus.items()}
+    agg: dict = {}
+    for d in corpus:
+        s = sizes[comp[d]]
+        row = agg.setdefault(s, [0, 0, 0])
+        row[0] += 1
+        row[1] += toks[d]
+        row[2] += (1000 * toks[d]) // s
+    got = {
+        r["cluster_size"]: r
+        for r in m.queries()["sample_soft_dedup_weights"](spark, sf).collect()
+    }
+    assert set(got) == set(agg)
+    for s, (nd, tr, te) in agg.items():
+        r = got[s]
+        assert r["weight_permille"] == 1000 // s
+        assert (r["n_docs"], r["tokens_raw"], r["tokens_effective_milli"]) == (
+            nd, tr, te,
+        )
+    total_eff = sum(r["tokens_effective_milli"] for r in got.values())
+    total_raw = sum(r["tokens_raw"] for r in got.values())
+    assert total_eff <= 1000 * total_raw
+    assert any(s > 1 for s in got), "planted clusters must exist"
