@@ -175,6 +175,7 @@ def main() -> None:
         "events_new_vs_returning_daily",
         "events_hour_weekday_heatmap",
         "orders_daily_revenue_7d_ma",
+        "sample_soft_dedup_weights",
     }
     import hashlib
 

@@ -266,6 +266,8 @@ QUERIES = [
     # constant ×7 sequence-explode of the collapsed daily relation.
     ("events_hour_weekday_heatmap", [1, 3, 10]),
     ("orders_daily_revenue_7d_ma", [1, 3, 10]),
+    # soft dedup: verified-pair + CC chain + cluster-size rollup.
+    ("sample_soft_dedup_weights", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
