@@ -16534,3 +16534,99 @@ def sample_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 22: LSH candidate precision report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_lsh_precision_report",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    hashed AS (
+        SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN seeds
+    ),
+    sig AS (
+        SELECT doc_id,
+               {', '.join(f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(8))}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_sig FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(concat_ws('|', h4, h5, h6, h7)) FROM sig
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_bands
+        FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+            AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    scored AS (
+        SELECT c.shared_bands,
+               CASE WHEN (1000 * cm.c) // (sa.sz + sb.sz - cm.c) >= 300
+                    THEN 1 ELSE 0 END AS verified
+        FROM cand c
+        JOIN (SELECT ca.id_a, ca.id_b, COUNT(*) AS c
+              FROM cand ca
+              JOIN sh a ON a.doc_id = ca.id_a
+              JOIN sh b ON b.doc_id = ca.id_b AND b.sh = a.sh
+              GROUP BY 1, 2) cm
+          ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+    )
+    SELECT CAST(shared_bands AS INTEGER) AS shared_bands,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(verified) AS BIGINT) AS n_verified,
+           CAST((1000 * SUM(verified)) // COUNT(*) AS BIGINT)
+               AS precision_permille
+    FROM scored GROUP BY shared_bands ORDER BY shared_bands
+    """,
+)
+def dedup_lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate PRECISION, stratified by shared-band count: of
+    the pairs the banded join emits, what fraction survives exact
+    Jaccard ≥ 0.3 verification?  The operational companion to the
+    recall gates (`dedup_lsh_recall_sampled` answers "what do we
+    MISS"; this answers "what do we WASTE verifying") — together they
+    locate the corpus on the banding S-curve, and the per-band split
+    shows the expected monotonicity (2-band agreers verify at a far
+    higher rate than 1-band accidents), the number that justifies
+    tightening r when verification cost dominates.
+
+    Scale shape: the standard banded candidate join (never
+    all-pairs), verification re-reads only candidate pairs' persisted
+    shingle arrays (|pairs| ≪ N — the dedup_clusters_minhash
+    contract), and the report is one ≤2-row groupBy.  No BNLJ, no
+    window."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
+    cand = D.lsh_candidate_pairs(bands, "doc_id")
+    verified = D.minhash_verified_pairs(
+        corpus, "doc_id", "text", n_hashes=8, band_size=4, min_permille=300
+    ).select("id_a", "id_b", F.lit(1).alias("v"))
+    scored = cand.join(verified, ["id_a", "id_b"], "left").select(
+        "shared_bands", F.coalesce(F.col("v"), F.lit(0)).alias("verified")
+    )
+    return (
+        scored.groupBy("shared_bands")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("verified").cast("bigint").alias("n_verified"),
+        )
+        .select(
+            F.col("shared_bands").cast("int"),
+            "n_candidates",
+            "n_verified",
+            F.expr("cast(div(1000 * n_verified, n_candidates) as bigint)").alias(
+                "precision_permille"
+            ),
+        )
+        .orderBy("shared_bands")
+    )

@@ -3730,3 +3730,53 @@ def test_soft_dedup_weights_differential(spark):
     total_raw = sum(r["tokens_raw"] for r in got.values())
     assert total_eff <= 1000 * total_raw
     assert any(s > 1 for s in got), "planted clusters must exist"
+
+
+def test_lsh_precision_differential(spark):
+    """dedup_lsh_precision_report vs Python verification of the same
+    candidate set, plus the S-curve monotonicity: 2-band agreers
+    verify at a rate ≥ 1-band candidates."""
+    import re
+
+    import __spark_entry__ as m
+    from sales_azure_data_engineer_project_spark.operators import dedup as D
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _dedup_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = {r["doc_id"]: r["text"] for r in _dedup_corpus(spark, sf).collect()}
+
+    def shingles(text):
+        toks = re.split(r"\s+", text)
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        } or {text}  # fall back like the operator for short docs
+
+    sh = {d: shingles(t) for d, t in corpus.items()}
+    bands = D.minhash_bands(
+        _dedup_corpus(spark, sf), "doc_id", "text", n_hashes=8, band_size=4
+    )
+    cand = [
+        (r["id_a"], r["id_b"], r["shared_bands"])
+        for r in D.lsh_candidate_pairs(bands, "doc_id").collect()
+    ]
+    per = {}
+    for a, b, sb_ in cand:
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a]) + len(sh[b]) - inter
+        ok = (1000 * inter) // union >= 300
+        row = per.setdefault(sb_, [0, 0])
+        row[0] += 1
+        row[1] += 1 if ok else 0
+    got = {
+        r["shared_bands"]: r
+        for r in m.queries()["dedup_lsh_precision_report"](spark, sf).collect()
+    }
+    assert set(got) == set(per)
+    for sb_, (nc, nv) in per.items():
+        r = got[sb_]
+        assert (r["n_candidates"], r["n_verified"]) == (nc, nv)
+        assert r["precision_permille"] == (1000 * nv) // nc
+    if 1 in got and 2 in got:
+        assert got[2]["precision_permille"] >= got[1]["precision_permille"]
