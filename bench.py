@@ -176,6 +176,7 @@ def main() -> None:
         "events_hour_weekday_heatmap",
         "orders_daily_revenue_7d_ma",
         "sample_soft_dedup_weights",
+        "dedup_lsh_precision_report",
     }
     import hashlib
 

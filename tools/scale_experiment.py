@@ -268,6 +268,8 @@ QUERIES = [
     ("orders_daily_revenue_7d_ma", [1, 3, 10]),
     # soft dedup: verified-pair + CC chain + cluster-size rollup.
     ("sample_soft_dedup_weights", [1, 3, 10]),
+    # precision report: banded candidates + pair-only verification.
+    ("dedup_lsh_precision_report", [1, 3, 10]),
 ]
 WORK = "/tmp/spark_scale_exp"
 
