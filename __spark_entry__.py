@@ -25,137 +25,80 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # implementation changed after their latest rows, front-loads every
 # round-6 addition, and spends the rest on oldest-row family canaries.
 _PRIORITY = [
-    # ---- ROUND-6 WINDOW ----------------------------------------------
-    # Slots 1-21: the 21 session-5 post-closure additions that have
-    # NEVER had a driver CORRECTNESS row (VERDICT r5 "Next" #1 — all 21
-    # were independently re-run green by the r5 judge; this rotation
-    # closes the ledger so every registered query carries a driver
-    # row).  events_decayed_engagement additionally CHANGED this round
-    # (v_milli clamped non-negative per ADVICE r5, making truncate-vs-
-    # floor division parity explicit), so its row is also a post-change
-    # canary.
-    "approx_set_ops_kmv",
-    "stats_ks_two_sample",
-    "sample_priority_topk",
-    "approx_distinct_hll_merged",
-    "stats_chi2_independence",
-    "events_decayed_engagement",
-    "events_mannwhitney_auc",
-    "text_source_token_tvd",
-    "vocab_coverage_curve",
-    "events_cusum_changepoint",
-    "orders_benford_deviation",
-    "text_token_burstiness",
-    "quality_rater_agreement_kappa",
-    "cube_revenue_by_flag_status",
-    "similarity_mutual_knn_pairs",
-    "customer_concentration_profile",
-    "similarity_maxsim_late_interaction",
-    "pipeline_dataset_card",
-    "stats_join_size_estimate",
-    "customers_rfm_segments",
-    "pipeline_token_budget_apportion",
-    # Slots 22-23: changed-implementation canaries (VERDICT r5 "Next"
-    # #2) — both were edited in round 5 (corpus-scaled quantizer k)
-    # AFTER their latest driver rows (r4/r2); these slots give the
-    # post-change code fresh driver rows.
-    "dedup_semantic_semdedup",
-    "similarity_ann_ivf",
-    # Slots 24-50: one-per-family staleness canaries, oldest latest-row
-    # first (r1 rows have gone four rounds unre-checked), so regressions
-    # in multiply-proven code still surface.  Round-6 additions displace
-    # canaries from the BOTTOM of this list as they register (newest
-    # queries always need a first row more than an r2 canary needs a
-    # sixth).
-    # (batches 8-10 of the session-7 continuation displaced the
-    # date_functions, map_functions, array_regex_functions,
-    # rollup_revenue, cross_join_region_priority, and
-    # segments_intersect_except canaries — r1/r2-green, untouched
-    # since; their scalar/rollup/join families remain canaried by
-    # cube_revenue_by_flag_status, q6/q10, range_band_join, and the
-    # conditional/string rows in earlier rounds' ledgers.  The six
-    # session-7 additions below each need a FIRST driver row.)
-    "events_audience_overlap_jaccard",
-    "events_autocorr_daily",
-    "stats_spearman_daily",
-    "stats_theil_sen_trend",
-    "events_interarrival_quantiles",
-    "dedup_graph_kcore",
-    # (batch 11 displaced the events_latest_per_user,
-    # full_outer_nation_presence, and orders_of_overdrawn_customers
-    # canaries — r2/r4-green, untouched; the events family holds seven
-    # other slots this window, outer joins are exercised by the heaps/
-    # tukey left joins, and the semi/anti family by customers_rfm /
-    # record-linkage rows.)
-    "vocab_heaps_growth",
-    "quality_tukey_fences_by_source",
-    "events_journey_trigrams",
-    # (batch 12 displaced the range_band_join, price_percentiles, and
-    # grouped_map_normalize canaries — r2/r4-green, untouched; the
-    # non-equi-join shape stays pinned by the fleet BNLJ plan test,
-    # exact quantiles by tukey/interarrival in this window, and the
-    # Arrow grouped-map path by multimodal/pandas rows in earlier
-    # ledgers.  q6/q10 remain as the TPC-H r1 anchors.)
-    "events_weekday_deseasonalized_anomalies",
-    "sample_balanced_class_downsample",
-    "events_dau_wau_stickiness",
-    # (batch 13 displaced the last two staleness canaries — q6/q10,
-    # r1-green, untouched since; the TPC-H family is canaried in this
-    # window by cube_revenue_by_flag_status and the ship-latency
-    # query's own lineitem⋈orders join next round.  With 234 queries
-    # and 50 slots, first-rows for NEW queries outrank a sixth row for
-    # twice-proven code; orders_ship_latency_quantiles ships this
-    # round on tri-SF check_oracle + differential-pytest evidence and
-    # takes a first-window slot next round.)
-    "customers_linkage_clusters",
-    "pipeline_split_leakage_check",
-    # Round-6 additions / changed implementations (displaced the
-    # approx_distinct_kmv + multimodal_features canaries, both green r4
-    # and untouched): the planted-hot-band capped-LSH query is NEW, and
-    # pipeline_full_train_prep's LSH stage now runs hot_bucket_cap=64
-    # (drop-set-identical to all-pairs — see the funnel comment — but a
-    # changed plan needs a fresh driver row).
-    "dedup_lsh_hot_bucket_capped",
-    "pipeline_full_train_prep",
-    # (batches 2-4, displacing the pipeline_pack_sequences,
-    # q2_min_cost_supplier, sample_stratified_deterministic,
-    # vocab_top_tokens, and dedup_ngram_jaccard canaries — all r2/r3
-    # green and untouched; their families stay canaried in slots 1-23
-    # by pipeline_full_train_prep, q6/q10, sample_priority_topk,
-    # vocab_coverage_curve, and the dedup block.  Two round-6 drafts —
-    # events_retention_cohorts / events_markov_transitions — were
-    # REMOVED before any driver run: they near-duplicated the existing
-    # events_cohort_retention / events_transition_matrix.)
-    "pipeline_shard_checksum",
-    "pipeline_incremental_manifest",
-    "quality_simpson_diversity",
-    "pipeline_skew_report",
-    "vocab_oov_rate_by_source",
-    # (batch 5, displacing the text_chunking canary — text family
-    # canaried in slots 1-21 by text_source_token_tvd / burstiness):
-    # F.window hopping semantics, oracle-gated.
-    "events_hopping_window_rate",
-    # (batch 6, displacing the similarity_cosine_topk canary —
-    # similarity canaried in slots 1-23 by mutual_knn / maxsim / ivf):
-    # exact integer OLS trend per event type.
-    "events_value_trend_ols",
-    # (batch 7, displacing the customers_without_orders canary — the
-    # semi/anti family is canaried by orders_of_overdrawn_customers):
-    # Fellegi-Sunter multi-field record-linkage scoring.
+    # ---- ROUND-7 WINDOW ----------------------------------------------
+    # The registry is FROZEN this round at 252 (251 + the one sanctioned
+    # addition below): the window's whole job is ledger convergence
+    # (VERDICT r6 "Next" #1/#2).  tools/driver_sim.py --ledger rebuilds
+    # LEDGER.json from the recorded CORRECTNESS rounds; the pytest gate
+    # asserts every never-driver-checked query sits inside this window.
+    #
+    # Slots 1-18: the 18 session-7 additions that have NEVER had a
+    # driver CORRECTNESS row (all 18 were independently re-run green by
+    # the r6 judge through the driver-faithful gate; this rotation puts
+    # driver rows behind them).
+    "crossmodal_coverage_report",
+    "dedup_lsh_precision_report",
+    "dedup_minhash_multiband_sweep",
+    "dedup_removal_bias_audit",
+    "dedup_token_savings_report",
+    "events_hour_weekday_heatmap",
+    "events_new_vs_returning_daily",
+    "events_time_to_convert_quantiles",
+    "events_type_mix_drift_weekly",
+    "events_user_lifetime_stats",
+    "events_wilson_ci_error_rate",
+    "orders_daily_revenue_7d_ma",
+    "orders_repeat_purchase_intervals",
+    "orders_ship_latency_quantiles",
+    "sample_soft_dedup_weights",
+    "stats_runs_test_daily",
+    "text_hash_collision_audit",
+    "vocab_good_turing_unseen_mass",
+    # Slot 19: the round-7 registry addition (VERDICT r6 "Next" #3 names
+    # it explicitly: the hot-block-capped linkage variant over the
+    # planted repeat-heavy fixture) — a NEW query needs a first row.
+    "customers_linkage_clusters_capped",
+    # Slots 20-21: changed-implementation canaries — both linkage base
+    # queries were refactored onto operators/linkage.py this round
+    # (hot_block_cap=None keeps the exact all-pairs semantics and plan,
+    # but changed code needs fresh driver rows; latest rows r6).
     "customers_record_linkage_fs",
-    # (batch 8, displacing the posexplode_tokens canary — explode is
-    # exercised by the simpson/oov/tvd token queries in this window):
-    # pairwise Wasserstein-1 between source length profiles.
-    "text_source_length_emd",
-    # (batch 9, displacing the events_json_extract canary — the events
-    # family holds five other window slots this round): session-scoped
-    # first/last-touch revenue attribution.
-    "events_touch_attribution",
-    # (batch 10, displacing the dedup_clusters canary — its CC chain is
-    # exercised by this query's own invariant pytest, which compares
-    # LPA communities against dedup_clusters_minhash components):
-    # self-inclusive synchronous label propagation.
-    "dedup_graph_label_propagation",
+    "customers_linkage_clusters",
+    # Slots 22-39: ALL 18 remaining r1-latest rows — four rounds stale,
+    # the oldest evidence in the ledger (VERDICT r6 "Next" #1).
+    "array_regex_functions",
+    "cross_join_region_priority",
+    "customers_without_orders",
+    "date_functions",
+    "events_json_extract",
+    "events_latest_per_user",
+    "full_outer_nation_presence",
+    "map_functions",
+    "orders_of_overdrawn_customers",
+    "posexplode_tokens",
+    "price_percentiles",
+    "q10_returned_item_losses",
+    "q12_shipmode_priority",
+    "q16_supplier_counts",
+    "q6_forecast_revenue",
+    "range_band_join",
+    "rollup_revenue",
+    "segments_intersect_except",
+    # Slots 40-50: the 11 r2-latest rows VERDICT r6 names (the oldest
+    # r2 block).  The remaining ~20 r2/r3 rows rotate in next round —
+    # with 252 registered and 50 slots the ledger can't fully converge
+    # in one window; never-checked + r1 + changed code outrank them.
+    "string_functions",
+    "conditional_functions",
+    "sql_over_path_scan",
+    "distinct_projection_split",
+    "empty_schema_select",
+    "similarity_cosine_topk",
+    "dedup_clusters",
+    "text_lang_id",
+    "sample_stratified_deterministic",
+    "text_chunking",
+    "dedup_embedding_lsh",
 ]
 
 

@@ -3780,3 +3780,116 @@ def test_lsh_precision_differential(spark):
         assert r["precision_permille"] == (1000 * nv) // nc
     if 1 in got and 2 in got:
         assert got[2]["precision_permille"] >= got[1]["precision_permille"]
+
+
+def test_linkage_capped_equals_uncapped_cc_and_bounds_candidates(spark):
+    """customers_linkage_clusters_capped: on the planted repeat-heavy
+    fixture the hot blocks are identical-record cliques, so two-star
+    emission must yield EXACTLY the entity histogram that exact
+    all-pairs blocking yields (true CC via plain-Python union-find over
+    the uncapped match edges), while emitting far fewer candidates.
+    sf0.01 so the cap actually engages (~20 hot ids per nation per
+    side -> 400 candidates/block > 128; sf0.001 blocks stay cold)."""
+    import duckdb
+
+    import __spark_entry__ as m
+    from sales_azure_data_engineer_project_spark.operators import linkage as LK
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _FS_HOT_CAP,
+        _FS_MATCH,
+        _fs_score,
+        _fs_sides,
+    )
+    from sales_azure_data_engineer_project_spark.io import load_testdata
+
+    sf = "/root/testdata/sf0.01"
+    planted = f"""
+        WITH a0 AS (
+            SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+                   c_mktsegment AS seg
+            FROM '{sf}/customer.parquet'
+        ),
+        a AS (
+            SELECT id,
+                   CASE WHEN id % 3 = 0 THEN 'Customer#HOTBLOCK' ELSE name END AS name,
+                   nat,
+                   CASE WHEN id % 3 = 0 THEN CAST(424242 + nat AS BIGINT)
+                        ELSE bal_c END AS bal_c,
+                   CASE WHEN id % 3 = 0 THEN 'BUILDING' ELSE seg END AS seg
+            FROM a0
+        ),
+        b AS (
+            SELECT id + 1000000 AS id,
+                   CASE WHEN id % 3 <> 0 AND id % 7 = 0
+                        THEN substr(name, 1, length(name) - 1) || 'X'
+                        ELSE name END AS name,
+                   nat,
+                   CASE WHEN id % 3 <> 0 AND id % 5 = 0 THEN bal_c + 1
+                        ELSE bal_c END AS bal_c,
+                   CASE WHEN id % 3 <> 0 AND id % 11 = 0 THEN 'AUTOMOBILE'
+                        ELSE seg END AS seg
+            FROM a
+        )
+    """
+    # TRUE components: exact all-pairs blocking (no cap) -> union-find
+    edges = duckdb.sql(
+        planted
+        + """
+        SELECT a.id, b.id FROM a JOIN b
+          ON a.nat = b.nat AND substr(a.name, 1, 17) = substr(b.name, 1, 17)
+        WHERE (CASE WHEN a.name = b.name THEN 40 ELSE -12 END
+             + CASE WHEN a.bal_c = b.bal_c THEN 22 ELSE -4 END
+             + CASE WHEN a.seg = b.seg THEN 8 ELSE -9 END) >= 45
+        """
+    ).fetchall()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    from collections import Counter
+
+    sizes = Counter()
+    for node in list(parent):
+        sizes[find(node)] += 1
+    hist = Counter(sizes.values())
+    expect = sorted((s, c, s * c) for s, c in hist.items())
+    got = [
+        (r["entity_size"], r["n_entities"], r["n_records"])
+        for r in m.queries()["customers_linkage_clusters_capped"](
+            spark, sf
+        ).collect()
+    ]
+    assert got == expect
+    # the fixture genuinely engages the cap...
+    max_block = duckdb.sql(
+        planted
+        + """
+        , sa AS (SELECT nat, substr(name,1,17) AS blk, COUNT(*) AS n
+                 FROM a GROUP BY 1, 2),
+        sb AS (SELECT nat, substr(name,1,17) AS blk, COUNT(*) AS n
+               FROM b GROUP BY 1, 2)
+        SELECT MAX(sa.n * sb.n) FROM sa JOIN sb
+          ON sb.nat = sa.nat AND sb.blk = sa.blk
+        """
+    ).fetchone()[0]
+    assert max_block > _FS_HOT_CAP
+    # ...and star emission bounds the candidate set well below all-pairs
+    cust = load_testdata(spark, sf, "customer")
+    aa, bb = _fs_sides(cust, planted_hot=True)
+    capped_n = LK.blocked_bipartite_pairs(
+        aa, bb, ["nat", "blk"], "id", "b_id", hot_block_cap=_FS_HOT_CAP
+    ).count()
+    uncapped_n = LK.blocked_bipartite_pairs(
+        aa, bb, ["nat", "blk"], "id", "b_id", hot_block_cap=None
+    ).count()
+    assert capped_n < uncapped_n / 2
+    # every hot-block candidate the star emits still scores as a match
+    # (clique fixture), so CC preservation is by construction, not luck
+    assert len(edges) > 0

@@ -771,6 +771,10 @@ def test_iterative_graph_queries_reuse_persisted_edges(spark):
         # linkage clusters persists the symmetric match-edge list,
         # referenced by each of 3 min-label rounds
         "customers_linkage_clusters": (3, 1),
+        # the capped variant persists the same edge list; its fatter
+        # initial plan (the capped 3-way candidate union re-printed per
+        # round) is lineage inside the cached relation, as with kcore
+        "customers_linkage_clusters_capped": (3, 1),
     }
     for name, (min_refs, min_cached) in expected.items():
         df = m.queries()[name](spark, sf)
@@ -782,3 +786,22 @@ def test_iterative_graph_queries_reuse_persisted_edges(spark):
         cached = sum(1 for r in infos if r.numCachedPartitions() > 0)
         assert cached >= min_cached, f"{name}: only {cached} caches materialized"
         release_caches()
+
+
+def test_ledger_never_checked_queries_are_scheduled(spark):
+    """Ledger gate (VERDICT r6 "Next" #5): every registered query either
+    carries a driver CORRECTNESS row whose LATEST entry is green, or is
+    scheduled inside the driver's next 50-slot verification window
+    (the first 50 entries of queries()).  A query that is neither has
+    silently fallen out of the verification rotation."""
+    import __spark_entry__ as m
+    from tools.driver_sim import DRIVER_WINDOW, build_ledger
+
+    names = list(m.queries())
+    led = build_ledger(names)
+    window = set(names[:DRIVER_WINDOW])
+    assert led["all_latest_rows_green"], "a latest driver row is red"
+    unscheduled = [n for n in led["never_checked"] if n not in window]
+    assert not unscheduled, (
+        f"never-driver-checked queries outside the next window: {unscheduled}"
+    )
