@@ -257,6 +257,12 @@ QUERIES = [
     # token savings: the proven verified-pair + CC chain plus one
     # token-count projection and a single-row aggregate.
     ("dedup_token_savings_report", [1, 3, 10]),
+    # round-7: the hot-block-capped linkage variant — under the
+    # verbatim customer-copy blow-up EVERY block becomes an
+    # identical-record clique growing ∝ factor, exactly the regime the
+    # two-star cap bounds: emission is O(n_a+n_b) per hot block, so α
+    # stays well under the base queries' audited in-answer 0.79.
+    ("customers_linkage_clusters_capped", [1, 3, 10]),
     # conversion latency: two per-user MIN groupBys + the gap-grid
     # ECDF; new-vs-returning: user-day dedup + first-day MIN + one
     # key join — all natural-key shuffles.
