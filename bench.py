@@ -240,7 +240,7 @@ def main() -> None:
     # subset varies per run, so the pairwise ratio (total / base) is the
     # comparable number, not the raw total against a full-suite figure.
     comparables = {}
-    for rn in ("r2", "r3", "r4", "r5", "r6", "r7"):
+    for rn in ("r2", "r3", "r4", "r5", "r6", "r7", "r8"):
         base_path = os.path.join(here, f"bench_baseline_{rn}.json")
         if os.path.exists(base_path):
             with open(base_path) as f:

@@ -44,15 +44,51 @@ def audit(plan: str) -> dict[str, int]:
     return row
 
 
+def strip_cached_lineage(plan: str) -> str:
+    """Keep only what this execution actually ran: drop (a) the subtree
+    printed UNDER every InMemoryRelation node — the cached relation's
+    build lineage, the artifact that made kcore's initial plan read as
+    864 scans — and (b) every AQE ``== Initial Plan ==`` section (the
+    executed string of an AdaptiveSparkPlan prints the pre-adaptive
+    tree after the final one, once per nested adaptive block).
+
+    Depth = index of the first char outside the tree-drawing prefix
+    (spaces, ':', '+', '-').  An InMemoryRelation's children print
+    strictly deeper; an ``== Initial Plan ==`` section's contents print
+    at >= the header's depth and the section runs to the end of its
+    adaptive block, so the skip is inclusive there."""
+    prefix = re.compile(r"^[ :+\-]*")
+    out = []
+    skip: tuple[int, bool] | None = None  # (threshold, inclusive)
+    for line in plan.splitlines():
+        if not line.strip():
+            continue
+        depth = prefix.match(line).end()
+        if skip is not None:
+            thr, inclusive = skip
+            if depth > thr or (inclusive and depth == thr):
+                continue
+            skip = None
+        if "== Initial Plan ==" in line:
+            skip = (depth, True)
+            continue
+        if "InMemoryRelation" in line:
+            skip = (depth, False)
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def executed_audit(df) -> dict[str, int | bool]:
     """Post-materialization plan shape (VERDICT r6 "Next" #7): execute
     the query, then read the SAME QueryExecution's plan — now the
-    AQE-final shape with InMemoryTableScan where caches were hit.  The
-    initial-plan table prints full lineage INSIDE cached relations
-    (kcore's 864 scans), which has twice been misread as executed cost;
-    this column shows what actually ran."""
+    AQE-final shape with InMemoryTableScan where caches were hit — and
+    count operators with cached-relation lineage stripped, so the
+    numbers are what actually ran, not printed cache definitions."""
     df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = strip_cached_lineage(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
     row = {k: len(p.findall(plan)) for k, p in PATTERNS.items()}
     row["imts"] = plan.count("InMemoryTableScan")
     row["aqe_final"] = "isFinalPlan=true" in plan
