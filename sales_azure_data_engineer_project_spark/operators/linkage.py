@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 
 def blocked_bipartite_pairs(
     a: DataFrame,
@@ -60,8 +62,11 @@ def blocked_bipartite_pairs(
     sb = b.groupBy(*block_cols).agg(
         F.count(F.lit(1)).alias("_nb"), F.min(b_id).alias("_hub_b")
     )
-    # inner join: blocks present on only one side emit no pairs anyway
-    stats = sa.join(sb, on=block_cols)
+    # inner join: blocks present on only one side emit no pairs anyway.
+    # Persisted: all three emission branches (cold, hub-A star, hub-B
+    # star) read it, and it is one bounded row per block — the same
+    # small-relation persist contract as the dedup signature frames
+    stats = sa.join(sb, on=block_cols).transform(tracked_persist)
     hot = F.col("_na") * F.col("_nb") > hot_block_cap
     cold_keys = stats.filter(~hot).select(*block_cols)
     hot_stats = stats.filter(hot).select(*block_cols, "_hub_a", "_hub_b")
