@@ -84,21 +84,34 @@ _PRIORITY = [
     "range_band_join",
     "rollup_revenue",
     "segments_intersect_except",
-    # Slots 40-50: the 11 r2-latest rows VERDICT r6 names (the oldest
-    # r2 block).  The remaining ~20 r2/r3 rows rotate in next round —
-    # with 252 registered and 50 slots the ledger can't fully converge
-    # in one window; never-checked + r1 + changed code outrank them.
+    # Slots 40-42: changed-implementation canaries for the inline-IVF
+    # trio — round 7's 30× decade sweep caught the fixed-61 centroid
+    # cadence going quadratic (k ∝ N ⇒ N·k coarse assignment;
+    # similarity_ann_ivf_sq8 measured segment α ~1.7), so all three now
+    # derive cadence = max(61, ceil(√N)) on BOTH engines (bit-identical
+    # at oracle SFs, tri-SF re-verified).  Changed code outranks stale
+    # canaries (r6 precedent).
+    "similarity_ann_ivf_sq8",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_nprobe2",
+    # Slots 43-50: the oldest r2 rows VERDICT r6 names.  Three of its
+    # 11 were displaced by the canaries above with family coverage
+    # justifications: similarity_cosine_topk (the similarity family now
+    # holds three changed-code slots in this window), text_chunking
+    # (text family canaried by text_lang_id + string_functions), and
+    # dedup_embedding_lsh (dedup family canaried by dedup_clusters here
+    # plus the whole session-7 dedup-report block in slots 1-18).  They
+    # rotate in next round with the remaining ~20 r2/r3 rows — with 252
+    # registered and 50 slots the ledger can't fully converge in one
+    # window; never-checked + changed code outrank them.
     "string_functions",
     "conditional_functions",
     "sql_over_path_scan",
     "distinct_projection_split",
     "empty_schema_select",
-    "similarity_cosine_topk",
     "dedup_clusters",
     "text_lang_id",
     "sample_stratified_deterministic",
-    "text_chunking",
-    "dedup_embedding_lsh",
 ]
 
 

@@ -137,6 +137,11 @@ def main() -> None:
         "customers_linkage_clusters_capped",
         "customers_record_linkage_fs",
         "customers_linkage_clusters",
+        # √N centroid-cadence fix (decade sweep caught the fixed-61
+        # cadence's quadratic coarse assignment)
+        "similarity_ann_ivf_sq8",
+        "similarity_ann_ivf",
+        "similarity_ann_ivf_nprobe2",
     }
     import hashlib
 

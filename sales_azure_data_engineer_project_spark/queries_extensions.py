@@ -47,6 +47,27 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism)
 
 
+def _ivf_cadence(n_vectors: int) -> int:
+    """Centroid cadence for the inline-IVF coarse quantizers (the
+    ``vec_id % cadence == 0`` stand-in that keeps the oracle
+    deterministic): ``max(61, ceil(sqrt(N)))``, i.e. k = N/cadence ≈ √N
+    once the corpus outgrows 61² vectors — the standard FAISS sizing
+    rule.  Round-7 measurement (SCALING.md): the historical FIXED
+    cadence 61 means k ∝ N, and the broadcast coarse-assignment's N·k
+    dot products go quadratic — similarity_ann_ivf_sq8 measured decade
+    α 0.78 with a 10×→30× segment of ~1.7.  √N-scaled k caps assignment
+    at N^1.5 (and at true 100 TB the assignment itself goes
+    hierarchical — route through √k super-cells first; same contract
+    note as the kmeans seeding in ``_sq8_kmeans_cells``).  At every
+    oracle SF (N ≤ 3721) the floor keeps cadence = 61, bit-identical to
+    the historical behavior; both engines compute the same expression.
+    """
+    import math
+
+    return max(61, math.ceil(math.sqrt(n_vectors)))
+
+
+
 def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ planted near-dups (doc_id+100000, last 3 tokens cut,
     every 10th doc) ∪ planted exact dups (doc_id+200000, every 17th)."""
@@ -1154,7 +1175,9 @@ def similarity_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(floor((x - mn) * 256.0 / greatest(mx - mn, 1e-12)) AS INTEGER)))) AS qv
         FROM n, mm
     ),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 61 = 0),
+    cadc AS (SELECT GREATEST(61, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))
+             AS cad FROM n),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM n, cadc WHERE vec_id % cad = 0),
     assigned AS (
         SELECT n.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY n.vec_id
@@ -1196,7 +1219,8 @@ def similarity_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     each computed once (persisted inverted file carries the codes)."""
     emb = _fan_out(load_testdata(spark, sf_dir, "embeddings"))
     n = emb.select("vec_id", S.as_double_vec("embedding").alias("v"))
-    cents = n.filter(F.col("vec_id") % 61 == 0).select(
+    cad = _ivf_cadence(emb.count())  # 1-scalar driver collect (√N k rule)
+    cents = n.filter(F.col("vec_id") % cad == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     # argmax-by-struct cell assignment (≡ row_number()=1 over d DESC,
@@ -2212,7 +2236,9 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         FROM embeddings
     ),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 61 = 0),
+    cadc AS (SELECT GREATEST(61, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))
+             AS cad FROM n),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM n, cadc WHERE vec_id % cad = 0),
     assigned AS (
         SELECT n.vec_id, n.v, n.nrm, c.cid,
                ROW_NUMBER() OVER (PARTITION BY n.vec_id
@@ -2251,7 +2277,8 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
     n = emb.select("vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"))
-    cents = n.filter(F.col("vec_id") % 61 == 0).select(
+    cad = _ivf_cadence(emb.count())  # 1-scalar driver collect (√N k rule)
+    cents = n.filter(F.col("vec_id") % cad == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     # the cell assignment IS the inverted file: build it once (persist)
@@ -2716,7 +2743,9 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         FROM embeddings
     ),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 61 = 0),
+    cadc AS (SELECT GREATEST(61, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))
+             AS cad FROM n),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM n, cadc WHERE vec_id % cad = 0),
     assigned AS (
         SELECT n.vec_id, n.v, n.nrm, c.cid,
                ROW_NUMBER() OVER (PARTITION BY n.vec_id
@@ -2753,7 +2782,8 @@ def similarity_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
     n = emb.select("vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"))
-    cents = n.filter(F.col("vec_id") % 61 == 0).select(
+    cad = _ivf_cadence(emb.count())  # 1-scalar driver collect (√N k rule)
+    cents = n.filter(F.col("vec_id") % cad == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     # Cell assignment WITHOUT a ranking window: argmax-by-struct in a
