@@ -3893,3 +3893,59 @@ def test_linkage_capped_equals_uncapped_cc_and_bounds_candidates(spark):
     # every hot-block candidate the star emits still scores as a match
     # (clique fixture), so CC preservation is by construction, not luck
     assert len(edges) > 0
+
+
+def test_blocked_bipartite_pairs_edges(spark):
+    """Operator edge cases: one-sided blocks emit nothing, cold blocks
+    are exact all-pairs, hot blocks emit exactly n_a + n_b - 1 star
+    edges with the min-id hubs."""
+    from sales_azure_data_engineer_project_spark.operators import linkage as LK
+
+    a = spark.createDataFrame(
+        # block 'x': 3 A rows; block 'y': 1 A row; block 'z': A only
+        [(1, "x"), (2, "x"), (3, "x"), (10, "y"), (20, "z")],
+        ["id", "blk"],
+    )
+    b = spark.createDataFrame(
+        # block 'x': 2 B rows; block 'y': 1; block 'w': B only
+        [(101, "x"), (102, "x"), (110, "y"), (120, "w")],
+        ["b_id", "blk"],
+    )
+    exact = LK.blocked_bipartite_pairs(a, b, ["blk"], "id", "b_id")
+    got = {(r["id"], r["b_id"]) for r in exact.collect()}
+    assert got == {
+        (1, 101), (1, 102), (2, 101), (2, 102), (3, 101), (3, 102),
+        (10, 110),
+    }  # one-sided blocks z/w emit nothing
+    # cap=10: block x (3*2=6 <= 10) stays exact -> identical output
+    capped10 = LK.blocked_bipartite_pairs(
+        a, b, ["blk"], "id", "b_id", hot_block_cap=10
+    )
+    assert {(r["id"], r["b_id"]) for r in capped10.collect()} == got
+    # cap=5: block x goes hot -> two-star: hub_a=1 x {101,102} plus
+    # {2,3} x hub_b=101 — exactly n_a + n_b - 1 = 4 edges
+    capped5 = LK.blocked_bipartite_pairs(
+        a, b, ["blk"], "id", "b_id", hot_block_cap=5
+    )
+    hot = {(r["id"], r["b_id"]) for r in capped5.collect()}
+    assert hot == {(1, 101), (1, 102), (2, 101), (3, 101), (10, 110)}
+
+
+def test_ivf_cadence_engine_parity():
+    """The sqrt(N) centroid cadence must compute identically in Python
+    (_ivf_cadence) and the oracle SQL (GREATEST(61, ceil(sqrt(N)))) for
+    any corpus size — including the perfect-square boundary (61^2) and
+    the oracle-SF floor region."""
+    import duckdb
+
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _ivf_cadence,
+    )
+
+    sizes = [1, 60, 61, 150, 1500, 3720, 3721, 3722, 15000, 15360,
+             150000, 460800, 460801, 10**9]
+    for n in sizes:
+        sql = duckdb.sql(
+            f"SELECT GREATEST(61, CAST(ceil(sqrt({n})) AS BIGINT))"
+        ).fetchone()[0]
+        assert _ivf_cadence(n) == sql, n
