@@ -39,10 +39,13 @@ def build_ledger(names: list[str] | None = None) -> dict:
     """Per-query driver-CORRECTNESS history summary.
 
     Returns {"latest_round": R, "queries": {name: {round, green,
-    rounds_stale}}, "never_checked": [...], "stale_r2_or_older": [...]}.
-    A row is green when rows+schema matched and the value hash matched
-    (hash_match may be absent for rows-only checks — counted green iff
-    rows+schema matched and err is null).
+    verdict, rounds_stale}}, "never_checked": [...],
+    "stale_4plus_rounds": [...], "rows_only_green": [...]}.
+    Verdicts: "green" = rows+schema+hash all matched; "green_rows_only"
+    = rows+schema matched but the row carried no hash_match key (the
+    driver's weaker gate for non-SQL-expressible queries) — listed
+    separately in rows_only_green so a rows-only round can't silently
+    satisfy the all-green gate; "red" = anything else.
     """
     names = names if names is not None else _registered_names()
     rounds: dict[int, dict] = {}
@@ -51,27 +54,43 @@ def build_ledger(names: list[str] | None = None) -> dict:
         with open(f) as fh:
             rounds[rn] = json.load(fh)
     latest_round = max(rounds) if rounds else 0
-    latest: dict[str, tuple[int, bool]] = {}
+    latest: dict[str, tuple[int, str | None]] = {}
     for rn in sorted(rounds):
         for q, rec in rounds[rn].items():
-            green = (
+            ok = (
                 bool(rec.get("rows_match"))
                 and bool(rec.get("schema_match"))
-                and rec.get("hash_match") in (True, None)
                 and rec.get("err") is None
             )
-            latest[q] = (rn, green)
+            # ADVICE r7: a row with no hash_match key is a rows-only
+            # check (the weaker gate for non-SQL-expressible queries) —
+            # track it as its own verdict instead of silently counting
+            # it hash-green, so a rows-only driver round can't satisfy
+            # the all-green gate unnoticed.
+            if not ok:
+                verdict = "red"
+            elif rec.get("hash_match") is True:
+                verdict = "green"
+            elif rec.get("hash_match") is None:
+                verdict = "green_rows_only"
+            else:
+                verdict = "red"
+            latest[q] = (rn, verdict)
     queries = {}
     for n in names:
         if n in latest:
-            rn, green = latest[n]
+            rn, verdict = latest[n]
             queries[n] = {
                 "round": rn,
-                "green": green,
+                "green": verdict in ("green", "green_rows_only"),
+                "verdict": verdict,
                 "rounds_stale": latest_round - rn,
             }
         else:
-            queries[n] = {"round": None, "green": None, "rounds_stale": None}
+            queries[n] = {
+                "round": None, "green": None, "verdict": None,
+                "rounds_stale": None,
+            }
     never = [n for n in names if queries[n]["round"] is None]
     stale = sorted(
         (n for n in names if queries[n]["round"] is not None
@@ -85,6 +104,11 @@ def build_ledger(names: list[str] | None = None) -> dict:
         "with_driver_row": len(names) - len(never),
         "all_latest_rows_green": all(
             q["green"] for q in queries.values() if q["round"] is not None
+        ),
+        # hash-unverified greens surfaced explicitly (ADVICE r7): empty
+        # means every latest row carried hash_match=True
+        "rows_only_green": sorted(
+            n for n, q in queries.items() if q["verdict"] == "green_rows_only"
         ),
         "never_checked": never,
         "stale_4plus_rounds": stale,
