@@ -189,14 +189,17 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
-    # Load-spike de-noising (round-7, VERDICT r6 "Next" #4): sub-second
-    # queries under ambient co-tenant load have recorded >2× their
-    # baselines three rounds running, each time adjudicated back to
-    # ~1.3-1.6× on quiet hardware — measurement noise, never a plan
-    # change.  Any measured query whose median exceeds 1.8× its LATEST
-    # recorded baseline gets ONE more execution; the record keeps both
-    # raw values (the `reruns` map) and reports min(first, rerun), so
-    # the artifact is honest about the spike while not crying regression.
+    # Load-spike de-noising (round-7, VERDICT r6 "Next" #4; semantics
+    # tightened round 8 per ADVICE r7): sub-second queries under ambient
+    # co-tenant load have recorded >2× their baselines three rounds
+    # running, each time adjudicated back to ~1.3-1.6× on quiet hardware
+    # — measurement noise, never a plan change.  Any measured query
+    # whose median exceeds 1.8× its LATEST recorded baseline gets a
+    # FULL second median-of-N, and the RERUN MEDIAN becomes the
+    # canonical figure (both medians survive in the `reruns` map).  A
+    # genuine regression reproduces in the rerun median and stays
+    # visible; the earlier min(first, rerun) rule let one lucky single
+    # execution downgrade a real 2× regression.
     baseline_latest: dict[str, float] = {}
     for rn in ("r2", "r3", "r4", "r5", "r6", "r7", "r8"):
         base_path = os.path.join(here, f"bench_baseline_{rn}.json")
@@ -210,17 +213,20 @@ def main() -> None:
         base = baseline_latest.get(name)
         if not base or base <= 0 or timings[name] / base <= 1.8:
             continue
-        t0 = time.perf_counter()
-        selected[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        rerun = round(time.perf_counter() - t0, 3)
-        from sales_azure_data_engineer_project_spark.caching import release_caches
+        rerun_runs: list[float] = []
+        for _ in range(_MEDIAN_OF):
+            t0 = time.perf_counter()
+            selected[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            rerun_runs.append(time.perf_counter() - t0)
+            from sales_azure_data_engineer_project_spark.caching import release_caches
 
-        release_caches()
-        spark.catalog.clearCache()
-        reruns[name] = {"first": timings[name], "rerun": rerun}
-        timings[name] = min(timings[name], rerun)
+            release_caches()
+            spark.catalog.clearCache()
+        rerun = round(sorted(rerun_runs)[len(rerun_runs) // 2], 3)
+        reruns[name] = {"first_median": timings[name], "rerun_median": rerun}
+        timings[name] = rerun
 
     probes.append(_probe())
     probe_median = sorted(probes)[len(probes) // 2]

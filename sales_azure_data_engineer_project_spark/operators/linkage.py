@@ -51,8 +51,19 @@ def blocked_bipartite_pairs(
     ``hot_block_cap=None`` → exact all-pairs within each block (ONE
     equi-join).  With a cap, per-block side counts and hubs come from
     two map-side-combinable groupBys joined back on the block key —
-    never a window over raw rows — and blocks with
-    ``n_a · n_b > hot_block_cap`` emit the two-star edge set instead.
+    never a window over raw rows.  The A side is tagged ONCE against
+    the persisted stats frame and split by filter (round-8 constant
+    shave, VERDICT r7 "Next" #3: the earlier three-branch emission
+    re-joined A/B against block-key frames six times and measured an
+    8.7× 1× constant); emission is two branches:
+
+    - ``full``: every cold-block A row PLUS each hot block's single A
+      hub pairs with every B record of its block — one join against
+      raw B covers both exact all-pairs and the hub-A star, because
+      hot/cold is a property of the block key, so a cold A row can
+      never meet a hot-block B row.
+    - ``spokes``: every hot-block non-hub A record pairs with the
+      single B hub of its block (one bounded row per hot block).
     """
     if hot_block_cap is None:
         return a.join(b, on=block_cols)
@@ -63,28 +74,26 @@ def blocked_bipartite_pairs(
         F.count(F.lit(1)).alias("_nb"), F.min(b_id).alias("_hub_b")
     )
     # inner join: blocks present on only one side emit no pairs anyway.
-    # Persisted: all three emission branches (cold, hub-A star, hub-B
-    # star) read it, and it is one bounded row per block — the same
-    # small-relation persist contract as the dedup signature frames
-    stats = sa.join(sb, on=block_cols).transform(tracked_persist)
-    hot = F.col("_na") * F.col("_nb") > hot_block_cap
-    cold_keys = stats.filter(~hot).select(*block_cols)
-    hot_stats = stats.filter(hot).select(*block_cols, "_hub_a", "_hub_b")
-    cold_pairs = a.join(cold_keys, on=block_cols).join(b, on=block_cols)
-    a_tag = a.join(hot_stats, on=block_cols)
-    # hub_a × every B record in the block
-    star1 = (
-        a_tag.filter(F.col(a_id) == F.col("_hub_a"))
-        .drop("_hub_a", "_hub_b")
-        .join(b, on=block_cols)
+    # Persisted: both emission branches and the hub-B projection read
+    # it, and it is one bounded row per block — the same small-relation
+    # persist contract as the dedup signature frames
+    stats = (
+        sa.join(sb, on=block_cols)
+        .withColumn("_hot", F.col("_na") * F.col("_nb") > hot_block_cap)
+        .transform(tracked_persist)
     )
-    # every non-hub A record × hub_b (disjoint from star1 by a_id)
+    a_tag = a.join(
+        stats.select(*block_cols, "_hot", "_hub_a"), on=block_cols
+    )
+    full = a_tag.filter(
+        ~F.col("_hot") | (F.col(a_id) == F.col("_hub_a"))
+    ).drop("_hot", "_hub_a").join(b, on=block_cols)
+    # the single B hub row per hot block (disjoint from ``full`` on the
+    # A side by the a_id != hub_a filter below)
     hub_b_rows = b.join(
-        hot_stats.select(*block_cols, "_hub_b"), on=block_cols
+        stats.filter("_hot").select(*block_cols, "_hub_b"), on=block_cols
     ).filter(F.col(b_id) == F.col("_hub_b")).drop("_hub_b")
-    star2 = (
-        a_tag.filter(F.col(a_id) != F.col("_hub_a"))
-        .drop("_hub_a", "_hub_b")
-        .join(hub_b_rows, on=block_cols)
-    )
-    return cold_pairs.unionByName(star1).unionByName(star2)
+    spokes = a_tag.filter(
+        F.col("_hot") & (F.col(a_id) != F.col("_hub_a"))
+    ).drop("_hot", "_hub_a").join(hub_b_rows, on=block_cols)
+    return full.unionByName(spokes)

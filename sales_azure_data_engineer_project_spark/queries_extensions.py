@@ -67,6 +67,26 @@ def _ivf_cadence(n_vectors: int) -> int:
     return max(61, math.ceil(math.sqrt(n_vectors)))
 
 
+def _ivf_centroids(n: DataFrame) -> DataFrame:
+    """Centroid frame (cid, cv) for the inline-IVF coarse quantizers,
+    with the ``_ivf_cadence`` √N rule derived INSIDE the plan (ADVICE
+    r7): the corpus count is a 1-row aggregate broadcast-cross-joined
+    under the centroid filter — the same shape as the oracle's ``cadc``
+    CTE — instead of an eager ``.count()`` driver action that cost a
+    separate full-scan job per IVF query even at oracle SFs where the
+    floor pins the cadence to 61.  ``n`` must expose (vec_id, v)."""
+    cnt = n.agg(F.count(F.lit(1)).alias("_n"))
+    cad = F.greatest(
+        F.lit(61).cast("bigint"),
+        F.ceil(F.sqrt(F.col("_n"))).cast("bigint"),
+    )
+    return (
+        n.crossJoin(F.broadcast(cnt))
+        .filter(F.col("vec_id") % cad == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+
+
 
 def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ planted near-dups (doc_id+100000, last 3 tokens cut,
@@ -1219,10 +1239,7 @@ def similarity_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     each computed once (persisted inverted file carries the codes)."""
     emb = _fan_out(load_testdata(spark, sf_dir, "embeddings"))
     n = emb.select("vec_id", S.as_double_vec("embedding").alias("v"))
-    cad = _ivf_cadence(emb.count())  # 1-scalar driver collect (√N k rule)
-    cents = n.filter(F.col("vec_id") % cad == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+    cents = _ivf_centroids(n)  # √N cadence derived in-plan (ADVICE r7)
     # argmax-by-struct cell assignment (≡ row_number()=1 over d DESC,
     # cid ASC): partial-aggregated groupBy, no full-corpus sort
     # exchange, nothing wider than (vec_id, cid, d) shuffles
@@ -2277,10 +2294,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
     n = emb.select("vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"))
-    cad = _ivf_cadence(emb.count())  # 1-scalar driver collect (√N k rule)
-    cents = n.filter(F.col("vec_id") % cad == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+    cents = _ivf_centroids(n)  # √N cadence derived in-plan (ADVICE r7)
     # the cell assignment IS the inverted file: build it once (persist)
     # — unpersisted, the N×|cents| quantization crossJoin would run
     # twice (query side + probe side), the dominant cost.  Assignment is
@@ -2782,10 +2796,7 @@ def similarity_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
     n = emb.select("vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nrm"))
-    cad = _ivf_cadence(emb.count())  # 1-scalar driver collect (√N k rule)
-    cents = n.filter(F.col("vec_id") % cad == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+    cents = _ivf_centroids(n)  # √N cadence derived in-plan (ADVICE r7)
     # Cell assignment WITHOUT a ranking window: argmax-by-struct in a
     # partial-aggregated groupBy.  max(struct(d, -cid)) picks the
     # best-scoring cell with smallest-cid tie-break — identical
@@ -14952,24 +14963,41 @@ def customers_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _entity_size_histogram(ed: DataFrame) -> DataFrame:
     """Entity-size histogram from a symmetric (src, dst) match-edge
-    list: THREE unrolled min-label propagation rounds (each one
-    edge⋈label equi-join + a combinable MIN groupBy, O(|E|)/round) then
-    two tiny groupBys.  3 rounds cover both fixtures' diameters — the
-    base bipartite pairs (1 round) and the capped two-star blocks
-    (2 rounds: hub_a's label reaches every B member in round 1 and the
+    list: THREE unrolled min-label propagation rounds then two tiny
+    groupBys.  3 rounds cover both fixtures' diameters — the base
+    bipartite pairs (1 round) and the capped two-star blocks (2
+    rounds: hub_a's label reaches every B member in round 1 and the
     remaining A members via hub_b in round 2); the convergence pytest
-    asserts a 4th round is a no-op on both."""
-    lab = ed.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
+    asserts a 4th round is a no-op on both.
+
+    Round shape (rewritten round 8, VERDICT r7 "Next" #3): the edge
+    list carries a SELF-LOOP per node, so one round is exactly one
+    edge⋈label equi-join + one combinable MIN groupBy — ``min(own,
+    in-neighbors)`` without a left join-back.  The earlier join-back
+    form referenced the prior label frame twice per round, doubling
+    the unpersisted plan per round (2³ = 8 leaf recomputes — most of
+    the capped query's 8.7× 1× constant); with self-loops the label
+    frame is referenced once per round, the plan stays linear, and
+    only the static self-looped edge frame is persisted."""
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    # hash-partitioned by the propagation key before the persist: the
+    # cached frame's outputPartitioning then satisfies every round's
+    # join on src with NO per-round exchange on the edge side (the
+    # union of emission branches otherwise caches 4×shuffle-partitions
+    # slivers, and 3 rounds × re-shuffling them was pure task overhead)
+    ed_self = tracked_persist(
+        ed.unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        ).repartition("src")
     )
+    lab = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(3):
-        nb = (
-            ed.join(lab.select(F.col("node").alias("src"), "lbl"), "src")
+        lab = (
+            ed_self.join(
+                lab.select(F.col("node").alias("src"), "lbl"), "src"
+            )
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lbl").alias("ml"))
-        )
-        lab = lab.join(nb, "node", "left").select(
-            "node", F.least(F.col("lbl"), F.coalesce("ml", "lbl")).alias("lbl")
+            .agg(F.min("lbl").alias("lbl"))
         )
     sz = lab.groupBy("lbl").agg(F.count(F.lit(1)).alias("size"))
     return (

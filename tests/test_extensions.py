@@ -3797,7 +3797,7 @@ def test_linkage_capped_equals_uncapped_cc_and_bounds_candidates(spark):
     from sales_azure_data_engineer_project_spark.queries_extensions import (
         _FS_HOT_CAP,
         _FS_MATCH,
-        _fs_score,
+        _FS_W,
         _fs_sides,
     )
     from sales_azure_data_engineer_project_spark.io import load_testdata
@@ -3832,15 +3832,19 @@ def test_linkage_capped_equals_uncapped_cc_and_bounds_candidates(spark):
             FROM a
         )
     """
-    # TRUE components: exact all-pairs blocking (no cap) -> union-find
+    # TRUE components: exact all-pairs blocking (no cap) -> union-find.
+    # Weights interpolated from _FS_W/_FS_MATCH (ADVICE r7) so a future
+    # weight change keeps this baseline in sync with the registered
+    # oracle instead of silently diverging.
     edges = duckdb.sql(
         planted
-        + """
+        + f"""
         SELECT a.id, b.id FROM a JOIN b
           ON a.nat = b.nat AND substr(a.name, 1, 17) = substr(b.name, 1, 17)
-        WHERE (CASE WHEN a.name = b.name THEN 40 ELSE -12 END
-             + CASE WHEN a.bal_c = b.bal_c THEN 22 ELSE -4 END
-             + CASE WHEN a.seg = b.seg THEN 8 ELSE -9 END) >= 45
+        WHERE (CASE WHEN a.name = b.name THEN {_FS_W['name'][0]} ELSE {_FS_W['name'][1]} END
+             + CASE WHEN a.bal_c = b.bal_c THEN {_FS_W['bal'][0]} ELSE {_FS_W['bal'][1]} END
+             + CASE WHEN a.seg = b.seg THEN {_FS_W['seg'][0]} ELSE {_FS_W['seg'][1]} END)
+              >= {_FS_MATCH}
         """
     ).fetchall()
     parent: dict = {}

@@ -54,19 +54,29 @@ def strip_cached_lineage(plan: str) -> str:
 
     Depth = index of the first char outside the tree-drawing prefix
     (spaces, ':', '+', '-').  An InMemoryRelation's children print
-    strictly deeper; an ``== Initial Plan ==`` section's contents print
-    at >= the header's depth and the section runs to the end of its
-    adaptive block, so the skip is inclusive there."""
+    strictly deeper.  An ``== Initial Plan ==`` section re-bases its
+    subtree at the header's own depth, so its contents print at >= the
+    header depth — but an equal-depth content line is always the
+    re-based section root with an ALL-SPACE prefix, whereas a genuine
+    sibling of the header (the next ``+- == ... ==`` header, or a real
+    operator branch of the enclosing tree) carries branch glyphs
+    (':'/'+') in its prefix.  The inclusive skip therefore terminates
+    on any equal-depth line whose prefix contains a branch glyph
+    (ADVICE r7: depth alone swallowed real executed operators that
+    follow the section at equal indentation)."""
     prefix = re.compile(r"^[ :+\-]*")
     out = []
     skip: tuple[int, bool] | None = None  # (threshold, inclusive)
     for line in plan.splitlines():
         if not line.strip():
             continue
-        depth = prefix.match(line).end()
+        m = prefix.match(line)
+        depth = m.end()
         if skip is not None:
             thr, inclusive = skip
-            if depth > thr or (inclusive and depth == thr):
+            if depth > thr or (
+                inclusive and depth == thr and m.group().strip() == ""
+            ):
                 continue
             skip = None
         if "== Initial Plan ==" in line:
