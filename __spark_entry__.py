@@ -18,100 +18,86 @@ from sales_azure_data_engineer_project_spark import queries_extensions  # noqa: 
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# The driver verifies the FIRST 50 registered queries.  After round 5,
-# 186 of the 207 then-registered queries carry green driver CORRECTNESS
-# rows (latest row green for every one); the round-6 window below
-# closes the remaining 21, re-canaries the two queries whose
-# implementation changed after their latest rows, front-loads every
-# round-6 addition, and spends the rest on oldest-row family canaries.
+# The driver verifies the FIRST 50 registered queries.  After round 7
+# the ledger is fully closed — every one of the 252 registered queries
+# has a green driver CORRECTNESS row and the latest row is green for
+# all of them (LEDGER.json) — so windows are now pure staleness
+# rotation: changed code first, then oldest evidence.
 _PRIORITY = [
-    # ---- ROUND-7 WINDOW ----------------------------------------------
-    # The registry is FROZEN this round at 252 (251 + the one sanctioned
-    # addition below): the window's whole job is ledger convergence
-    # (VERDICT r6 "Next" #1/#2).  tools/driver_sim.py --ledger rebuilds
-    # LEDGER.json from the recorded CORRECTNESS rounds; the pytest gate
-    # asserts every never-driver-checked query sits inside this window.
+    # ---- ROUND-8 WINDOW ----------------------------------------------
+    # Registry still frozen at 252.  Window = round-8 changed code
+    # first, then ALL 23 r2-latest rows, then the 22 alphabetically
+    # first of the 35 r3-latest rows (VERDICT r7 "Next" #4 pre-plan).
+    # After this run no registered query's evidence is older than r3,
+    # and the remaining 13 r3 rows rotate in round 9.
     #
-    # Slots 1-18: the 18 session-7 additions that have NEVER had a
-    # driver CORRECTNESS row (all 18 were independently re-run green by
-    # the r6 judge through the driver-faithful gate; this rotation puts
-    # driver rows behind them).
-    "crossmodal_coverage_report",
-    "dedup_lsh_precision_report",
-    "dedup_minhash_multiband_sweep",
-    "dedup_removal_bias_audit",
-    "dedup_token_savings_report",
-    "events_hour_weekday_heatmap",
-    "events_new_vs_returning_daily",
-    "events_time_to_convert_quantiles",
-    "events_type_mix_drift_weekly",
-    "events_user_lifetime_stats",
-    "events_wilson_ci_error_rate",
-    "orders_daily_revenue_7d_ma",
-    "orders_repeat_purchase_intervals",
-    "orders_ship_latency_quantiles",
-    "sample_soft_dedup_weights",
-    "stats_runs_test_daily",
-    "text_hash_collision_audit",
-    "vocab_good_turing_unseen_mass",
-    # Slot 19: the round-7 registry addition (VERDICT r6 "Next" #3 names
-    # it explicitly: the hot-block-capped linkage variant over the
-    # planted repeat-heavy fixture) — a NEW query needs a first row.
-    "customers_linkage_clusters_capped",
-    # Slots 20-21: changed-implementation canaries — both linkage base
-    # queries were refactored onto operators/linkage.py this round
-    # (hot_block_cap=None keeps the exact all-pairs semantics and plan,
-    # but changed code needs fresh driver rows; latest rows r6).
-    "customers_record_linkage_fs",
-    "customers_linkage_clusters",
-    # Slots 22-39: ALL 18 remaining r1-latest rows — four rounds stale,
-    # the oldest evidence in the ledger (VERDICT r6 "Next" #1).
-    "array_regex_functions",
-    "cross_join_region_priority",
-    "customers_without_orders",
-    "date_functions",
-    "events_json_extract",
-    "events_latest_per_user",
-    "full_outer_nation_presence",
-    "map_functions",
-    "orders_of_overdrawn_customers",
-    "posexplode_tokens",
-    "price_percentiles",
-    "q10_returned_item_losses",
-    "q12_shipmode_priority",
-    "q16_supplier_counts",
-    "q6_forecast_revenue",
-    "range_band_join",
-    "rollup_revenue",
-    "segments_intersect_except",
-    # Slots 40-42: changed-implementation canaries for the inline-IVF
-    # trio — round 7's 30× decade sweep caught the fixed-61 centroid
-    # cadence going quadratic (k ∝ N ⇒ N·k coarse assignment;
-    # similarity_ann_ivf_sq8 measured segment α ~1.7), so all three now
-    # derive cadence = max(61, ceil(√N)) on BOTH engines (bit-identical
-    # at oracle SFs, tri-SF re-verified).  Changed code outranks stale
-    # canaries (r6 precedent).
+    # Slots 1-5: changed-implementation canaries.  The inline-IVF trio
+    # now derives its √N centroid cadence INSIDE the plan (broadcast
+    # 1-row count aggregate — ADVICE r7; results bit-identical, plan
+    # changed).  The two linkage-cluster queries sit on the round-8
+    # constant shave: two-branch hot-block emission in
+    # operators/linkage.py and the self-looped single-reference
+    # label-propagation rounds in _entity_size_histogram (VERDICT r7
+    # "Next" #3; capped 11.5s -> ~5.5s at sf0.1, histogram identical).
     "similarity_ann_ivf_sq8",
     "similarity_ann_ivf",
     "similarity_ann_ivf_nprobe2",
-    # Slots 43-50: the oldest r2 rows VERDICT r6 names.  Three of its
-    # 11 were displaced by the canaries above with family coverage
-    # justifications: similarity_cosine_topk (the similarity family now
-    # holds three changed-code slots in this window), text_chunking
-    # (text family canaried by text_lang_id + string_functions), and
-    # dedup_embedding_lsh (dedup family canaried by dedup_clusters here
-    # plus the whole session-7 dedup-report block in slots 1-18).  They
-    # rotate in next round with the remaining ~20 r2/r3 rows — with 252
-    # registered and 50 slots the ledger can't fully converge in one
-    # window; never-checked + changed code outrank them.
-    "string_functions",
-    "conditional_functions",
-    "sql_over_path_scan",
-    "distinct_projection_split",
-    "empty_schema_select",
-    "dedup_clusters",
-    "text_lang_id",
-    "sample_stratified_deterministic",
+    "customers_linkage_clusters_capped",
+    "customers_linkage_clusters",
+    # Slots 6-28: every remaining r2-latest row (the oldest evidence
+    # in the ledger after the r7 run; LEDGER.json stale list).
+    "ann_recall_at_k",
+    "dedup_embedding_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_hourly_rollup",
+    "events_rolling_1h_value",
+    "grouped_map_normalize",
+    "having_filter",
+    "orders_above_avg_price",
+    "orders_per_customer_array",
+    "pandas_udaf_weighted",
+    "price_delta_vs_prev_order",
+    "richest_customer_per_nation",
+    "running_total_by_supplier",
+    "similarity_ann_sign_lsh",
+    "similarity_cosine_topk",
+    "skew_salted_aggregation",
+    "star_join_sales",
+    "text_chunking",
+    "text_fingerprints",
+    "text_token_counts",
+    "topk_parts_per_brand",
+    "unpivot_measures",
+    # Slots 29-50: the 22 alphabetically-first r3-latest rows.  The 13
+    # that don't fit (q8_market_share, q9_product_profit_adapted,
+    # sample_mixture_weighted, sample_weighted_poisson,
+    # similarity_ann_sq8, text_cdc_chunks, text_exact_substring_dedup,
+    # text_lang_classifier_nb, text_pii_scrub, text_repetition_ratios,
+    # text_winnowing_fingerprints, tfidf_distinctive_terms,
+    # vocab_top_tokens) are the whole round-9 backlog.
+    "bigram_stats",
+    "crossmodal_doc_embedding_join",
+    "dedup_clusters_minhash",
+    "dedup_embedding_cosine",
+    "dedup_incremental_batch",
+    "dedup_simhash_hamming",
+    "dedup_tf_cosine",
+    "events_value_anomalies",
+    "pipeline_pack_sequences",
+    "pipeline_training_prep",
+    "q11_important_parts",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_orders",
+    "q22_inactive_rich_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q7_nation_trade_volume",
 ]
 
 
