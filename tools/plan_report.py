@@ -123,14 +123,27 @@ def main() -> None:
     # Executed (post-materialization) shapes for the most expensive
     # queries per the latest bench detail — the column that separates
     # printed lineage from runtime cost.
+    # Since the bench went stratified (1/3 of the fleet per round) the
+    # latest BENCH_DETAIL alone misses known-expensive queries in other
+    # strata, so union it with the newest full-coverage baseline
+    # snapshot (stratified timing wins where both exist — it's fresher).
     repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
     executed: list[tuple[str, float, dict]] = []
     if os.path.exists(detail_path):
+        import glob
         import json
 
+        timings: dict[str, float] = {}
+        baselines = sorted(
+            glob.glob(os.path.join(repo_dir, "bench_baseline_r*.json")),
+            key=lambda p: int(p.rsplit("_r", 1)[1].split(".")[0]),
+        )
+        if baselines:
+            with open(baselines[-1]) as f:
+                timings.update(json.load(f).get("queries", {}))
         with open(detail_path) as f:
-            timings = json.load(f).get("queries", {})
+            timings.update(json.load(f).get("queries", {}))
         qs = m.queries()
         top = sorted(
             ((t, n) for n, t in timings.items() if n in qs), reverse=True
