@@ -26,29 +26,50 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _PRIORITY = [
     # ---- ROUND-8 WINDOW ----------------------------------------------
     # Registry still frozen at 252.  Window = round-8 changed code
-    # first, then ALL 23 r2-latest rows, then the 22 alphabetically
-    # first of the 35 r3-latest rows (VERDICT r7 "Next" #4 pre-plan).
-    # After this run no registered query's evidence is older than r3,
-    # and the remaining 13 r3 rows rotate in round 9.
+    # first, then ALL remaining r2-latest rows, then the oldest r3
+    # rows to fill 50 (VERDICT r7 "Next" #4 pre-plan).  After this run
+    # no registered query's evidence is older than r3; the 20 r3 rows
+    # that no longer fit are the documented round-9 backlog (listed at
+    # the end of this comment block's slot-29 section).
     #
-    # Slots 1-5: changed-implementation canaries.  The inline-IVF trio
-    # now derives its √N centroid cadence INSIDE the plan (broadcast
-    # 1-row count aggregate — ADVICE r7; results bit-identical, plan
-    # changed).  The two linkage-cluster queries sit on the round-8
-    # constant shave: two-branch hot-block emission in
-    # operators/linkage.py and the self-looped single-reference
-    # label-propagation rounds in _entity_size_histogram (VERDICT r7
-    # "Next" #3; capped 11.5s -> ~5.5s at sf0.1, histogram identical).
+    # Slots 1-5: changed-implementation canaries from the session-1
+    # work.  The inline-IVF trio now derives its √N centroid cadence
+    # INSIDE the plan (broadcast 1-row count aggregate — ADVICE r7;
+    # results bit-identical, plan changed).  The two linkage-cluster
+    # queries sit on the round-8 constant shave: two-branch hot-block
+    # emission in operators/linkage.py and the self-looped
+    # single-reference label-propagation rounds in
+    # _entity_size_histogram (VERDICT r7 "Next" #3; capped 11.5s ->
+    # ~5.5s at sf0.1, histogram identical).
     "similarity_ann_ivf_sq8",
     "similarity_ann_ivf",
     "similarity_ann_ivf_nprobe2",
     "customers_linkage_clusters_capped",
     "customers_linkage_clusters",
-    # Slots 6-28: every remaining r2-latest row (the oldest evidence
+    # Slots 6-14: session-2 broadcast-audit canaries.  A fleet sweep of
+    # all 184 F.broadcast call sites found six relations that grow ∝
+    # corpus being broadcast (per-doc shingle sizes in jaccard_pairs /
+    # containment_pairs, the full-vocab BM25 idf table, the BPE word
+    # encoder map, the NB per-(class,token) weights, the trigram count
+    # table).  Fixes: sizes carried through posting rows (joins
+    # eliminated), BM25 query-term semi-join pushed below the index
+    # aggregates (idf now |query terms|-bounded), the other three
+    # demoted to plain equi-joins (AQE re-broadcasts them while
+    # small).  Values bit-identical — all nine re-verified via
+    # tools/check_oracle.py at sf0.01 before this staging.
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_lsh_recall_sampled",
+    "dedup_shingle_containment",
+    "text_bm25_topk",
+    "text_hybrid_rrf_topk",
+    "vocab_bpe_encode",
+    "text_lang_classifier_nb",
+    "text_trigram_lm_score",
+    # Slots 15-36: every remaining r2-latest row (the oldest evidence
     # in the ledger after the r7 run; LEDGER.json stale list).
     "ann_recall_at_k",
     "dedup_embedding_lsh",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "events_hourly_rollup",
     "events_rolling_1h_value",
@@ -69,13 +90,19 @@ _PRIORITY = [
     "text_token_counts",
     "topk_parts_per_brand",
     "unpivot_measures",
-    # Slots 29-50: the 22 alphabetically-first r3-latest rows.  The 13
-    # that don't fit (q8_market_share, q9_product_profit_adapted,
-    # sample_mixture_weighted, sample_weighted_poisson,
-    # similarity_ann_sq8, text_cdc_chunks, text_exact_substring_dedup,
-    # text_lang_classifier_nb, text_pii_scrub, text_repetition_ratios,
-    # text_winnowing_fingerprints, tfidf_distinctive_terms,
-    # vocab_top_tokens) are the whole round-9 backlog.
+    # Slots 37-50: the 14 alphabetically-first r3-latest rows.  The 20
+    # that don't fit (q17_small_quantity_revenue,
+    # q18_large_volume_customers, q20_excess_stock_suppliers,
+    # q21_waiting_orders, q22_inactive_rich_customers,
+    # q2_min_cost_supplier, q4_order_priority_check,
+    # q7_nation_trade_volume, q8_market_share,
+    # q9_product_profit_adapted, sample_mixture_weighted,
+    # sample_weighted_poisson, similarity_ann_sq8, text_cdc_chunks,
+    # text_exact_substring_dedup, text_pii_scrub,
+    # text_repetition_ratios, text_winnowing_fingerprints,
+    # tfidf_distinctive_terms, vocab_top_tokens) are the whole
+    # round-9 backlog; text_lang_classifier_nb left this pool for the
+    # canary slots above.
     "bigram_stats",
     "crossmodal_doc_embedding_join",
     "dedup_clusters_minhash",
@@ -90,14 +117,6 @@ _PRIORITY = [
     "q13_customer_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_orders",
-    "q22_inactive_rich_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority_check",
-    "q7_nation_trade_volume",
 ]
 
 

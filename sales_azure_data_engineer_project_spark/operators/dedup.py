@@ -131,27 +131,32 @@ def jaccard_pairs(
     # ~25-byte strings.  Collision risk is birthday-bounded (~1e-9 at
     # 1e5 distinct shingles, still <1e-4 at 1e8) and any collision is
     # caught by the DuckDB oracle, which intersects the raw strings.
+    # Each posting row CARRIES its document's shingle count (4-byte
+    # int): the per-doc sizes relation grows ∝ corpus, so joining it
+    # back — let alone broadcasting it, as this ran until round 8 —
+    # is the one piece of this plan that would not survive 1e9 docs.
+    # min(sz) in the pair aggregate recovers the constant-per-doc
+    # value for free inside the existing partial aggregation.
     sh = shingled.select(
-        F.col(id_col), F.explode("shingles").alias("sh_raw")
-    ).select(F.col(id_col), F.xxhash64("sh_raw").alias("sh"))
-    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("sz")).filter(
-        F.col("sz") > 0
+        F.col(id_col),
+        F.size("shingles").cast("int").alias("sz"),
+        F.explode("shingles").alias("sh_raw"),
+    ).select(F.col(id_col), F.col("sz"), F.xxhash64("sh_raw").alias("sh"))
+    r = sh.select(
+        F.col(id_col).alias("rid"), F.col("sz").alias("sz_r"), F.col("sh")
     )
-    r = sh.select(F.col(id_col).alias("rid"), F.col("sh"))
     common = (
         sh.join(r, on="sh")
         .filter(F.col(id_col) < F.col("rid"))
         .groupBy(F.col(id_col).alias("id_a"), F.col("rid").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min("sz").alias("sz_a"),
+            F.min("sz_r").alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    # per-doc size tables are |docs| rows — broadcast unconditionally
-    # rather than trusting AQE's runtime stats on a cached fragment
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
+        common.withColumn(
             "jac_permille",
             F.expr("div(1000 * common, sz_a + sz_b - common)").cast("bigint"),
         )
@@ -191,25 +196,29 @@ def containment_pairs(
     cont_b_permille, cont_max_permille) with id_a < id_b.
     """
     shingled = _shingled(df, id_col, text_col, n)
+    # sizes carried through the posting rows exactly as in
+    # ``jaccard_pairs`` above — the per-doc size relation grows ∝
+    # corpus, so it must never be joined back (or broadcast).
     sh = shingled.select(
-        F.col(id_col), F.explode("shingles").alias("sh_raw")
-    ).select(F.col(id_col), F.xxhash64("sh_raw").alias("sh"))
-    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("sz")).filter(
-        F.col("sz") > 0
+        F.col(id_col),
+        F.size("shingles").cast("int").alias("sz"),
+        F.explode("shingles").alias("sh_raw"),
+    ).select(F.col(id_col), F.col("sz"), F.xxhash64("sh_raw").alias("sh"))
+    r = sh.select(
+        F.col(id_col).alias("rid"), F.col("sz").alias("sz_r"), F.col("sh")
     )
-    r = sh.select(F.col(id_col).alias("rid"), F.col("sh"))
     common = (
         sh.join(r, on="sh")
         .filter(F.col(id_col) < F.col("rid"))
         .groupBy(F.col(id_col).alias("id_a"), F.col("rid").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min("sz").alias("sz_a"),
+            F.min("sz_r").alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn("cont_a_permille", F.expr("div(1000 * common, sz_a)").cast("bigint"))
+        common.withColumn("cont_a_permille", F.expr("div(1000 * common, sz_a)").cast("bigint"))
         .withColumn("cont_b_permille", F.expr("div(1000 * common, sz_b)").cast("bigint"))
         .withColumn(
             "cont_max_permille",

@@ -762,8 +762,10 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted pair must appear here at cont ≥ 800‰.
 
     Scale shape: identical to ``jaccard_pairs`` — xxhash64'd shingle
-    posting-list equi-join (never all-pairs), broadcast per-doc size
-    tables, one extra integer division per surviving pair.  At 100 TB
+    posting-list equi-join (never all-pairs), per-doc sizes carried
+    through the posting rows (no size-table join or broadcast — that
+    relation grows ∝ corpus), one extra integer division per
+    surviving pair.  At 100 TB
     the posting join is the same LSH-prunable bucket join as the
     symmetric path; containment is a post-filter, not a new plan."""
     corpus = _dedup_corpus(spark, sf_dir)
@@ -5088,8 +5090,11 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = tg.groupBy("tg").agg(F.count("*").alias("n"))
     bucket = F.length(F.expr("bin(n)")) - 1
+    # counts is one row per DISTINCT trigram — grows ∝ corpus: plain
+    # equi-join on tg (AQE broadcasts it while small; at web scale it
+    # shuffles against the trigram stream).
     return (
-        tg.join(F.broadcast(counts), "tg")
+        tg.join(counts, "tg")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_trigrams"),
@@ -5341,9 +5346,12 @@ def text_lang_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select("cls", "tok", F.length(F.expr("bin(n)")).cast("bigint").alias("wt"))
     )
+    # wt is one row per (class, token) — vocab-sized, grows ∝ corpus:
+    # plain equi-join on tok (AQE broadcasts it while small; at web
+    # scale it shuffles against the eval-split token stream).
     scored = (
         toks.filter(F.col("doc_id") % 5 == 0)
-        .join(F.broadcast(wt), "tok")
+        .join(wt, "tok")
         .groupBy("doc_id", "lang", "cls")
         .agg(F.sum("wt").alias("score"))
     )
@@ -6290,8 +6298,11 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _, x, y, _, _ in merges:
         allwords = allwords.withColumn("syms", _bpe_merge_fold(x, y))
     enc = allwords.select("word", F.size("syms").alias("n_syms"))
+    # enc is one row per DISTINCT word — vocab-sized, grows ∝ corpus:
+    # plain equi-join on word (AQE still broadcasts it at small SF; at
+    # web scale it must shuffle against the token stream).
     return (
-        toks.join(F.broadcast(enc), "word")
+        toks.join(enc, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_words"),
@@ -9139,9 +9150,10 @@ def _bm25_ctes(topn: int) -> str:
 def _bm25_ranked(spark: SparkSession, sf_dir: str, *, topn: int) -> DataFrame:
     """Shared BM25 tier: (query_id, doc_id, score_milli, rk ≤ topn).
 
-    Exactly the chain documented on ``text_bm25_topk`` — the inverted
-    index as ONE map-side-combined groupBy(doc, term), vocab-bounded
-    df, broadcast bounded query terms into the posting equi-join."""
+    Exactly the chain documented on ``text_bm25_topk`` — the bounded
+    query-term set semi-joined below the index aggregates, so tf/df/
+    idf are built only for query terms and every broadcast frame is
+    |query terms|-bounded regardless of corpus size."""
     docs = _fan_out(load_testdata(spark, sf_dir, "documents").select("doc_id", "text"))
     tk = docs.select(
         "doc_id", F.split("text", X.TOKEN_RE).alias("toks")
@@ -9151,21 +9163,30 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str, *, topn: int) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.expr("div(1000 * sum(dl), count(1))").alias("avgdl_milli"),
     )
-    tf = (
-        tk.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_t.crossJoin(F.broadcast(stats.select("n"))).select(
-        "tok", (F.length(F.expr("bin(div(n, df))")) - 1).cast("long").alias("idf")
-    )
     q = (
         tk.filter(F.col("doc_id") < 8)
         .select(
             F.col("doc_id").alias("query_id"),
             F.explode(F.array_distinct(F.slice("toks", 1, 6))).alias("tok"),
         )
+    )
+    # the bounded query-term set semi-joins into the token stream
+    # BELOW the index aggregates, so tf/df/idf are computed only for
+    # query terms (identical values — df still counts over the whole
+    # corpus' docs).  Until round 8 idf was built for the FULL vocab
+    # and broadcast — a relation that grows ∝ corpus and would not
+    # survive a web-scale token space; restricted, it is ≤|query
+    # terms| rows and broadcasting it is sound at any corpus size.
+    qtok = q.select("tok").distinct()
+    tf = (
+        tk.select("doc_id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(qtok), "tok", "semi")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats.select("n"))).select(
+        "tok", (F.length(F.expr("bin(div(n, df))")) - 1).cast("long").alias("idf")
     )
     scored = (
         tf.join(F.broadcast(q), "tok")
@@ -9213,15 +9234,18 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact on both engines and stopwords (df == N) zero out
     naturally.
 
-    Scale shape: the inverted index is ONE map-side-combined
-    groupBy(doc_id, term); document frequency is a vocab-bounded
-    aggregate; the bounded 8-query term set broadcasts into the
-    posting-list equi-join on term, so only postings of query terms
-    are ever scanned — the per-(query, doc) accumulation is one more
-    combinable aggregate and the final ranking window sees only
-    matched candidates.  At 100 TB the postings partition by term;
-    a hot stopword term carries idf 0 and can be pruned before the
-    join (df == N ⇒ zero contribution)."""
+    Scale shape: the bounded 8-query term set SEMI-joins into the
+    token stream below the index aggregates, so the map-side-combined
+    groupBy(doc_id, term) index, the df aggregate, and the broadcast
+    idf frame are all |query terms|-bounded — only postings of query
+    terms are ever aggregated or scanned (df still counts over the
+    whole corpus' docs for those terms, so values are unchanged).
+    Until round 8 idf was built for the FULL vocab and broadcast — a
+    relation that grows ∝ corpus.  The per-(query, doc) accumulation
+    is one more combinable aggregate and the final ranking window
+    sees only matched candidates.  At 100 TB the postings partition
+    by term; a hot stopword term carries idf 0 and can be pruned
+    before the join (df == N ⇒ zero contribution)."""
     return (
         _bm25_ranked(spark, sf_dir, topn=5)
         .select(

@@ -473,8 +473,8 @@ def test_no_cartesian_or_python_udf_in_any_registered_plan(spark):
                                     # sq8 stats broadcast (as
                                     # embedding_cluster_quality)
         "text_bm25_topk",  # 1-row corpus stats (N, avgdl) broadcast
-                           # onto the vocab-bounded idf table and the
-                           # posting join; retrieval joins are all
+                           # onto the query-term-bounded idf table and
+                           # the posting join; retrieval joins are all
                            # term equi-joins
         "text_hybrid_rrf_topk",  # both tiers' proven shapes: the BM25
                                  # 1-row stats broadcast + the bounded
@@ -805,3 +805,44 @@ def test_ledger_never_checked_queries_are_scheduled(spark):
     assert not unscheduled, (
         f"never-driver-checked queries outside the next window: {unscheduled}"
     )
+
+
+def test_corpus_sized_relations_are_not_broadcast(spark):
+    """Round-8 broadcast-audit pins: relations that grow ∝ corpus must
+    never sit on the build side of an explicit broadcast (a driver OOM
+    at web scale no matter how well it benches at test SF).
+
+    - jaccard_pairs / containment_pairs carry per-doc shingle sizes
+      through the posting rows, so their whole logical plan has exactly
+      ONE join (the shingle posting self-join) — the two per-doc size
+      joins (formerly ∝N broadcasts) are gone, not merely demoted.
+    - BM25 pushes the bounded query-term set BELOW the index
+      aggregates as a LeftSemi join, so tf/df/idf are |query terms|-
+      bounded before anything is broadcast.
+    """
+    import __spark_entry__ as m
+
+    from sales_azure_data_engineer_project_spark.operators import dedup as D
+
+    QUERIES = m.queries()
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    jac_plan = (
+        D.jaccard_pairs(docs, "doc_id", "text")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert jac_plan.count("Join") == 1, jac_plan
+    cont_plan = (
+        D.containment_pairs(docs, "doc_id", "text")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert cont_plan.count("Join") == 1, cont_plan
+
+    bm_plan = (
+        QUERIES["text_bm25_topk"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "LeftSemi" in bm_plan, bm_plan
