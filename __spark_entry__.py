@@ -46,17 +46,20 @@ _PRIORITY = [
     "similarity_ann_ivf_nprobe2",
     "customers_linkage_clusters_capped",
     "customers_linkage_clusters",
-    # Slots 6-14: session-2 broadcast-audit canaries.  A fleet sweep of
-    # all 184 F.broadcast call sites found six relations that grow ∝
+    # Slots 6-13: session-2 broadcast-audit canaries.  A fleet sweep of
+    # all 184 F.broadcast call sites found five relations that grow ∝
     # corpus being broadcast (per-doc shingle sizes in jaccard_pairs /
     # containment_pairs, the full-vocab BM25 idf table, the BPE word
-    # encoder map, the NB per-(class,token) weights, the trigram count
-    # table).  Fixes: sizes carried through posting rows (joins
-    # eliminated), BM25 query-term semi-join pushed below the index
-    # aggregates (idf now |query terms|-bounded), the other three
-    # demoted to plain equi-joins (AQE re-broadcasts them while
-    # small).  Values bit-identical — all nine re-verified via
-    # tools/check_oracle.py at sf0.01 before this staging.
+    # encoder map, the NB per-(class,token) weights).  Fixes: sizes
+    # carried through posting rows (joins eliminated), BM25 query-term
+    # semi-join pushed below the index aggregates (idf now |query
+    # terms|-bounded), the other two demoted to plain equi-joins (AQE
+    # re-broadcasts them while small).  Values bit-identical — all
+    # re-verified via tools/check_oracle.py at sf0.01 before this
+    # staging.  (text_trigram_lm_score was briefly demoted too, then
+    # reverted: its count table is charset³-bounded, not ∝ corpus,
+    # and the plain join OOM'd the 100× blow-up — net code change
+    # zero, so it needs no canary slot.)
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_lsh_recall_sampled",
@@ -65,7 +68,6 @@ _PRIORITY = [
     "text_hybrid_rrf_topk",
     "vocab_bpe_encode",
     "text_lang_classifier_nb",
-    "text_trigram_lm_score",
     # Slots 15-36: every remaining r2-latest row (the oldest evidence
     # in the ledger after the r7 run; LEDGER.json stale list).
     "ann_recall_at_k",
@@ -90,12 +92,11 @@ _PRIORITY = [
     "text_token_counts",
     "topk_parts_per_brand",
     "unpivot_measures",
-    # Slots 37-50: the 14 alphabetically-first r3-latest rows.  The 20
-    # that don't fit (q17_small_quantity_revenue,
-    # q18_large_volume_customers, q20_excess_stock_suppliers,
-    # q21_waiting_orders, q22_inactive_rich_customers,
-    # q2_min_cost_supplier, q4_order_priority_check,
-    # q7_nation_trade_volume, q8_market_share,
+    # Slots 36-50: the 15 alphabetically-first r3-latest rows.  The 19
+    # that don't fit (q18_large_volume_customers,
+    # q20_excess_stock_suppliers, q21_waiting_orders,
+    # q22_inactive_rich_customers, q2_min_cost_supplier,
+    # q4_order_priority_check, q7_nation_trade_volume, q8_market_share,
     # q9_product_profit_adapted, sample_mixture_weighted,
     # sample_weighted_poisson, similarity_ann_sq8, text_cdc_chunks,
     # text_exact_substring_dedup, text_pii_scrub,
@@ -117,6 +118,7 @@ _PRIORITY = [
     "q13_customer_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
+    "q17_small_quantity_revenue",
 ]
 
 

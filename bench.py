@@ -144,7 +144,7 @@ def main() -> None:
         "similarity_ann_ivf_nprobe2",
         # round-8 session-2 broadcast audit: ∝N broadcasts removed
         # (sizes carried through postings / BM25 query-term pushdown /
-        # three vocab-sized maps demoted to plain joins)
+        # two vocab-sized maps demoted to plain joins)
         "dedup_ngram_jaccard",
         "dedup_clusters",
         "dedup_lsh_recall_sampled",
@@ -153,7 +153,6 @@ def main() -> None:
         "text_hybrid_rrf_topk",
         "vocab_bpe_encode",
         "text_lang_classifier_nb",
-        "text_trigram_lm_score",
     }
     import hashlib
 

@@ -5090,11 +5090,15 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = tg.groupBy("tg").agg(F.count("*").alias("n"))
     bucket = F.length(F.expr("bin(n)")) - 1
-    # counts is one row per DISTINCT trigram — grows ∝ corpus: plain
-    # equi-join on tg (AQE broadcasts it while small; at web scale it
-    # shuffles against the trigram stream).
+    # counts is charset³-BOUNDED (char trigrams saturate; it does NOT
+    # grow ∝ corpus the way word-vocab tables do), so the explicit
+    # broadcast is sound at any corpus size — and load-bearing: the
+    # round-8 audit briefly demoted it to a plain join, which forced
+    # the corpus-sized trigram STREAM through a shuffle and OOM'd the
+    # 100× blow-up; map-side broadcast join keeps the stream shuffle-
+    # free all the way to the one groupBy(doc_id).
     return (
-        tg.join(counts, "tg")
+        tg.join(F.broadcast(counts), "tg")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_trigrams"),
