@@ -56,10 +56,9 @@ _PRIORITY = [
     # terms|-bounded), the other two demoted to plain equi-joins (AQE
     # re-broadcasts them while small).  Values bit-identical — all
     # re-verified via tools/check_oracle.py at sf0.01 before this
-    # staging.  (text_trigram_lm_score was briefly demoted too, then
-    # reverted: its count table is charset³-bounded, not ∝ corpus,
-    # and the plain join OOM'd the 100× blow-up — net code change
-    # zero, so it needs no canary slot.)
+    # staging.  (text_trigram_lm_score's count table was briefly
+    # demoted too, then reverted: it is charset³-bounded, not ∝
+    # corpus.)
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_lsh_recall_sampled",
@@ -68,6 +67,15 @@ _PRIORITY = [
     "text_hybrid_rrf_topk",
     "vocab_bpe_encode",
     "text_lang_classifier_nb",
+    # Slots 14-15: the 100× decade tier (new this round) OOM'd the
+    # columnar cache of the char-ARRAY representation both these
+    # queries persisted (~56 bytes/char in 10k-row cache batches);
+    # they now persist the compact lowered TEXT and re-derive the
+    # char array streamed per consumer.  Values bit-identical —
+    # re-verified via check_oracle at sf0.01; 100× now completes
+    # (34s / 36s, α ≈ 0.55).
+    "text_trigram_lm_score",
+    "text_ccnet_perplexity_buckets",
     # Slots 15-36: every remaining r2-latest row (the oldest evidence
     # in the ledger after the r7 run; LEDGER.json stale list).
     "ann_recall_at_k",
@@ -92,8 +100,9 @@ _PRIORITY = [
     "text_token_counts",
     "topk_parts_per_brand",
     "unpivot_measures",
-    # Slots 36-50: the 15 alphabetically-first r3-latest rows.  The 19
-    # that don't fit (q18_large_volume_customers,
+    # Slots 38-50: the 13 alphabetically-first r3-latest rows.  The 21
+    # that don't fit (q15_top_supplier,
+    # q17_small_quantity_revenue, q18_large_volume_customers,
     # q20_excess_stock_suppliers, q21_waiting_orders,
     # q22_inactive_rich_customers, q2_min_cost_supplier,
     # q4_order_priority_check, q7_nation_trade_volume, q8_market_share,
@@ -117,8 +126,6 @@ _PRIORITY = [
     "q11_important_parts",
     "q13_customer_order_distribution",
     "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
 ]
 
 

@@ -153,6 +153,10 @@ def main() -> None:
         "text_hybrid_rrf_topk",
         "vocab_bpe_encode",
         "text_lang_classifier_nb",
+        # 100×-tier OOM fix: persist compact lowered text, not the
+        # inflated char array, in the two char-trigram queries
+        "text_trigram_lm_score",
+        "text_ccnet_perplexity_buckets",
     }
     import hashlib
 

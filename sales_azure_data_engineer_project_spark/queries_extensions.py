@@ -5059,12 +5059,14 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation on both engines, because float log2 may round a hair
     differently across libm implementations and flip a floor.
 
-    Scale shape: the text is split into a char ARRAY once and persisted
-    (the InMemoryRelation barrier from the NOTES explode pitfall), so
-    each emitted trigram is three O(1) array reads — the first cut
-    evaluated ``substring(lower(text), i, 3)`` inside the explode
-    lambda, an O(len) lower + O(i) UTF8 seek PER TRIGRAM = O(len²) per
-    doc, measured 8.1 s vs 3.0 s at sf0.1.  The count table's key space
+    Scale shape: the LOWERED TEXT is persisted (compact, ~1× input)
+    and each consumer re-derives the char array in one streamed O(len)
+    split per row, so every emitted trigram is three O(1) array reads —
+    the first cut evaluated ``substring(lower(text), i, 3)`` inside the
+    explode lambda, an O(len) lower + O(i) UTF8 seek PER TRIGRAM =
+    O(len²) per doc, measured 8.1 s vs 3.0 s at sf0.1; a later cut
+    persisted the char ARRAY itself, whose ~56-bytes-per-char columnar
+    cache batches OOM'd the 100× blow-up.  The count table's key space
     is bounded by charset³ regardless of corpus size, so it aggregates
     with map-side partial combine and BROADCASTS back to the stream —
     per-doc scoring is then a map-side join + one groupBy(doc_id)
@@ -5072,12 +5074,20 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")
     # length filter runs on the LOWERED text (size(cs) counts it) so it
     # agrees with the oracle's WHERE length(lower(text)) even for
-    # Unicode chars whose lowercase expands (e.g. U+0130)
-    chars = (
-        docs.select("doc_id", F.split(F.lower("text"), "(?!^)").alias("cs"))
-        .filter(F.size("cs") >= 4)
-        .transform(tracked_persist)
-    )
+    # Unicode chars whose lowercase expands (e.g. U+0130).
+    # PERSIST THE COMPACT FORM: caching the char ARRAY inflates every
+    # character to a ~56-byte UTF8String inside the columnar cache
+    # builder (10k-row batches held on-heap per task) — the 100×
+    # blow-up OOM'd exactly there.  Persist lower(text) (~1× the
+    # input) and re-derive cs per consumer: the split is O(len) per
+    # row, streamed and GC-able, and the two consumers pay 2× split
+    # CPU instead of a memory-bound cache of the inflated form.
+    lowered = docs.select(
+        "doc_id", F.lower("text").alias("lt")
+    ).transform(tracked_persist)
+    chars = lowered.select(
+        "doc_id", F.split("lt", "(?!^)").alias("cs")
+    ).filter(F.size("cs") >= 4)
     tg = chars.select(
         "doc_id",
         # split("(?!^)") leaves one trailing "" element, so the char
@@ -7963,11 +7973,15 @@ def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     bucket, so bucket sizes are N/3 up to tie inflation —
     deterministic on both engines with no doc_id tiebreak needed."""
     docs = load_testdata(spark, sf_dir, "documents")
-    chars = (
-        docs.select("doc_id", "lang", F.split(F.lower("text"), "(?!^)").alias("cs"))
-        .filter(F.size("cs") >= 4)
-        .transform(tracked_persist)
-    )
+    # persist the compact lowered text, not the char array — caching
+    # the inflated form OOMs the columnar cache builder at large
+    # blow-ups (see text_trigram_lm_score); cs re-derives streamed.
+    lowered = docs.select(
+        "doc_id", "lang", F.lower("text").alias("lt")
+    ).transform(tracked_persist)
+    chars = lowered.select(
+        "doc_id", "lang", F.split("lt", "(?!^)").alias("cs")
+    ).filter(F.size("cs") >= 4)
     tg = chars.select(
         "doc_id",
         "lang",
