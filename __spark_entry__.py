@@ -76,6 +76,20 @@ _PRIORITY = [
     # (34s / 36s, α ≈ 0.55).
     "text_trigram_lm_score",
     "text_ccnet_perplexity_buckets",
+    # Slots 16-18: session-3 hierarchical-quantizer canaries.  The
+    # 100× decade tier measured the corpus-scaled (k ∝ N) SemDeDup
+    # quantizer's flat N·k Lloyd assignment going quadratic (N²/64:
+    # 102 s, α 0.83 — the fleet's worst 100× row); above
+    # _HIER_QUANTIZER_K the fit is now two-level (coarse √k JVM Lloyd
+    # + per-cell local refinement, ~N^1.5).  The gate keeps every
+    # oracle SF on the UNCHANGED flat path (k ≤ 32 there), so results
+    # and plans at sf0.01 are identical — canaried anyway, per the
+    # round-7 IVF-cadence precedent for changed implementations.
+    # Post-fix 100×: semdedup 28.6 s (α 0.49), funnel 45.0 s,
+    # mutual-knn 35.9 s (α 0.58, first decade row).
+    "dedup_semantic_semdedup",
+    "pipeline_full_train_prep",
+    "similarity_mutual_knn_pairs",
     # Slots 15-36: every remaining r2-latest row (the oldest evidence
     # in the ledger after the r7 run; LEDGER.json stale list).
     "ann_recall_at_k",
@@ -100,8 +114,10 @@ _PRIORITY = [
     "text_token_counts",
     "topk_parts_per_brand",
     "unpivot_measures",
-    # Slots 38-50: the 13 alphabetically-first r3-latest rows.  The 21
-    # that don't fit (q15_top_supplier,
+    # Slots 41-50: the 10 alphabetically-first r3-latest rows.  The 24
+    # that don't fit (q11_important_parts,
+    # q13_customer_order_distribution, q14_promo_revenue,
+    # q15_top_supplier,
     # q17_small_quantity_revenue, q18_large_volume_customers,
     # q20_excess_stock_suppliers, q21_waiting_orders,
     # q22_inactive_rich_customers, q2_min_cost_supplier,
@@ -123,9 +139,6 @@ _PRIORITY = [
     "events_value_anomalies",
     "pipeline_pack_sequences",
     "pipeline_training_prep",
-    "q11_important_parts",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
 ]
 
 

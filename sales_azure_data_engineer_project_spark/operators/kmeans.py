@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .similarity import as_double_vec
 
-__all__ = ["kmeans_fit", "assign_clusters"]
+__all__ = ["kmeans_fit", "assign_clusters", "subcluster_cells"]
 
 
 def _centroid_struct(centroids: list[list[float]]):
@@ -139,6 +139,74 @@ def _iteration_sums_arrow(
             yield pd.DataFrame(rows, columns=["cluster", "n", "s"])
 
     return df.mapInPandas(part, "cluster int, n long, s array<double>")
+
+
+def subcluster_cells(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    coarse_col: str = "cluster",
+    vec_col: str = "cvec",
+    target_cell: int = 64,
+    iters: int = 3,
+    sub_offset: int = 1 << 15,
+) -> DataFrame:
+    """Second quantizer level for the SemDeDup regime: within each
+    COARSE cell, fit a LOCAL Lloyd sub-quantizer (numpy, entirely
+    executor-side) with k₂ = ⌈|cell| / target_cell⌉ and relabel
+    ``coarse_col`` to ``coarse · sub_offset + sub``.
+
+    Why a second level exists at all: SemDeDup needs cluster sizes
+    held ~constant (so the Σ|cluster|² within-cell pair join stays
+    ∝ N), which forces k ∝ N — and a FLAT Lloyd fit then costs
+    N·k = N²/target_cell distance evaluations per iteration.  The
+    round-8 100× decade row measured exactly that blow-up (102 s,
+    the fleet's worst exponent).  Two balanced levels (coarse ≈ √k
+    cells via the broadcast JVM fit, then this local refinement) cut
+    total assignment work to ~N·√k ∝ N^1.5 — the same regime as the
+    IVF coarse quantizer — while final cell sizes stay ~target_cell,
+    so every downstream Σ|cluster|² contract is unchanged.
+
+    Scale shape: one shuffle on the coarse id; each group holds one
+    coarse cell (~target_cell·√k rows ≈ 8√N at the balanced k₁ = √k —
+    ~250 MB of float64 at N = 10⁹, the documented per-group bound).
+    Nothing reaches the driver; sub-centroids live and die inside
+    their group.  Determinism: rows sort by ``id_col`` inside the
+    group, seeds are the first k₂ rows, and numpy float64 arithmetic
+    is reproducible — two runs yield identical labels.
+
+    Label arithmetic fits int32 for coarse < 2¹⁵ and k₂ < 2¹⁵, i.e.
+    corpora to ~4·10¹² vectors at target_cell 64 — asserted, not
+    assumed.
+    """
+    import numpy as np
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+
+    def fit_group(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        k2 = -(-n // target_cell)
+        coarse = int(pdf[coarse_col].iloc[0])
+        assert coarse < sub_offset, "coarse id overflows the label space"
+        if k2 <= 1:
+            pdf[coarse_col] = np.int32(coarse * sub_offset)
+            return pdf
+        assert k2 < sub_offset, "sub-cell count overflows the label space"
+        X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+        C = X[:k2].copy()
+        a = None
+        for _ in range(iters):
+            a = _dists_fold_order(X, C).argmin(1)
+            for c in range(k2):
+                m = a == c
+                if m.any():
+                    C[c] = X[m].mean(axis=0)
+        a = _dists_fold_order(X, C).argmin(1)
+        pdf[coarse_col] = (coarse * sub_offset + a).astype("int32")
+        return pdf
+
+    return df.groupBy(coarse_col).applyInPandas(fit_group, fields)
 
 
 def kmeans_fit(

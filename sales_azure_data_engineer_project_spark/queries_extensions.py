@@ -3839,6 +3839,15 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ceil-division.
 _QUANTIZER_TARGET_CELL = 64
 _QUANTIZER_K_FLOOR = 8
+# Above this derived k the quantizer switches to the two-level
+# hierarchical fit (coarse √k Lloyd + per-cell local refinement,
+# operators/kmeans.subcluster_cells) — the flat N·k assignment is
+# N²/64 in the SemDeDup k ∝ N regime, measured as the fleet's worst
+# 100× row (102 s, α 0.83) before this gate.  128 keeps every
+# oracle-verified SF (k ≤ 32 at sf0.1) and the k=8 fixed-k callers on
+# the flat path, so the DuckDB flat-Lloyd replays stay bit-exact —
+# the same gate pattern as the IVF cadence floor of 61.
+_HIER_QUANTIZER_K = 128
 _K_SCALED_SQL = (
     f"(SELECT GREATEST({_QUANTIZER_K_FLOOR}, "
     f"(COUNT(*) + {_QUANTIZER_TARGET_CELL - 1}) // {_QUANTIZER_TARGET_CELL}) "
@@ -3867,9 +3876,12 @@ def _sq8_kmeans_cells(
     one cheap parquet count) — the SemDeDup regime where cluster sizes
     stay ~constant as N grows.  Seeds are the lowest-k vec_ids (dense
     ids in the testdata; at production scale you'd seed from a bounded
-    sample instead), and the driver holds k×d doubles — fine up to
-    k ~ 10⁶; beyond that a hierarchical / mini-batch quantizer replaces
-    the single-level Lloyd fit.
+    sample instead).  Above ``_HIER_QUANTIZER_K`` the corpus-scaled fit
+    goes TWO-LEVEL (coarse √k Lloyd here + local per-cell refinement in
+    ``operators/kmeans.subcluster_cells``): flat N·k assignment is
+    N²/64 once k ∝ N — the round-8 100× sweep measured it at 102 s /
+    α 0.83 before the gate — and the two balanced levels cut it to
+    ~N^1.5 with the driver holding only √k×d doubles.
 
     ONE scan derives v, norm AND the SQ8 code vector (quantization
     stats broadcast in) — round-3's first cut joined a second
@@ -3878,10 +3890,15 @@ def _sq8_kmeans_cells(
     iteration: one narrow assignment pass (broadcast k×d centroids)
     fused with the (k·d)-row partial-sum shuffle — only the centroid
     matrix ever reaches the driver."""
-    from .operators.kmeans import assign_clusters_arrow, kmeans_fit
+    from .operators.kmeans import assign_clusters_arrow, kmeans_fit, subcluster_cells
 
+    hier = False
     if k is None:
         k = _scaled_quantizer_k(load_testdata(spark, sf_dir, "embeddings").count())
+        # corpus-scaled k only: the flat N·k assignment is N²/64 once
+        # k tracks N — gate to the two-level fit above the
+        # oracle-verified range (constant note on _HIER_QUANTIZER_K)
+        hier = k > _HIER_QUANTIZER_K
     emb = S.with_norm(_fan_out(load_testdata(spark, sf_dir, "embeddings")))
     stats = S.sq8_stats(load_testdata(spark, sf_dir, "embeddings"))
     base = (
@@ -3898,20 +3915,36 @@ def _sq8_kmeans_cells(
     )
     # deterministic seeds = lowest-k vec_ids, fetched once — sorting the
     # whole frame inside the fit would re-run the sort on every
-    # iteration's scan
+    # iteration's scan.  Hierarchical tier fits √k COARSE cells with the
+    # same JVM loop (N·√k work), then refines each coarse cell locally
+    # (operators/kmeans.subcluster_cells) — final cell sizes stay
+    # ~_QUANTIZER_TARGET_CELL, so Σ|cluster|² consumers are unchanged.
+    from math import isqrt
+
+    k_fit = max(2, isqrt(k)) if hier else k
     seed_rows = (
-        base.filter(F.col("vec_id") < k).orderBy("vec_id").select("cvec").collect()
+        base.filter(F.col("vec_id") < k_fit).orderBy("vec_id").select("cvec").collect()
     )
     centroids, _ = kmeans_fit(
         base,
-        k=k,
+        k=k_fit,
         vec_col="cvec",
         max_iter=iters,
         tol=0.0,
         seeds=[list(r["cvec"]) for r in seed_rows],
         compute_inertia=False,
     )
-    return assign_clusters_arrow(base, centroids, "cvec").transform(tracked_persist)
+    assigned = assign_clusters_arrow(base, centroids, "cvec")
+    if hier:
+        assigned = subcluster_cells(
+            assigned,
+            id_col="vec_id",
+            coarse_col="cluster",
+            vec_col="cvec",
+            target_cell=_QUANTIZER_TARGET_CELL,
+            iters=iters,
+        )
+    return assigned.transform(tracked_persist)
 
 
 def _kmeans_cells_cte(

@@ -418,6 +418,63 @@ def test_semdedup_drop_list_vs_brute(spark, sf_smoke):
     assert out, "expected a non-empty drop list on the smoke corpus"
 
 
+def test_hierarchical_quantizer_partition_contract(spark, monkeypatch):
+    """Round-8 scale fix: above _HIER_QUANTIZER_K the corpus-scaled
+    quantizer goes two-level (coarse √k Lloyd + local per-cell Lloyd,
+    N^1.5 total work vs the flat N²/64).  Forced on at sf0.01 via a
+    lowered gate, the hierarchical cells must still satisfy every
+    contract the SemDeDup pair join relies on:
+
+    - exact partition: every vector labeled exactly once;
+    - bounded cells: max |cell| stays O(target_cell) so Σ|cluster|²
+      remains ∝ N (3× headroom for Lloyd imbalance);
+    - label arithmetic: coarse id = label >> 15 matches the coarse
+      assignment the sub-clustering was grouped by;
+    - identical vectors co-locate (argmin ties break identically), so
+      planted exact duplicates stay catchable;
+    - deterministic across runs.
+    """
+    from collections import Counter
+
+    import sales_azure_data_engineer_project_spark.queries_extensions as QE
+    from sales_azure_data_engineer_project_spark.queries_extensions import (
+        _QUANTIZER_TARGET_CELL,
+        _sq8_kmeans_cells,
+    )
+
+    monkeypatch.setattr(QE, "_HIER_QUANTIZER_K", 4)  # derived k=8 > 4 → hier
+    sf = "/root/testdata/sf0.01"
+    rows = _sq8_kmeans_cells(spark, sf, k=None, iters=3).select(
+        "vec_id", "cluster", "v"
+    ).collect()
+
+    n_emb = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert len(rows) == n_emb
+    assert len({r["vec_id"] for r in rows}) == n_emb
+
+    sizes = Counter(r["cluster"] for r in rows)
+    assert max(sizes.values()) <= 3 * _QUANTIZER_TARGET_CELL
+    assert len(sizes) > 1
+
+    # identical vectors must share a final cell (deterministic argmin)
+    by_vec: dict[tuple, set] = {}
+    for r in rows:
+        by_vec.setdefault(tuple(r["v"]), set()).add(r["cluster"])
+    assert all(len(cells) == 1 for cells in by_vec.values())
+
+    # coarse ids embedded in the label must be a small contiguous-ish
+    # set (k1 = isqrt(8) = 2 coarse cells on this corpus)
+    coarse = {c >> 15 for c in sizes}
+    assert coarse == set(range(len(coarse)))
+
+    rows2 = _sq8_kmeans_cells(spark, sf, k=None, iters=3).select(
+        "vec_id", "cluster"
+    ).collect()
+    assert sorted((r["vec_id"], r["cluster"]) for r in rows2) == sorted(
+        (r["vec_id"], r["cluster"]) for r in rows
+    )
+
+
 def test_bpe_merges_vs_python_reference(spark, sf_smoke):
     """Third formulation cross-check: the registered BPE query (Spark
     F.aggregate fold; DuckDB replays it as windows) must equal a plain
