@@ -90,8 +90,58 @@ _PRIORITY = [
     "dedup_semantic_semdedup",
     "pipeline_full_train_prep",
     "similarity_mutual_knn_pairs",
-    # Slots 15-36: every remaining r2-latest row (the oldest evidence
-    # in the ledger after the r7 run; LEDGER.json stale list).
+    # Slots 19-37: session-3 long-shingle canaries.  The 300× tier
+    # OOM'd the string-array shingle cache (~25-byte strings × ~100/doc
+    # inflating in columnar batches — the trigram fix's class);
+    # operators/dedup._shingled now persists xxhash64 LONGS (all its
+    # consumers need identity only: posting joins, sizes,
+    # array_intersect verification) and the md5 signature build streams
+    # raw strings off its own text scan (minhash_signatures).  Values
+    # bit-identical — all 24 affected queries re-verified via
+    # check_oracle at sf0.01 before this staging; the 5 already
+    # staged above keep their slots.  Post-fix 300×: minhash_lsh
+    # 39.6 s (OOM before — and faster than its old 100× 59.7 s),
+    # clusters_minhash 75.1 s, ngram_jaccard 220.7 s, all sub-linear.
+    "dedup_minhash_lsh",
+    "dedup_clusters_minhash",
+    "dedup_incremental_batch",
+    "pipeline_training_prep",
+    "dedup_cluster_representatives",
+    "dedup_cross_source_matrix",
+    "dedup_graph_kcore",
+    "dedup_graph_label_propagation",
+    "dedup_graph_pagerank",
+    "dedup_graph_triangles",
+    "dedup_lsh_hot_bucket_capped",
+    "dedup_lsh_precision_report",
+    "dedup_minhash_containment_estimate",
+    "dedup_minhash_estimate_calibration",
+    "dedup_minhash_multiband_sweep",
+    "dedup_removal_bias_audit",
+    "dedup_token_savings_report",
+    "pipeline_split_leakage_check",
+    "sample_soft_dedup_weights",
+    # Slots 38-50: the 13 alphabetically-first r2-latest rows.  The
+    # session-3 canary block above displaced the rest of the pre-planned
+    # staleness rotation — changed code outranks evidence age by the
+    # window convention.  Round-9 backlog (r2: similarity_ann_sign_lsh,
+    # similarity_cosine_topk, skew_salted_aggregation, star_join_sales,
+    # text_chunking, text_fingerprints, text_token_counts,
+    # topk_parts_per_brand, unpivot_measures; r3: bigram_stats,
+    # crossmodal_doc_embedding_join, dedup_embedding_cosine,
+    # dedup_simhash_hamming, dedup_tf_cosine, events_value_anomalies,
+    # pipeline_pack_sequences, q11_important_parts,
+    # q13_customer_order_distribution, q14_promo_revenue,
+    # q15_top_supplier, q17_small_quantity_revenue,
+    # q18_large_volume_customers, q20_excess_stock_suppliers,
+    # q21_waiting_orders, q22_inactive_rich_customers,
+    # q2_min_cost_supplier, q4_order_priority_check,
+    # q7_nation_trade_volume, q8_market_share,
+    # q9_product_profit_adapted, sample_mixture_weighted,
+    # sample_weighted_poisson, similarity_ann_sq8, text_cdc_chunks,
+    # text_exact_substring_dedup, text_pii_scrub,
+    # text_repetition_ratios, text_winnowing_fingerprints,
+    # tfidf_distinctive_terms, vocab_top_tokens).
     "ann_recall_at_k",
     "dedup_embedding_lsh",
     "dedup_simhash",
@@ -105,40 +155,6 @@ _PRIORITY = [
     "price_delta_vs_prev_order",
     "richest_customer_per_nation",
     "running_total_by_supplier",
-    "similarity_ann_sign_lsh",
-    "similarity_cosine_topk",
-    "skew_salted_aggregation",
-    "star_join_sales",
-    "text_chunking",
-    "text_fingerprints",
-    "text_token_counts",
-    "topk_parts_per_brand",
-    "unpivot_measures",
-    # Slots 41-50: the 10 alphabetically-first r3-latest rows.  The 24
-    # that don't fit (q11_important_parts,
-    # q13_customer_order_distribution, q14_promo_revenue,
-    # q15_top_supplier,
-    # q17_small_quantity_revenue, q18_large_volume_customers,
-    # q20_excess_stock_suppliers, q21_waiting_orders,
-    # q22_inactive_rich_customers, q2_min_cost_supplier,
-    # q4_order_priority_check, q7_nation_trade_volume, q8_market_share,
-    # q9_product_profit_adapted, sample_mixture_weighted,
-    # sample_weighted_poisson, similarity_ann_sq8, text_cdc_chunks,
-    # text_exact_substring_dedup, text_pii_scrub,
-    # text_repetition_ratios, text_winnowing_fingerprints,
-    # tfidf_distinctive_terms, vocab_top_tokens) are the whole
-    # round-9 backlog; text_lang_classifier_nb left this pool for the
-    # canary slots above.
-    "bigram_stats",
-    "crossmodal_doc_embedding_join",
-    "dedup_clusters_minhash",
-    "dedup_embedding_cosine",
-    "dedup_incremental_batch",
-    "dedup_simhash_hamming",
-    "dedup_tf_cosine",
-    "events_value_anomalies",
-    "pipeline_pack_sequences",
-    "pipeline_training_prep",
 ]
 
 

@@ -157,6 +157,16 @@ def main() -> None:
         # inflated char array, in the two char-trigram queries
         "text_trigram_lm_score",
         "text_ccnet_perplexity_buckets",
+        # session-3 changed implementations: hierarchical corpus-scaled
+        # quantizer (gated above oracle SFs), long-shingle persist +
+        # streamed md5 signature build, single-text-cache funnels
+        "dedup_semantic_semdedup",
+        "similarity_mutual_knn_pairs",
+        "pipeline_full_train_prep",
+        "pipeline_training_prep",
+        "dedup_clusters_minhash",
+        "dedup_incremental_batch",
+        "dedup_minhash_lsh",
     }
     import hashlib
 

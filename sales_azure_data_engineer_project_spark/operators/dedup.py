@@ -35,6 +35,7 @@ __all__ = [
     "shingle_explode",
     "jaccard_pairs",
     "minhash_bands",
+    "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_verified_pairs",
     "simhash16",
@@ -98,16 +99,30 @@ def shingle_explode(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Per-doc distinct shingle arrays, persisted.
+    """Per-doc distinct shingle HASH arrays (xxhash64 longs), persisted.
 
     Every dedup pipeline below reuses the shingle set 2–3× (sizes,
-    left/right side of the self-join); without persisting, Spark
-    re-runs the regex tokenization + n-gram build per use — the
-    dominant cost at any scale.  MEMORY_AND_DISK so big corpora spill
-    instead of OOMing."""
+    left/right side of the self-join, intersect verification); without
+    persisting, Spark re-runs the regex tokenization + n-gram build per
+    use — the dominant cost at any scale.  MEMORY_AND_DISK so big
+    corpora spill instead of OOMing.
+
+    Round-8: this frame persists 8-byte LONGS, not the raw ~25-byte
+    shingle strings — the string-array columnar cache OOM'd the 300×
+    decade tier during batch build (same inflation class as the
+    char-array trigram fix).  Every consumer here needs shingle
+    IDENTITY only (posting equi-joins, sizes, array_intersect counts),
+    for which xxhash64 is the documented birthday-bounded stand-in the
+    posting joins already used.  The one consumer that needs the RAW
+    strings — the md5 minhash signature build, which must stay
+    engine-portable for the DuckDB oracles — streams them straight off
+    its own text scan instead (``minhash_signatures``)."""
     toks = df.select(F.col(id_col), F.split(F.col(text_col), TOKEN_RE).alias("toks"))
     return toks.select(
-        F.col(id_col), shingles_from_tokens(F.col("toks"), n).alias("shingles")
+        F.col(id_col),
+        F.transform(
+            shingles_from_tokens(F.col("toks"), n), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
     ).transform(tracked_persist)
 
 
@@ -126,11 +141,11 @@ def jaccard_pairs(
     """
     shingled = _shingled(df, id_col, text_col, n)
     # the equality self-join only needs shingle IDENTITY, not the
-    # string: xxhash64 to 8-byte longs shrinks the shuffled posting
-    # list ~4× and makes the join/groupBy compare longs instead of
-    # ~25-byte strings.  Collision risk is birthday-bounded (~1e-9 at
-    # 1e5 distinct shingles, still <1e-4 at 1e8) and any collision is
-    # caught by the DuckDB oracle, which intersects the raw strings.
+    # string: the persisted frame already carries xxhash64 longs
+    # (8 bytes vs ~25-byte strings through the shuffle).  Collision
+    # risk is birthday-bounded (~1e-9 at 1e5 distinct shingles, still
+    # <1e-4 at 1e8) and any collision is caught by the DuckDB oracle,
+    # which intersects the raw strings.
     # Each posting row CARRIES its document's shingle count (4-byte
     # int): the per-doc sizes relation grows ∝ corpus, so joining it
     # back — let alone broadcasting it, as this ran until round 8 —
@@ -140,8 +155,8 @@ def jaccard_pairs(
     sh = shingled.select(
         F.col(id_col),
         F.size("shingles").cast("int").alias("sz"),
-        F.explode("shingles").alias("sh_raw"),
-    ).select(F.col(id_col), F.col("sz"), F.xxhash64("sh_raw").alias("sh"))
+        F.explode("shingles").alias("sh"),
+    )
     r = sh.select(
         F.col(id_col).alias("rid"), F.col("sz").alias("sz_r"), F.col("sh")
     )
@@ -202,8 +217,8 @@ def containment_pairs(
     sh = shingled.select(
         F.col(id_col),
         F.size("shingles").cast("int").alias("sz"),
-        F.explode("shingles").alias("sh_raw"),
-    ).select(F.col(id_col), F.col("sz"), F.xxhash64("sh_raw").alias("sh"))
+        F.explode("shingles").alias("sh"),
+    )
     r = sh.select(
         F.col(id_col).alias("rid"), F.col("sz").alias("sz_r"), F.col("sh")
     )
@@ -263,9 +278,10 @@ def incremental_jaccard_matches(
     sh_new = _shingled(new, id_col, text_col, n)
 
     def postings(sh_df, alias):
+        # shingles are already xxhash64 longs (see _shingled)
         return sh_df.select(
-            F.col(id_col).alias(alias), F.explode("shingles").alias("sh_raw")
-        ).select(alias, F.xxhash64("sh_raw").alias("sh"))
+            F.col(id_col).alias(alias), F.explode("shingles").alias("sh")
+        )
 
     po = postings(sh_old, "match_id")
     pn = postings(sh_new, "new_id")
@@ -329,49 +345,60 @@ def minhash_bands(
     hash_i(doc) = min over shingles of md5(i || ':' || shingle) —
     deterministic, engine-portable (lexicographic min over hex).
     """
-    shingled = _shingled(df, id_col, text_col, shingle_n)
-    return _bands_from_shingled(
-        shingled, id_col, n_hashes=n_hashes, band_size=band_size
+    sig = minhash_signatures(
+        df, id_col, text_col, n_hashes=n_hashes, shingle_n=shingle_n
     )
+    return _bands_from_sig(sig, id_col, n_hashes=n_hashes, band_size=band_size)
 
 
-def minhash_signatures_from_shingled(
-    shingled: DataFrame, id_col: str, *, n_hashes: int = 8
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc minhash signature columns (h0..h{n-1}) from a pre-built
-    (id, shingles-array) frame — the constant-size-per-doc sketch the
-    banding, the estimator calibration, and candidate generation all
-    share.  Persisted: every consumer re-reads the signatures, and
-    without the persist the shingle→md5→min pipeline would re-run per
-    consumer."""
-    sh = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
-    seeded = sh.select(
-        F.col(id_col), F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"), "sh"
-    )
-    hashed = seeded.select(
-        id_col,
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")).cast("binary")).alias("h"),
-    )
-    return hashed.groupBy(id_col).agg(
+    """Per-doc minhash signature columns (h0..h{n-1}) — the
+    constant-size-per-doc sketch the banding, the estimator
+    calibration, and candidate generation all share.  Persisted: every
+    consumer re-reads the signatures, and without the persist the
+    shingle→md5→min pipeline would re-run per consumer.
+
+    The RAW shingle strings stream straight off this text scan into
+    the md5 mins and are never materialized or cached (round-8: the
+    string-array shingle cache OOM'd the 300× tier during columnar
+    batch build; ``_shingled`` now persists hash LONGS, which md5
+    signatures can't be built from without losing DuckDB-oracle
+    portability — so the signature build pays one extra tokenization
+    scan instead of sharing the inflated cache).
+
+    All n_hashes seeds evaluate as SIBLING expressions on each
+    exploded shingle row — md5 count is unchanged (n per shingle),
+    but the aggregate's input is |shingles| rows instead of the
+    n·|shingles| a seed-explode would push through it (the pre-r8
+    form).  Values identical: min over the same {md5(i:sh)} set
+    either way."""
+    sh = shingle_explode(df, id_col, text_col, shingle_n)
+    return sh.groupBy(id_col).agg(
         *[
-            F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary"))
+            ).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     ).transform(tracked_persist)
 
 
-def _bands_from_shingled(
-    shingled: DataFrame,
+def _bands_from_sig(
+    sig: DataFrame,
     id_col: str,
     *,
     n_hashes: int,
     band_size: int,
 ) -> DataFrame:
-    """Banded signatures from a pre-built (id, shingles-array) frame, so
-    callers that also need the raw shingle sets (e.g. candidate
-    verification) share ONE persisted tokenization."""
-    sig = minhash_signatures_from_shingled(shingled, id_col, n_hashes=n_hashes)
+    """Banded signatures from a (persisted) signature frame: one
+    constant-width projection per band, unioned."""
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -493,14 +520,17 @@ def minhash_verified_pairs(
             f"{id_col!r} is {id_type} — hash or index it to BIGINT first"
         )
     shingled = _shingled(df, id_col, text_col, shingle_n)
-    bands = _bands_from_shingled(
-        shingled, id_col, n_hashes=n_hashes, band_size=band_size
+    bands = minhash_bands(
+        df, id_col, text_col,
+        n_hashes=n_hashes, band_size=band_size, shingle_n=shingle_n,
     )
     cand = lsh_candidate_pairs(bands, id_col).select("id_a", "id_b")
     # Verification joins: candidates ≪ corpus, so hand both joins to
     # AQE (the persisted shingled side carries accurate stats); each is
     # a plain equi-join on the doc id — no shuffle of non-candidate
-    # documents' arrays survives the join pruning at scale.
+    # documents' arrays survives the join pruning at scale.  The
+    # intersect runs on the persisted HASH-long arrays (identity-exact
+    # under the documented birthday bound).
     a = shingled.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )

@@ -149,64 +149,136 @@ def subcluster_cells(
     vec_col: str = "cvec",
     target_cell: int = 64,
     iters: int = 3,
-    sub_offset: int = 1 << 15,
+    k2_cap: int = 128,
+    slack: int = 3,
+    max_levels: int = 6,
 ) -> DataFrame:
-    """Second quantizer level for the SemDeDup regime: within each
-    COARSE cell, fit a LOCAL Lloyd sub-quantizer (numpy, entirely
-    executor-side) with k₂ = ⌈|cell| / target_cell⌉ and relabel
-    ``coarse_col`` to ``coarse · sub_offset + sub``.
+    """Recursive local refinement for the SemDeDup regime: split every
+    cell larger than ``slack · target_cell`` with a LOCAL Lloyd fit
+    (numpy, entirely executor-side, k₂ = min(⌈|cell|/target_cell⌉,
+    ``k2_cap``)), relabel ``cluster ← cluster · k2_cap + sub`` (LONG
+    path labels — every level multiplies EVERY label, so depths never
+    collide), and repeat until all cells are bounded or ``max_levels``.
 
-    Why a second level exists at all: SemDeDup needs cluster sizes
-    held ~constant (so the Σ|cluster|² within-cell pair join stays
-    ∝ N), which forces k ∝ N — and a FLAT Lloyd fit then costs
-    N·k = N²/target_cell distance evaluations per iteration.  The
-    round-8 100× decade row measured exactly that blow-up (102 s,
-    the fleet's worst exponent).  Two balanced levels (coarse ≈ √k
-    cells via the broadcast JVM fit, then this local refinement) cut
-    total assignment work to ~N·√k ∝ N^1.5 — the same regime as the
-    IVF coarse quantizer — while final cell sizes stay ~target_cell,
-    so every downstream Σ|cluster|² contract is unchanged.
+    Why this exists: SemDeDup holds cluster sizes ~constant (so the
+    Σ|cluster|² pair join stays ∝ N), which forces k ∝ N — and a FLAT
+    Lloyd fit then costs N·k = N²/target_cell distance evaluations per
+    iteration (measured: the fleet's worst 100× row, 102 s, α 0.83).
+    A single fixed second level is NOT enough: the coarse √k Lloyd can
+    leave a mega-cell (measured at 300×: one coarse cell held ~⅓ of
+    the corpus, making the one-shot local fit's n×k₂ distance matrix
+    ~5 GB and pinning one worker for 10+ minutes).  Recursion with a
+    bounded k₂ caps per-level work at |cell|·k2_cap — O(N·k2_cap) per
+    level, ≤ max_levels levels ⇒ linear with a log-ish constant —
+    regardless of how skewed any level's split comes out.
 
-    Scale shape: one shuffle on the coarse id; each group holds one
-    coarse cell (~target_cell·√k rows ≈ 8√N at the balanced k₁ = √k —
-    ~250 MB of float64 at N = 10⁹, the documented per-group bound).
-    Nothing reaches the driver; sub-centroids live and die inside
-    their group.  Determinism: rows sort by ``id_col`` inside the
-    group, seeds are the first k₂ rows, and numpy float64 arithmetic
-    is reproducible — two runs yield identical labels.
+    Scale shape: one (cluster-keyed) shuffle of the corpus at level 1,
+    then FINISHED cells exit — only the oversized tail (a few skewed
+    cells, measured ~4 levels deep on the 300× blow-up) reshuffles at
+    deeper levels; exit-depth is folded into the label's low 3 bits so
+    depths can't collide.  The level-end driver check reads one
+    (MAX, #oversized) row off the persisted level output.  Inside a
+    group the distance matrix is row-chunked (2¹⁶ × k2_cap ≈ 67 MB
+    float64), so even a corpus-sized degenerate cell streams instead
+    of materializing n×k₂.  Nothing reaches the driver; sub-centroids
+    live and die inside their group.
 
-    Label arithmetic fits int32 for coarse < 2¹⁵ and k₂ < 2¹⁵, i.e.
-    corpora to ~4·10¹² vectors at target_cell 64 — asserted, not
-    assumed.
+    Determinism: rows sort by ``id_col`` inside the group, seeds are
+    the first k₂ rows, chunk boundaries are fixed, and numpy float64
+    arithmetic is reproducible — two runs yield identical labels.
+
+    Honest limits: a cell of IDENTICAL vectors cannot split (all
+    distances tie → argmin 0) and exits via the no-progress check —
+    the same all-duplicates hazard the LSH hot-bucket cap exists for;
+    the pair join downstream still pays Σ|cell|² on it (an exact-dedup
+    stage upstream, as in ``pipeline_full_train_prep``, is the real
+    valve).  Path labels stay under 2⁶² (coarse · k2_cap^max_levels ·
+    8 ≈ 2¹⁷·2⁴²·2³) but exceed int32 from level 2 — consumers join on
+    the LONG column and output it as BIGINT.
     """
     import numpy as np
 
-    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    from ..caching import tracked_persist
 
-    def fit_group(pdf):
+    fields = ", ".join(
+        f"{f.name} {'bigint' if f.name == coarse_col else f.dataType.simpleString()}"
+        for f in df.schema
+    )
+    chunk = 1 << 16
+    bound = slack * target_cell
+
+    def fit_level(pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         n = len(pdf)
-        k2 = -(-n // target_cell)
-        coarse = int(pdf[coarse_col].iloc[0])
-        assert coarse < sub_offset, "coarse id overflows the label space"
-        if k2 <= 1:
-            pdf[coarse_col] = np.int32(coarse * sub_offset)
+        parent = int(pdf[coarse_col].iloc[0])
+        k2 = min(-(-n // target_cell), k2_cap)
+        if k2 <= 1 or n <= bound:
+            pdf[coarse_col] = np.int64(parent) * k2_cap
             return pdf
-        assert k2 < sub_offset, "sub-cell count overflows the label space"
         X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
         C = X[:k2].copy()
-        a = None
         for _ in range(iters):
-            a = _dists_fold_order(X, C).argmin(1)
-            for c in range(k2):
-                m = a == c
-                if m.any():
-                    C[c] = X[m].mean(axis=0)
-        a = _dists_fold_order(X, C).argmin(1)
-        pdf[coarse_col] = (coarse * sub_offset + a).astype("int32")
+            sums = np.zeros_like(C)
+            cnts = np.zeros(k2, dtype=np.int64)
+            for s in range(0, n, chunk):
+                xs = X[s : s + chunk]
+                a = _dists_fold_order(xs, C).argmin(1)
+                np.add.at(cnts, a, 1)
+                np.add.at(sums, a, xs)
+            nz = cnts > 0
+            C[nz] = sums[nz] / cnts[nz, None]
+        labels = np.empty(n, dtype=np.int64)
+        for s in range(0, n, chunk):
+            labels[s : s + chunk] = _dists_fold_order(X[s : s + chunk], C).argmin(1)
+        pdf[coarse_col] = np.int64(parent) * k2_cap + labels
         return pdf
 
-    return df.groupBy(coarse_col).applyInPandas(fit_group, fields)
+    def tagged(frame: DataFrame, tag: int) -> DataFrame:
+        # 3-bit exit-level tag in the low bits: labels from different
+        # recursion depths live in disjoint spaces without the
+        # depth-padding relabel pass the naive scheme would need
+        return frame.withColumn(coarse_col, F.col(coarse_col) * 8 + tag)
+
+    out = df.withColumn(coarse_col, F.col(coarse_col).cast("long"))
+    done_parts: list[DataFrame] = []
+    prev_shape = None
+    for level in range(max_levels):
+        out = tracked_persist(out.groupBy(coarse_col).applyInPandas(fit_level, fields))
+        sizes = out.groupBy(coarse_col).count()
+        stats = sizes.agg(
+            F.max("count").alias("m"),
+            F.sum((F.col("count") > bound).cast("int")).alias("over"),
+        ).first()
+        # stop on success OR no progress: a cell of identical vectors
+        # can never split (all distances tie), and re-running levels on
+        # it only reshuffles its rows and inflates path labels.  The
+        # (max, #oversized) pair moving means SOME cell is still
+        # splitting — keep going up to max_levels.
+        shape = (stats["m"], stats["over"])
+        if stats["m"] is None or stats["m"] <= bound or shape == prev_shape:
+            done_parts.append(tagged(out, level + 1))
+            break
+        prev_shape = shape
+        # FINISHED cells exit the loop here — only the oversized tail
+        # reshuffles at deeper levels (at level 1 that is typically a
+        # few skewed cells, not the corpus; both reads hit the persist)
+        over = sizes.filter(F.col("count") > bound).select(coarse_col)
+        done_parts.append(tagged(out.join(over, coarse_col, "left_anti"), level + 1))
+        out = out.join(over, coarse_col, "left_semi")
+        if level == max_levels - 1:
+            done_parts.append(tagged(out, 7))  # still-oversized leftovers
+    result = done_parts[0]
+    for part in done_parts[1:]:
+        result = result.unionByName(part)
+    # localCheckpoint (eager): the union's lineage — per-level
+    # applyInPandas chains referenced from every exit branch — renders
+    # exponentially when a downstream plan prints it from several
+    # consumers (the composed-funnel lesson; same per-round pattern as
+    # graph.connected_components).  The checkpointed frame is tiny
+    # (id + label + the fit column) and the level caches feeding it are
+    # already materialized by the size checks, so this is one cheap
+    # block write that makes the quantizer a LEAF for all consumers.
+    return result.localCheckpoint(eager=True)
 
 
 def kmeans_fit(

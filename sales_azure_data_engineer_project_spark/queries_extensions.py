@@ -3283,9 +3283,11 @@ def dedup_minhash_containment_estimate(spark: SparkSession, sf_dir: str) -> Data
     map-side-combinable aggregate."""
     corpus = _dedup_corpus(spark, sf_dir)
     shingled = D._shingled(corpus, "doc_id", "text", 3)
-    sig = D.minhash_signatures_from_shingled(shingled, "doc_id", n_hashes=8)
+    sig = D.minhash_signatures(corpus, "doc_id", "text", n_hashes=8)
     nonempty = shingled.filter(F.size("shingles") > 0)
-    bands = D._bands_from_shingled(nonempty, "doc_id", n_hashes=8, band_size=4)
+    # sig only contains docs with ≥1 shingle (explode drops empties),
+    # so banding it matches the old nonempty-shingled banding exactly
+    bands = D._bands_from_sig(sig, "doc_id", n_hashes=8, band_size=4)
     cand = D.lsh_candidate_pairs(bands, "doc_id").select("id_a", "id_b")
     ids = nonempty.select("doc_id")
     bg = ids.select(
@@ -3405,8 +3407,7 @@ def dedup_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> Data
     map-side-combinable aggregate.  Integer-exact on both engines
     (integer divisions, no float averages)."""
     corpus = _dedup_corpus(spark, sf_dir)
-    shingled = D._shingled(corpus, "doc_id", "text", 3)
-    sig = D.minhash_signatures_from_shingled(shingled, "doc_id", n_hashes=8)
+    sig = D.minhash_signatures(corpus, "doc_id", "text", n_hashes=8)
     jp = D.minhash_verified_pairs(
         corpus, "doc_id", "text", n_hashes=8, band_size=4, min_permille=0
     ).select("id_a", "id_b", "jac_permille")
@@ -3774,10 +3775,14 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text").cast("binary")))),
         )
         .filter(F.col("doc_id") == F.col("keep"))
-        .drop("keep")
+        # persist (doc_id, n_tokens) only — text re-reads base's ONE
+        # cache through the id semi-join (round-8 funnel memory fix,
+        # same shape as pipeline_full_train_prep)
+        .select("doc_id", "n_tokens")
         .transform(tracked_persist)
     )
-    bands = D.minhash_bands(ex, "doc_id", "text", n_hashes=8, band_size=4)
+    ex_txt = base.join(ex.select("doc_id"), "doc_id", "left_semi")
+    bands = D.minhash_bands(ex_txt, "doc_id", "text", n_hashes=8, band_size=4)
     drops = (
         D.lsh_candidate_pairs(bands, "doc_id")
         .select(F.col("id_b").alias("doc_id"))
@@ -3925,8 +3930,13 @@ def _sq8_kmeans_cells(
     seed_rows = (
         base.filter(F.col("vec_id") < k_fit).orderBy("vec_id").select("cvec").collect()
     )
+    # column pruning does NOT reach through mapInPandas: the Arrow fit
+    # passes transfer every column of their input, so hand them the
+    # (vec_id, cvec) projection — v/nrm are dead weight in every Lloyd
+    # iteration's batch stream (half the transferred bytes at 64 dims)
+    fit_in = base.select("vec_id", "cvec")
     centroids, _ = kmeans_fit(
-        base,
+        fit_in,
         k=k_fit,
         vec_col="cvec",
         max_iter=iters,
@@ -3934,15 +3944,27 @@ def _sq8_kmeans_cells(
         seeds=[list(r["cvec"]) for r in seed_rows],
         compute_inertia=False,
     )
-    assigned = assign_clusters_arrow(base, centroids, "cvec")
+    assigned = assign_clusters_arrow(base if not hier else fit_in, centroids, "cvec")
     if hier:
-        assigned = subcluster_cells(
-            assigned,
+        # the recursion shuffles and persists per level — feed it the
+        # SLIM (id, cvec, label) projection (v/nrm are dead weight in
+        # every level's exchange and cache; measured half the level
+        # bytes at 300×), then join the final labels back to the one
+        # persisted base.  cvec itself is dropped from the output: the
+        # k=None consumers (SemDeDup, the funnel, mutual-kNN) read only
+        # (vec_id, v, nrm, cluster) — the code vectors served the fit.
+        labels = subcluster_cells(
+            assigned,  # already the slim (vec_id, cvec, cluster)
             id_col="vec_id",
             coarse_col="cluster",
             vec_col="cvec",
             target_cell=_QUANTIZER_TARGET_CELL,
             iters=iters,
+        ).select("vec_id", "cluster")
+        return (
+            base.select("vec_id", "v", "nrm")
+            .join(labels, "vec_id")
+            .transform(tracked_persist)
         )
     return assigned.transform(tracked_persist)
 
@@ -4123,7 +4145,7 @@ def _semdedup_oracle_sql(tau: float = 0.45) -> str:
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY id_a) AS rk
         FROM pairs
     )
-    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INTEGER) AS cluster,
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster,
            CAST(id_a AS BIGINT) AS rep_id,
            CAST(CAST(ROUND(cos_raw, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_to_rep
     FROM reps WHERE rk = 1
@@ -4187,7 +4209,9 @@ def semdedup_drops(
         .filter(F.col("rk") == 1)
         .select(
             F.col("vec_id").cast("bigint"),
-            F.col("cluster").cast("int"),
+            # BIGINT: hierarchical path labels exceed int32 above the
+            # gate (ANSI cast would throw); lossless at oracle SFs
+            F.col("cluster").cast("bigint"),
             F.col("id_a").cast("bigint").alias("rep_id"),
             F.round("cos_raw", 6)
             .cast("decimal(10,6)")
@@ -4382,6 +4406,14 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("stop_hits"),
     ).transform(tracked_persist)
+    # Materialize the corpus-text cache EAGERLY (one count job): the
+    # final report is ONE action whose union branches (stage counts,
+    # bands, contamination) otherwise race to build this cache
+    # concurrently - at 300x the duplicated in-flight builds OOM'd the
+    # shared heap even after the per-stage text caches below were
+    # slimmed away.  Stage-by-stage the same workload fits with GBs to
+    # spare; serializing the ONE heavy build is the whole fix.
+    base.count()
     q_pass = (F.col("n_tokens") >= 20) & (F.col("ttr") >= 300)
     l_pass = q_pass & (F.col("stop_hits") * 20 >= F.col("n_tokens"))
     lang = base.filter(l_pass)
@@ -4391,10 +4423,24 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text").cast("binary")))),
         )
         .filter(F.col("doc_id") == F.col("keep"))
-        .drop("keep")
+        .select("doc_id", "n_tokens")
         .transform(tracked_persist)
     )
-    bands = D.minhash_bands(ex, "doc_id", "text", n_hashes=8, band_size=4)
+    # Stage survivor frames persist (doc_id, n_tokens) ONLY — two
+    # bigints per doc.  Round-8: the pre-r8 funnel persisted the full
+    # text column at four stages (base/ex/nd/sd ≈ 4× the corpus in
+    # cache), which OOM'd the 300× decade tier; text-needing consumers
+    # re-read the ONE persisted text cache (base) through an id
+    # semi-join instead — an AQE-sized equi-join, noise next to a
+    # second corpus-text cache at any scale.
+    # same reason as base.count() above: SIX report branches read this
+    # cache; if it is lazy they race to first-build the 1.7M-row
+    # dedup window concurrently (getOrCompute has no cross-task build
+    # dedup) and the multiplied sort memory OOMs the shared heap —
+    # every stage fits with GBs to spare when built once
+    ex.count()
+    ex_txt = base.join(ex.select("doc_id"), "doc_id", "left_semi")
+    bands = D.minhash_bands(ex_txt, "doc_id", "text", n_hashes=8, band_size=4)
     # Production-shaped LSH config (VERDICT r5 "Next" #4): the hot-bucket
     # star-emission valve is ON in the composed funnel.  The drop set is
     # IDENTICAL either way — all-pairs drops every id that appears as
@@ -4452,8 +4498,9 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.xxhash64("sh").alias("h"))
         .distinct()
     )
+    sd_txt = base.join(sd.select("doc_id"), "doc_id", "left_semi")
     contam = (
-        D.shingle_explode(sd.filter(~is_eval), "doc_id", "text", 8)
+        D.shingle_explode(sd_txt.filter(~is_eval), "doc_id", "text", 8)
         .select("doc_id", F.xxhash64("sh").alias("h"))
         .join(F.broadcast(ev_spans), "h")
         .select("doc_id")
@@ -11943,7 +11990,7 @@ def _mutual_knn_oracle_sql(knn: int = 3) -> str:
     )
     SELECT CAST(x.src AS BIGINT) AS vec_a,
            CAST(x.dst AS BIGINT) AS vec_b,
-           CAST(x.cluster AS INTEGER) AS cluster,
+           CAST(x.cluster AS BIGINT) AS cluster,
            CAST(CAST(ROUND(x.cos_raw, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim,
            x.rk AS rk_ab, y.rk AS rk_ba
     FROM knn x JOIN knn y ON y.src = x.dst AND y.dst = x.src
@@ -12009,7 +12056,9 @@ def similarity_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("src").cast("bigint").alias("vec_a"),
             F.col("dst").cast("bigint").alias("vec_b"),
-            F.col("cluster").cast("int"),
+            # BIGINT: hierarchical path labels exceed int32 above the
+            # gate (ANSI cast would throw); lossless at oracle SFs
+            F.col("cluster").cast("bigint"),
             F.round("cos_raw", 6).cast("decimal(10,6)").cast("double").alias("cos_sim"),
             F.col("rk").alias("rk_ab"),
             "rk_ba",
@@ -15514,12 +15563,10 @@ def dedup_minhash_multiband_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     groupBy; the flagged-doc pass is a linear equi-join of bands
     against bucket counts.  Zero pair materialization at ANY r —
     Σ C(c,2) comes from counts, not joins.  No BNLJ, no window."""
-    from .operators.dedup import _shingled, minhash_signatures_from_shingled
+    from .operators.dedup import minhash_signatures
 
     corpus = _dedup_corpus(spark, sf_dir)
-    sig = minhash_signatures_from_shingled(
-        _shingled(corpus, "doc_id", "text", 3), "doc_id", n_hashes=8
-    )
+    sig = minhash_signatures(corpus, "doc_id", "text", n_hashes=8)
     layouts = None
     for band_size in (4, 2, 1):
         for b in range(8 // band_size):

@@ -420,16 +420,16 @@ def test_semdedup_drop_list_vs_brute(spark, sf_smoke):
 
 def test_hierarchical_quantizer_partition_contract(spark, monkeypatch):
     """Round-8 scale fix: above _HIER_QUANTIZER_K the corpus-scaled
-    quantizer goes two-level (coarse √k Lloyd + local per-cell Lloyd,
-    N^1.5 total work vs the flat N²/64).  Forced on at sf0.01 via a
-    lowered gate, the hierarchical cells must still satisfy every
-    contract the SemDeDup pair join relies on:
+    quantizer goes hierarchical (coarse √k Lloyd + RECURSIVE bounded
+    local refinement, ~linear total work vs the flat N²/64; the
+    recursion is what survives coarse-Lloyd skew — the 300× probe
+    measured a one-shot second level dying on a ⅓-corpus mega-cell).
+    Forced on at sf0.01 via a lowered gate, the hierarchical cells must
+    still satisfy every contract the SemDeDup pair join relies on:
 
     - exact partition: every vector labeled exactly once;
-    - bounded cells: max |cell| stays O(target_cell) so Σ|cluster|²
-      remains ∝ N (3× headroom for Lloyd imbalance);
-    - label arithmetic: coarse id = label >> 15 matches the coarse
-      assignment the sub-clustering was grouped by;
+    - bounded cells: max |cell| ≤ slack·target_cell so Σ|cluster|²
+      remains ∝ N (identical-vector cells are the documented escape);
     - identical vectors co-locate (argmin ties break identically), so
       planted exact duplicates stay catchable;
     - deterministic across runs.
@@ -462,17 +462,53 @@ def test_hierarchical_quantizer_partition_contract(spark, monkeypatch):
         by_vec.setdefault(tuple(r["v"]), set()).add(r["cluster"])
     assert all(len(cells) == 1 for cells in by_vec.values())
 
-    # coarse ids embedded in the label must be a small contiguous-ish
-    # set (k1 = isqrt(8) = 2 coarse cells on this corpus)
-    coarse = {c >> 15 for c in sizes}
-    assert coarse == set(range(len(coarse)))
-
     rows2 = _sq8_kmeans_cells(spark, sf, k=None, iters=3).select(
         "vec_id", "cluster"
     ).collect()
     assert sorted((r["vec_id"], r["cluster"]) for r in rows2) == sorted(
         (r["vec_id"], r["cluster"]) for r in rows
     )
+
+
+def test_subcluster_cells_recursion_splits_mega_cell(spark):
+    """The recursive splitter must take a single degenerate coarse cell
+    (everything labeled 0, k₂ forced tiny by a low cap) down to bounded
+    cells across MULTIPLE levels — the 300× mega-cell scenario in
+    miniature — while preserving the exact-partition contract."""
+    from collections import Counter
+
+    import numpy as np
+
+    from sales_azure_data_engineer_project_spark.operators.kmeans import (
+        subcluster_cells,
+    )
+
+    n, d = 2000, 8
+    rng = np.random.RandomState(7)
+    data = [
+        (i, [float(x) for x in rng.rand(d)], 0) for i in range(n)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, cvec array<double>, cluster int")
+
+    out = subcluster_cells(
+        df,
+        id_col="vec_id",
+        coarse_col="cluster",
+        vec_col="cvec",
+        target_cell=16,
+        iters=2,
+        k2_cap=4,  # forces ⌈2000/16⌉=125 ≫ 4 → recursion depth ≥ 4
+        slack=3,
+        max_levels=6,
+    ).collect()
+
+    assert len(out) == n
+    assert len({r["vec_id"] for r in out}) == n
+    sizes = Counter(r["cluster"] for r in out)
+    assert max(sizes.values()) <= 3 * 16
+    # depth actually recursed: with cap 4 one level can only make 4
+    # cells of ~500 rows — far above the bound — so multiple levels ran
+    assert len(sizes) > 16
 
 
 def test_bpe_merges_vs_python_reference(spark, sf_smoke):
@@ -3201,18 +3237,15 @@ def test_multiband_sweep_differential(spark):
 
     import __spark_entry__ as m
     from sales_azure_data_engineer_project_spark.operators.dedup import (
-        _shingled,
-        minhash_signatures_from_shingled,
+        minhash_signatures,
     )
     from sales_azure_data_engineer_project_spark.queries_extensions import (
         _dedup_corpus,
     )
 
     sf = "/root/testdata/sf0.001"
-    sig = minhash_signatures_from_shingled(
-        _shingled(_dedup_corpus(spark, sf), "doc_id", "text", 3),
-        "doc_id",
-        n_hashes=8,
+    sig = minhash_signatures(
+        _dedup_corpus(spark, sf), "doc_id", "text", n_hashes=8
     ).collect()
     got = {
         r["band_size"]: r

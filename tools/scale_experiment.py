@@ -470,10 +470,16 @@ def main() -> None:
     print(f"\n| query | {hdr} | exponent (1x->max) |")
     print("|---" * (len(SCALES) + 2) + "|")
     for name, r in results.items():
-        top = max(r)
-        alpha = math.log(r[top] / r[1]) / math.log(top)
+        top, bot = max(r), min(r)
+        # fit from the smallest measured scale (single-scale runs,
+        # e.g. SPARK_SCALE_FACTORS=300 re-checks, print no exponent)
+        alpha = (
+            f"{math.log(r[top] / r[bot]) / math.log(top / bot):.2f}"
+            if top > bot
+            else "—"
+        )
         cells = " | ".join(f"{r[s]:.2f}s" if s in r else "—" for s in SCALES)
-        print(f"| {name} | {cells} | {alpha:.2f} |")
+        print(f"| {name} | {cells} | {alpha} |")
     shutil.rmtree(WORK, ignore_errors=True)
 
 
