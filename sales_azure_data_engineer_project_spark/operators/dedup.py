@@ -116,14 +116,51 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     posting joins already used.  The one consumer that needs the RAW
     strings — the md5 minhash signature build, which must stay
     engine-portable for the DuckDB oracles — streams them straight off
-    its own text scan instead (``minhash_signatures``)."""
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), TOKEN_RE).alias("toks"))
-    return toks.select(
-        F.col(id_col),
-        F.transform(
-            shingles_from_tokens(F.col("toks"), n), lambda s: F.xxhash64(s)
-        ).alias("shingles"),
-    ).transform(tracked_persist)
+    its own text scan instead (``minhash_signatures``), or shares ONE
+    scan via ``_shingled_with_sig`` when a caller needs both.
+
+    Built explode→hash→collect_list rather than a per-element
+    ``transform(…, xxhash64)``: higher-order lambdas are INTERPRETED
+    (the round-4 CSE lesson's sibling), and the measured 1× cost of
+    interpreting 0.5M hashes exceeded this one compact groupBy of
+    8-byte keys.  Array element ORDER is therefore shuffle-dependent;
+    every consumer treats the array as a SET (explode / size /
+    array_intersect), so results are order-invariant."""
+    sh = shingle_explode(df, id_col, text_col, n)
+    return (
+        sh.groupBy(id_col)
+        .agg(F.collect_list(F.xxhash64("sh")).alias("shingles"))
+        .transform(tracked_persist)
+    )
+
+
+def _shingled_with_sig(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    *,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """(id, shingles array<long>, h0..h{n-1}) in ONE tokenization pass
+    and ONE aggregate — for callers that need both the identity arrays
+    (candidate verification) and the md5 minhash signature (banding).
+    Docs with zero shingles are absent, exactly as in ``_shingled`` /
+    ``minhash_signatures``."""
+    sh = shingle_explode(df, id_col, text_col, n)
+    return (
+        sh.groupBy(id_col)
+        .agg(
+            F.collect_list(F.xxhash64("sh")).alias("shingles"),
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary"))
+                ).alias(f"h{i}")
+                for i in range(n_hashes)
+            ],
+        )
+        .transform(tracked_persist)
+    )
 
 
 def jaccard_pairs(
@@ -519,11 +556,10 @@ def minhash_verified_pairs(
             f"minhash_verified_pairs requires an integral id column; "
             f"{id_col!r} is {id_type} — hash or index it to BIGINT first"
         )
-    shingled = _shingled(df, id_col, text_col, shingle_n)
-    bands = minhash_bands(
-        df, id_col, text_col,
-        n_hashes=n_hashes, band_size=band_size, shingle_n=shingle_n,
+    shingled = _shingled_with_sig(
+        df, id_col, text_col, shingle_n, n_hashes=n_hashes
     )
+    bands = _bands_from_sig(shingled, id_col, n_hashes=n_hashes, band_size=band_size)
     cand = lsh_candidate_pairs(bands, id_col).select("id_a", "id_b")
     # Verification joins: candidates ≪ corpus, so hand both joins to
     # AQE (the persisted shingled side carries accurate stats); each is

@@ -3282,11 +3282,10 @@ def dedup_minhash_containment_estimate(spark: SparkSession, sf_dir: str) -> Data
     division per candidate pair; output ≤ 11 decile rows from one
     map-side-combinable aggregate."""
     corpus = _dedup_corpus(spark, sf_dir)
-    shingled = D._shingled(corpus, "doc_id", "text", 3)
-    sig = D.minhash_signatures(corpus, "doc_id", "text", n_hashes=8)
-    nonempty = shingled.filter(F.size("shingles") > 0)
-    # sig only contains docs with ≥1 shingle (explode drops empties),
-    # so banding it matches the old nonempty-shingled banding exactly
+    # arrays + signature from ONE tokenization pass; zero-shingle docs
+    # absent, exactly the old nonempty filter's survivors
+    sig = D._shingled_with_sig(corpus, "doc_id", "text", 3, n_hashes=8)
+    nonempty = sig
     bands = D._bands_from_sig(sig, "doc_id", n_hashes=8, band_size=4)
     cand = D.lsh_candidate_pairs(bands, "doc_id").select("id_a", "id_b")
     ids = nonempty.select("doc_id")
