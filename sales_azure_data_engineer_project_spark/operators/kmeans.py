@@ -200,6 +200,15 @@ def subcluster_cells(
 
     from ..caching import tracked_persist
 
+    if not 1 <= max_levels <= 6:
+        # exit depth is folded into the label's low 3 bits as level+1,
+        # with 7 reserved for still-oversized leftovers — a deeper
+        # recursion would silently collide path labels across depths
+        raise ValueError(
+            f"max_levels must be in [1, 6] (3-bit exit tag, 7 reserved"
+            f" for leftovers); got {max_levels}"
+        )
+
     fields = ", ".join(
         f"{f.name} {'bigint' if f.name == coarse_col else f.dataType.simpleString()}"
         for f in df.schema
@@ -245,16 +254,27 @@ def subcluster_cells(
     for level in range(max_levels):
         out = tracked_persist(out.groupBy(coarse_col).applyInPandas(fit_level, fields))
         sizes = out.groupBy(coarse_col).count()
+        over_size = F.when(F.col("count") > bound, F.col("count"))
         stats = sizes.agg(
             F.max("count").alias("m"),
             F.sum((F.col("count") > bound).cast("int")).alias("over"),
+            F.sum(over_size).alias("over_rows"),
+            # decimal(38,0): a sum of int64 hashes overflows LONG under
+            # ANSI mode; 38 digits hold ~10¹⁹ cells' worth of terms
+            F.sum(F.xxhash64(over_size).cast("decimal(38,0)")).alias("over_sig"),
         ).first()
         # stop on success OR no progress: a cell of identical vectors
         # can never split (all distances tie), and re-running levels on
-        # it only reshuffles its rows and inflates path labels.  The
-        # (max, #oversized) pair moving means SOME cell is still
-        # splitting — keep going up to max_levels.
-        shape = (stats["m"], stats["over"])
+        # it only reshuffles its rows and inflates path labels.
+        # "Progress" must mean the MULTISET of oversized cell sizes
+        # changed — (max, #oversized) alone is not enough: a non-max
+        # cell splitting into exactly one still-oversized child leaves
+        # both static and would break the loop early, leaking a cell
+        # above the bound.  Splits never grow a cell, so the multiset
+        # is static iff every oversized parent passed all its rows to
+        # one identically-sized child (the genuine dead end); compare
+        # it via (count, row-sum, commutative xxhash64-of-sizes sum).
+        shape = (stats["over"], stats["over_rows"], stats["over_sig"])
         if stats["m"] is None or stats["m"] <= bound or shape == prev_shape:
             done_parts.append(tagged(out, level + 1))
             break

@@ -3872,9 +3872,16 @@ def _sq8_kmeans_cells(
     spark: SparkSession, sf_dir: str, k: int | None = 8, iters: int = 3
 ) -> DataFrame:
     """Train the SQ8-domain k-means quantizer and assign every vector
-    to its cell: returns a persisted frame (vec_id, v, nrm, cvec,
-    cluster).  Shared by ``similarity_ann_ivf_kmeans`` (probe routing)
-    and ``dedup_semantic_semdedup`` (cluster-scoped dedup).
+    to its cell.  Two output schemas: the flat path (explicit ``k``, or
+    corpus-scaled k ≤ ``_HIER_QUANTIZER_K``) returns a persisted frame
+    (vec_id, v, nrm, cvec, cluster INT); the hierarchical path
+    (``k=None`` AND k > ``_HIER_QUANTIZER_K``) returns (vec_id, v, nrm,
+    cluster BIGINT) — ``cvec`` is consumed by the recursive refinement
+    and dropped, and ``cluster`` is a composite path label (see
+    ``subcluster_cells``).  Consumers must treat cluster as an opaque
+    join key and not read cvec unless they pinned the flat path.
+    Shared by ``similarity_ann_ivf_kmeans`` (probe routing) and
+    ``dedup_semantic_semdedup`` (cluster-scoped dedup).
 
     ``k=None`` derives k from the corpus size (``_scaled_quantizer_k``,
     one cheap parquet count) — the SemDeDup regime where cluster sizes
@@ -4374,13 +4381,18 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH drop set is banded (never all-pairs), SemDeDup's pair join is
     cluster-equi-join Σ|cluster|² with k ∝ N, eval spans broadcast,
     packing windows are per-shard, and the split is a map-side hash.
-    Stage counts come from per-frame aggregates, not re-scans.  The
-    persists stay LAZY: the final action is ONE job whose union
-    branches share the cached stage frames — Spark's per-block cache
-    locking already prevents duplicate computation within a job, and
-    an eager count() per stage measured 24 s vs 18 s lazy at sf0.1
-    (interleaved A/B) because each materialization is a full serial
-    job barrier.
+    Stage counts come from per-frame aggregates, not re-scans.
+    Persist policy: most persists stay LAZY — the final action is ONE
+    job whose union branches share the cached stage frames, and an
+    eager count() per EVERY stage measured 24 s vs 18 s lazy at sf0.1
+    (each materialization is a full serial job barrier) — but the TWO
+    heavy caches (``base``, the corpus-text frame, and ``ex``, the
+    exact-dedup window output) are eagerly count()-ed anyway: at 300×
+    the union branches raced to first-build them concurrently
+    (getOrCompute has no cross-task build dedup) and the duplicated
+    in-flight builds OOM'd the shared heap.  Serializing just those
+    two builds supersedes the all-lazy A/B conclusion; the remaining
+    slim (doc_id, n_tokens) persists keep the lazy win.
 
     Known sf0.1 cost profile (round-5 stage audit): of a ~16 s wall
     only ~9 s is task time spread over ~67 stages whose LARGEST is

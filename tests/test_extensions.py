@@ -511,6 +511,27 @@ def test_subcluster_cells_recursion_splits_mega_cell(spark):
     assert len(sizes) > 16
 
 
+def test_subcluster_cells_rejects_depth_beyond_tag_space(spark):
+    """max_levels > 6 would overflow the 3-bit exit tag (7 is reserved
+    for still-oversized leftovers) and collide path labels across
+    recursion depths — the call must fail loudly at entry."""
+    import pytest as _pytest
+
+    from sales_azure_data_engineer_project_spark.operators.kmeans import (
+        subcluster_cells,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0], 0)], "vec_id long, cvec array<double>, cluster int"
+    )
+    for bad in (0, 7):
+        with _pytest.raises(ValueError, match="max_levels"):
+            subcluster_cells(
+                df, id_col="vec_id", coarse_col="cluster", vec_col="cvec",
+                max_levels=bad,
+            )
+
+
 def test_bpe_merges_vs_python_reference(spark, sf_smoke):
     """Third formulation cross-check: the registered BPE query (Spark
     F.aggregate fold; DuckDB replays it as windows) must equal a plain
