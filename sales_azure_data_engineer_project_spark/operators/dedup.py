@@ -23,7 +23,7 @@ byte-for-byte; minhash "min" is lexicographic over hex strings.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import TOKEN_RE, fingerprint_md5
@@ -163,6 +163,60 @@ def _shingled_with_sig(
     )
 
 
+def _posting_rows(
+    shingled: DataFrame, id_col: str, posting_freq_cap: int | None
+) -> DataFrame:
+    """(id, sz, sh) posting rows for the exact-tier self-joins.
+
+    ``posting_freq_cap`` is the exact tier's skewed-shingle safety
+    valve (VERDICT r8 "Next" #4 — the sibling of ``hot_bucket_cap``):
+    a shingle appearing in m documents contributes C(m,2) rows to the
+    posting self-join, so a boilerplate shingle ("click here to read
+    more") with corpus-scale df makes Σ bucket² quadratic no matter
+    how the rest of the corpus is distributed.  With the cap, posting
+    rows whose shingle's DOCUMENT FREQUENCY exceeds it are dropped and
+    per-doc sizes are recomputed over the RETAINED shingles — the
+    result is integer-exact Jaccard/containment over the df-filtered
+    shingle universe (a boilerplate-removed measure, the same framing
+    as Broder's stop-shingle lists), fully SQL-expressible so the
+    capped variant keeps a hash-exact DuckDB oracle.  Every retained
+    bucket is ≤ cap rows, so join output is ≤ cap·|postings|/2 —
+    LINEAR in the corpus regardless of df skew.  ``None`` keeps the
+    exact-unfiltered behavior of the original oracle tier.
+
+    Both df and retained-size are WINDOW counts (partitioned, never
+    global) so neither needs a ∝-corpus aggregate joined back — the
+    same in-exchange trick as ``lsh_candidate_pairs``; the df window
+    shares its hash partitioning with the downstream self-join.  The
+    capped frame persists because both join sides read it (the
+    uncapped path re-derives its rows from the already-persisted
+    array frame, which is cheaper than a second cache)."""
+    if posting_freq_cap is None:
+        return shingled.select(
+            F.col(id_col),
+            F.size("shingles").cast("int").alias("sz"),
+            F.explode("shingles").alias("sh"),
+        )
+    if posting_freq_cap < 1:
+        raise ValueError(f"posting_freq_cap must be >= 1; got {posting_freq_cap}")
+    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    return (
+        exploded.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
+        .filter(F.col("_df") <= posting_freq_cap)
+        .select(
+            F.col(id_col),
+            F.count(F.lit(1))
+            .over(Window.partitionBy(id_col))
+            .cast("int")
+            .alias("sz"),
+            "sh",
+        )
+        .transform(tracked_persist)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -170,11 +224,17 @@ def jaccard_pairs(
     *,
     n: int = 3,
     min_permille: int = 300,
+    posting_freq_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs with integer-exact Jaccard (×1000).
 
     jac‰ = 1000·|A∩B| div (|A|+|B|−|A∩B|); pairs below ``min_permille``
     are dropped.  Output: (id_a, id_b, common, jac_permille).
+
+    With ``posting_freq_cap``, shingles whose document frequency
+    exceeds the cap are excluded and sizes recomputed — exact Jaccard
+    over the df-filtered (boilerplate-removed) shingle universe; see
+    ``_posting_rows`` for the scale contract.
     """
     shingled = _shingled(df, id_col, text_col, n)
     # the equality self-join only needs shingle IDENTITY, not the
@@ -189,11 +249,7 @@ def jaccard_pairs(
     # is the one piece of this plan that would not survive 1e9 docs.
     # min(sz) in the pair aggregate recovers the constant-per-doc
     # value for free inside the existing partial aggregation.
-    sh = shingled.select(
-        F.col(id_col),
-        F.size("shingles").cast("int").alias("sz"),
-        F.explode("shingles").alias("sh"),
-    )
+    sh = _posting_rows(shingled, id_col, posting_freq_cap)
     r = sh.select(
         F.col(id_col).alias("rid"), F.col("sz").alias("sz_r"), F.col("sh")
     )
@@ -229,6 +285,7 @@ def containment_pairs(
     *,
     n: int = 3,
     min_permille: int = 800,
+    posting_freq_cap: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle containment C(A→B) = |A∩B| / |A| (×1000).
 
@@ -246,16 +303,15 @@ def containment_pairs(
     directions scored; ``cont_max_permille`` ≥ ``min_permille`` keeps
     the pair.  Output: (id_a, id_b, common, cont_a_permille,
     cont_b_permille, cont_max_permille) with id_a < id_b.
+
+    ``posting_freq_cap`` applies the same df-filtered exactness
+    contract as ``jaccard_pairs`` (see ``_posting_rows``).
     """
     shingled = _shingled(df, id_col, text_col, n)
     # sizes carried through the posting rows exactly as in
     # ``jaccard_pairs`` above — the per-doc size relation grows ∝
     # corpus, so it must never be joined back (or broadcast).
-    sh = shingled.select(
-        F.col(id_col),
-        F.size("shingles").cast("int").alias("sz"),
-        F.explode("shingles").alias("sh"),
-    )
+    sh = _posting_rows(shingled, id_col, posting_freq_cap)
     r = sh.select(
         F.col(id_col).alias("rid"), F.col("sz").alias("sz_r"), F.col("sh")
     )

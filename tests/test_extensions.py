@@ -48,6 +48,60 @@ def test_jaccard_pairs_finds_near_dup(spark, docs):
     assert all((4 not in p) for p in pairs)  # unrelated doc not paired
 
 
+def test_posting_freq_cap_exactness_and_boilerplate_pruning(spark):
+    """The posting_freq_cap valve contract: (a) a cap no shingle's df
+    reaches reproduces the uncapped result exactly; (b) a boilerplate
+    shingle present in EVERY doc is excluded at a firing cap — pairs
+    linked only through it disappear while true near-dups survive with
+    sizes recomputed over retained shingles."""
+    boiler = "click here to read more"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {boiler}"),
+            (2, f"alpha beta gamma delta epsilon {boiler}"),  # near dup of 1
+            (3, f"unrelated words entirely different topic {boiler}"),
+            (4, f"another separate subject matter entirely {boiler}"),
+        ],
+        ["doc_id", "text"],
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"]): (r["common"], r["jac_permille"])
+        for r in D.jaccard_pairs(df, "doc_id", "text", min_permille=1).collect()
+    }
+    high_cap = {
+        (r["id_a"], r["id_b"]): (r["common"], r["jac_permille"])
+        for r in D.jaccard_pairs(
+            df, "doc_id", "text", min_permille=1, posting_freq_cap=10
+        ).collect()
+    }
+    assert high_cap == uncapped  # (a) cap above max df → identical
+    # the 5-token boilerplate tail yields shingles shared by all 4 docs;
+    # uncapped links every doc pair through them
+    assert (3, 4) in uncapped
+    capped = {
+        (r["id_a"], r["id_b"]): (r["common"], r["jac_permille"])
+        for r in D.jaccard_pairs(
+            df, "doc_id", "text", min_permille=1, posting_freq_cap=2
+        ).collect()
+    }
+    assert (3, 4) not in capped  # boilerplate-only pair pruned
+    assert (1, 2) in capped  # true near dup survives
+    # sizes recomputed over RETAINED shingles: docs 1/2 keep 4 and 5
+    # shingles (df ≤ 2), sharing 2 → jaccard 2000 div (4+5−2) = 285
+    assert capped[(1, 2)] == (2, 285)
+
+    cont = {
+        (r["id_a"], r["id_b"])
+        for r in D.containment_pairs(
+            df, "doc_id", "text", min_permille=500, posting_freq_cap=2
+        ).collect()
+    }
+    assert (1, 2) in cont and (3, 4) not in cont
+
+    with pytest.raises(ValueError, match="posting_freq_cap"):
+        D.jaccard_pairs(df, "doc_id", "text", posting_freq_cap=0)
+
+
 def test_minhash_lsh_candidates(spark, docs):
     bands = D.minhash_bands(docs, "doc_id", "text")
     cands = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(bands, "doc_id").collect()}
