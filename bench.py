@@ -130,43 +130,19 @@ def main() -> None:
     )
     _ROUND_ALWAYS = {
         # new or changed-implementation this round — every run measures
-        # them so regressions surface before the next rotation.  Round 7
-        # froze the registry (one sanctioned addition), so this set is
-        # small: the capped linkage query plus the two base linkage
-        # queries refactored onto operators/linkage.py.
-        "customers_linkage_clusters_capped",
-        "customers_record_linkage_fs",
-        "customers_linkage_clusters",
-        # √N centroid-cadence fix (decade sweep caught the fixed-61
-        # cadence's quadratic coarse assignment)
-        "similarity_ann_ivf_sq8",
-        "similarity_ann_ivf",
-        "similarity_ann_ivf_nprobe2",
-        # round-8 session-2 broadcast audit: ∝N broadcasts removed
-        # (sizes carried through postings / BM25 query-term pushdown /
-        # two vocab-sized maps demoted to plain joins)
+        # them so regressions surface before the next rotation.
+        # Round 9: the posting_freq_cap valve (new registered query +
+        # the two exact-tier queries refactored through the shared
+        # _posting_rows helper; uncapped plans identical)...
+        "dedup_ngram_jaccard_capped",
         "dedup_ngram_jaccard",
-        "dedup_clusters",
-        "dedup_lsh_recall_sampled",
         "dedup_shingle_containment",
-        "text_bm25_topk",
-        "text_hybrid_rrf_topk",
-        "vocab_bpe_encode",
-        "text_lang_classifier_nb",
-        # 100×-tier OOM fix: persist compact lowered text, not the
-        # inflated char array, in the two char-trigram queries
-        "text_trigram_lm_score",
-        "text_ccnet_perplexity_buckets",
-        # session-3 changed implementations: hierarchical corpus-scaled
-        # quantizer (gated above oracle SFs), long-shingle persist +
-        # streamed md5 signature build, single-text-cache funnels
+        # ...and the subcluster_cells hardening canaries (max_levels
+        # validation + multiset progress metric; hierarchical path only
+        # — oracle/bench SFs stay on the flat quantizer path)
         "dedup_semantic_semdedup",
         "similarity_mutual_knn_pairs",
         "pipeline_full_train_prep",
-        "pipeline_training_prep",
-        "dedup_clusters_minhash",
-        "dedup_incremental_batch",
-        "dedup_minhash_lsh",
     }
     import hashlib
 
@@ -226,7 +202,7 @@ def main() -> None:
     # visible; the earlier min(first, rerun) rule let one lucky single
     # execution downgrade a real 2× regression.
     baseline_latest: dict[str, float] = {}
-    for rn in ("r2", "r3", "r4", "r5", "r6", "r7", "r8"):
+    for rn in ("r2", "r3", "r4", "r5", "r6", "r7", "r8", "r9"):
         base_path = os.path.join(here, f"bench_baseline_{rn}.json")
         if os.path.exists(base_path):
             with open(base_path) as f:
@@ -276,7 +252,7 @@ def main() -> None:
     # subset varies per run, so the pairwise ratio (total / base) is the
     # comparable number, not the raw total against a full-suite figure.
     comparables = {}
-    for rn in ("r2", "r3", "r4", "r5", "r6", "r7", "r8"):
+    for rn in ("r2", "r3", "r4", "r5", "r6", "r7", "r8", "r9"):
         base_path = os.path.join(here, f"bench_baseline_{rn}.json")
         if os.path.exists(base_path):
             with open(base_path) as f:
