@@ -457,6 +457,19 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
                 release_caches()
                 spark.catalog.clearCache()
+                # localCheckpoint blocks (iterative graph/quantizer
+                # rounds) are NOT table cache and NOT tracked persists:
+                # they free only when the driver GCs the DataFrame
+                # references and the ContextCleaner processes them.  At
+                # the 300× tier that lag accumulated four queries'
+                # worth of checkpoint blocks in one JVM and OOM'd
+                # dedup_clusters even though every query passes alone
+                # (round-9 session log) — an explicit GC nudge between
+                # UNTIMED runs drains the cleaner queue deterministically.
+                import gc as _gc
+
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
             results[name][s] = best
             print(f"  {name} @ {s}x: {best:.2f}s", flush=True)
         probes.append(_probe())
