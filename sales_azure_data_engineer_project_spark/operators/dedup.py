@@ -164,7 +164,11 @@ def _shingled_with_sig(
 
 
 def _posting_rows(
-    shingled: DataFrame, id_col: str, posting_freq_cap: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    posting_freq_cap: int | None,
 ) -> DataFrame:
     """(id, sz, sh) posting rows for the exact-tier self-joins.
 
@@ -187,11 +191,23 @@ def _posting_rows(
     Both df and retained-size are WINDOW counts (partitioned, never
     global) so neither needs a ∝-corpus aggregate joined back — the
     same in-exchange trick as ``lsh_candidate_pairs``; the df window
-    shares its hash partitioning with the downstream self-join.  The
-    capped frame persists because both join sides read it (the
-    uncapped path re-derives its rows from the already-persisted
-    array frame, which is cheaper than a second cache)."""
+    shares its hash partitioning with the downstream self-join.
+
+    Cache shapes differ by path ON PURPOSE.  The uncapped path reads
+    the per-doc ARRAY cache (``_shingled``) — both join sides re-derive
+    their rows from it, and other pipeline stages share it.  The capped
+    path instead persists the post-filter NARROW posting rows and never
+    builds the array frame at all: its only consumer would explode the
+    arrays immediately, so the collect_list aggregate is wasted work —
+    and at the 1000× tier the array-column cache BUILD itself is the
+    heap killer (``ComplexColumnBuilder`` doubles a per-batch
+    ByteBuffer between memory-accounting checks; measured round-9: the
+    capped query OOM'd a stock 8 GB JVM at 5.8M docs inside
+    ``ColumnBuilder.ensureFreeSpace`` while every downstream stage
+    spills fine).  Scalar (long/int) column builders preallocate per
+    batch and the narrow cache spills to disk like any other."""
     if posting_freq_cap is None:
+        shingled = _shingled(df, id_col, text_col, n)
         return shingled.select(
             F.col(id_col),
             F.size("shingles").cast("int").alias("sz"),
@@ -199,7 +215,9 @@ def _posting_rows(
         )
     if posting_freq_cap < 1:
         raise ValueError(f"posting_freq_cap must be >= 1; got {posting_freq_cap}")
-    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    exploded = shingle_explode(df, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("sh").alias("sh")
+    )
     return (
         exploded.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
@@ -236,7 +254,6 @@ def jaccard_pairs(
     over the df-filtered (boilerplate-removed) shingle universe; see
     ``_posting_rows`` for the scale contract.
     """
-    shingled = _shingled(df, id_col, text_col, n)
     # the equality self-join only needs shingle IDENTITY, not the
     # string: the persisted frame already carries xxhash64 longs
     # (8 bytes vs ~25-byte strings through the shuffle).  Collision
@@ -249,7 +266,7 @@ def jaccard_pairs(
     # is the one piece of this plan that would not survive 1e9 docs.
     # min(sz) in the pair aggregate recovers the constant-per-doc
     # value for free inside the existing partial aggregation.
-    sh = _posting_rows(shingled, id_col, posting_freq_cap)
+    sh = _posting_rows(df, id_col, text_col, n, posting_freq_cap)
     r = sh.select(
         F.col(id_col).alias("rid"), F.col("sz").alias("sz_r"), F.col("sh")
     )
@@ -307,11 +324,10 @@ def containment_pairs(
     ``posting_freq_cap`` applies the same df-filtered exactness
     contract as ``jaccard_pairs`` (see ``_posting_rows``).
     """
-    shingled = _shingled(df, id_col, text_col, n)
     # sizes carried through the posting rows exactly as in
     # ``jaccard_pairs`` above — the per-doc size relation grows ∝
     # corpus, so it must never be joined back (or broadcast).
-    sh = _posting_rows(shingled, id_col, posting_freq_cap)
+    sh = _posting_rows(df, id_col, text_col, n, posting_freq_cap)
     r = sh.select(
         F.col(id_col).alias("rid"), F.col("sz").alias("sz_r"), F.col("sh")
     )
