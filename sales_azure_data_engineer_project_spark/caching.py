@@ -28,10 +28,39 @@ _TRACKED: list[DataFrame] = []
 
 
 def tracked_persist(
-    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+    df: DataFrame,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    *,
+    batch_rows: int | None = None,
 ) -> DataFrame:
-    """Persist ``df`` and register it for a later :func:`release_caches`."""
-    out = df.persist(level)
+    """Persist ``df`` and register it for a later :func:`release_caches`.
+
+    ``batch_rows`` bounds the columnar cache's rows-per-batch for THIS
+    persist only (CacheManager captures
+    ``spark.sql.inMemoryColumnarStorage.batchSize`` when the
+    InMemoryRelation is created, i.e. at this ``persist`` call — the
+    conf is restored immediately after).  Use it on caches whose rows
+    carry ARRAY or long STRING columns: their per-batch builders grow
+    by buffer DOUBLING between the memory-store's per-batch accounting
+    checks, so with the 10k-row default the build's transient
+    allocation spike scales with row width — measured round-9 at the
+    1000× tier (5.8M docs), the minhash signature cache OOM'd a stock
+    8 GB heap inside ``ColumnBuilder.ensureFreeSpace`` while the same
+    build at 2000-row batches completes with the store spilling
+    normally.  Scalar-column caches keep the default: more batches
+    mean more per-batch metadata and slightly worse compression for no
+    safety gain."""
+    if batch_rows is None:
+        out = df.persist(level)
+    else:
+        spark = df.sparkSession
+        key = "spark.sql.inMemoryColumnarStorage.batchSize"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(batch_rows))
+        try:
+            out = df.persist(level)
+        finally:
+            spark.conf.set(key, prev)
     _TRACKED.append(out)
     return out
 

@@ -130,7 +130,7 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return (
         sh.groupBy(id_col)
         .agg(F.collect_list(F.xxhash64("sh")).alias("shingles"))
-        .transform(tracked_persist)
+        .transform(lambda d: tracked_persist(d, batch_rows=2000))
     )
 
 
@@ -159,7 +159,7 @@ def _shingled_with_sig(
                 for i in range(n_hashes)
             ],
         )
-        .transform(tracked_persist)
+        .transform(lambda d: tracked_persist(d, batch_rows=2000))
     )
 
 
@@ -496,7 +496,7 @@ def minhash_signatures(
             ).alias(f"h{i}")
             for i in range(n_hashes)
         ]
-    ).transform(tracked_persist)
+    ).transform(lambda d: tracked_persist(d, batch_rows=2000))
 
 
 def _bands_from_sig(
