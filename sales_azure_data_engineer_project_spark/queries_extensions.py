@@ -4459,7 +4459,11 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.col("toks"), lambda t: t.isin(*X.EN_STOPWORDS)))
         .cast("bigint")
         .alias("stop_hits"),
-    ).transform(tracked_persist)
+        # batch_rows: this is the funnel's ONE wide (raw-text) cache —
+        # the string column's per-batch builder has the same
+        # doubling-allocation spike the 1000× tier measured on the
+        # dedup array caches (caching.tracked_persist docstring)
+    ).transform(lambda d: tracked_persist(d, batch_rows=2000))
     # Materialize the corpus-text cache EAGERLY (one count job): the
     # final report is ONE action whose union branches (stage counts,
     # bands, contamination) otherwise race to build this cache
