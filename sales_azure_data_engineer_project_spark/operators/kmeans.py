@@ -72,13 +72,39 @@ def _dists_fold_order(X, C):
     unrolled pairwise reduction whose rounding differs in the last ulp —
     enough to flip an argmin on a near-tie and break oracle
     reproducibility; the loop below is still fully vectorized over
-    N×k, just sequential over d.)"""
+    N×k, just sequential over d.)
+
+    Cost note: the d-sequential loop streams ~3 full (N×k) float64
+    arrays per dimension — memory-traffic-bound, and it degrades hard
+    when many Python workers contend for bandwidth (round-9 measured
+    the 32-worker subcluster fit at ~10× a single-process run of the
+    same flops).  Use it ONLY where a DuckDB oracle replays the exact
+    fold (``kmeans_fit`` / ``assign_clusters_arrow``, i.e. the flat
+    quantizer path); oracle-free local refinement uses ``_dists_gemm``.
+    """
     import numpy as np
 
     D = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
     for j in range(X.shape[1]):
         diff = X[:, j, None] - C[None, :, j]
         D += diff * diff
+    return D
+
+
+def _dists_gemm(X, C):
+    """Squared-L2 distances via the ‖x‖² − 2x·Cᵀ + ‖c‖² expansion — ONE
+    GEMM instead of d bandwidth-bound passes (~d/3× less memory
+    traffic).  Rounding differs from the SQL fold in the last ulp, so
+    this kernel is reserved for the HIERARCHICAL refinement tier, which
+    has no DuckDB twin (the gate keeps every oracle SF on the flat
+    fold-order path); within one platform/BLAS it is deterministic, so
+    two runs still yield identical labels."""
+    import numpy as np
+
+    D = X @ C.T
+    D *= -2.0
+    D += (X * X).sum(1)[:, None]
+    D += (C * C).sum(1)[None, :]
     return D
 
 
@@ -159,6 +185,8 @@ def subcluster_cells(
     ``k2_cap``)), relabel ``cluster ← cluster · k2_cap + sub`` (LONG
     path labels — every level multiplies EVERY label, so depths never
     collide), and repeat until all cells are bounded or ``max_levels``.
+    Returns (``id_col``, ``coarse_col`` BIGINT) ONLY — the vector
+    column is consumed by the fit and dropped (see ``tagged``).
 
     Why this exists: SemDeDup holds cluster sizes ~constant (so the
     Σ|cluster|² pair join stays ∝ N), which forces k ∝ N — and a FLAT
@@ -184,7 +212,9 @@ def subcluster_cells(
     live and die inside their group.
 
     Determinism: rows sort by ``id_col`` inside the group, seeds are
-    the first k₂ rows, chunk boundaries are fixed, and numpy float64
+    STRIDED over the sorted rows (every ⌊n/k₂⌋-th — a prefix rule
+    collapses on duplicate-storm cells whose leading rows are
+    near-identical), chunk boundaries are fixed, and numpy float64
     arithmetic is reproducible — two runs yield identical labels.
 
     Honest limits: a cell of IDENTICAL vectors cannot split (all
@@ -225,34 +255,57 @@ def subcluster_cells(
             pdf[coarse_col] = np.int64(parent) * k2_cap
             return pdf
         X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
-        C = X[:k2].copy()
+        # STRIDED deterministic seeds (round-9): the first k₂ rows of
+        # an id-sorted cell are routinely near-identical at web scale —
+        # duplicate storms quantize to the same code vector — and
+        # identical seeds collapse Lloyd into one mega-child that
+        # re-pays a full level per split (measured at 1000×: a 146k-row
+        # child survived level 1 and 802 children stayed oversized).
+        # Striding spreads the seeds across the cell's id-range at zero
+        # cost and is exactly as deterministic as the prefix rule.
+        C = X[:: max(1, n // k2)][:k2].copy()
         for _ in range(iters):
             sums = np.zeros_like(C)
             cnts = np.zeros(k2, dtype=np.int64)
             for s in range(0, n, chunk):
                 xs = X[s : s + chunk]
-                a = _dists_fold_order(xs, C).argmin(1)
+                a = _dists_gemm(xs, C).argmin(1)
                 np.add.at(cnts, a, 1)
                 np.add.at(sums, a, xs)
             nz = cnts > 0
             C[nz] = sums[nz] / cnts[nz, None]
         labels = np.empty(n, dtype=np.int64)
         for s in range(0, n, chunk):
-            labels[s : s + chunk] = _dists_fold_order(X[s : s + chunk], C).argmin(1)
+            labels[s : s + chunk] = _dists_gemm(X[s : s + chunk], C).argmin(1)
         pdf[coarse_col] = np.int64(parent) * k2_cap + labels
         return pdf
 
     def tagged(frame: DataFrame, tag: int) -> DataFrame:
         # 3-bit exit-level tag in the low bits: labels from different
         # recursion depths live in disjoint spaces without the
-        # depth-padding relabel pass the naive scheme would need
-        return frame.withColumn(coarse_col, F.col(coarse_col) * 8 + tag)
+        # depth-padding relabel pass the naive scheme would need.
+        # Done parts project to (id, label) HERE: the fit column is
+        # dead weight from the moment a cell exits — keeping it dragged
+        # ~512 B/row of vector through every level cache read, the
+        # final union, AND the eager checkpoint (measured round-9 at
+        # the 1000× tier: the recursion-dominated quantizer phase was
+        # ~34× the coarse fit).  The columnar level cache prunes the
+        # vector column away from these reads for free.
+        return frame.select(
+            F.col(id_col), (F.col(coarse_col) * 8 + tag).alias(coarse_col)
+        )
 
     out = df.withColumn(coarse_col, F.col(coarse_col).cast("long"))
     done_parts: list[DataFrame] = []
     prev_shape = None
     for level in range(max_levels):
-        out = tracked_persist(out.groupBy(coarse_col).applyInPandas(fit_level, fields))
+        # batch_rows: the level cache carries the vector ARRAY column —
+        # the same batch-build allocation spike class measured on the
+        # dedup caches (caching.tracked_persist docstring)
+        out = tracked_persist(
+            out.groupBy(coarse_col).applyInPandas(fit_level, fields),
+            batch_rows=2000,
+        )
         sizes = out.groupBy(coarse_col).count()
         over_size = F.when(F.col("count") > bound, F.col("count"))
         stats = sizes.agg(
@@ -294,8 +347,8 @@ def subcluster_cells(
     # applyInPandas chains referenced from every exit branch — renders
     # exponentially when a downstream plan prints it from several
     # consumers (the composed-funnel lesson; same per-round pattern as
-    # graph.connected_components).  The checkpointed frame is tiny
-    # (id + label + the fit column) and the level caches feeding it are
+    # graph.connected_components).  The checkpointed frame is tiny —
+    # (id, label) only, ~16 B/row — and the level caches feeding it are
     # already materialized by the size checks, so this is one cheap
     # block write that makes the quantizer a LEAF for all consumers.
     return result.localCheckpoint(eager=True)
