@@ -91,7 +91,14 @@ _PRIORITY = [
     "text_winnowing_fingerprints",
     "tfidf_distinctive_terms",
     "vocab_top_tokens",
-    # Slots 47-50: registration-order fill (extra fresh evidence).
+    # Slots 47-50: the 4 spare slots go to minhash-family canaries —
+    # their shared caches changed PHYSICALLY this round (xxhash-array /
+    # signature persists now batch-bounded at 2000 rows; values
+    # provably identical, canaried anyway per convention).
+    "dedup_minhash_lsh",
+    "dedup_clusters_minhash",
+    "dedup_incremental_batch",
+    "dedup_lsh_recall_sampled",
 ]
 
 
