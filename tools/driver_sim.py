@@ -49,10 +49,12 @@ def build_ledger(names: list[str] | None = None) -> dict:
     """
     names = names if names is not None else _registered_names()
     rounds: dict[int, dict] = {}
+    covers: list[str] = []
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rn = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         with open(f) as fh:
             rounds[rn] = json.load(fh)
+        covers.append(os.path.basename(f))
     latest_round = max(rounds) if rounds else 0
     latest: dict[str, tuple[int, str | None]] = {}
     for rn in sorted(rounds):
@@ -100,6 +102,10 @@ def build_ledger(names: list[str] | None = None) -> dict:
     )
     return {
         "latest_round": latest_round,
+        # which raw CORRECTNESS files this ledger summarizes (VERDICT r9:
+        # make staleness self-describing — a ledger generated before the
+        # round's driver row lands visibly lacks that file)
+        "covers": covers,
         "registered": len(names),
         "with_driver_row": len(names) - len(never),
         "all_latest_rows_green": all(
