@@ -21,10 +21,21 @@ JVM-side drop happens asynchronously and never stalls the next query.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+
+# Serializes the batch_rows conf swap below: the batch size is a
+# SESSION-global conf, so two concurrent tracked_persist(batch_rows=…)
+# calls on one SparkSession could capture each other's temporary value
+# as the restore target, and an unrelated concurrent persist would
+# silently inherit the bounded batch size (ADVICE r9).  Today every
+# builder runs on a single driver thread, so the lock is insurance for
+# future parallel stage setup, not a fix for an observed race.
+_BATCH_CONF_LOCK = threading.Lock()
 
 
 def tracked_persist(
@@ -53,14 +64,20 @@ def tracked_persist(
     if batch_rows is None:
         out = df.persist(level)
     else:
-        spark = df.sparkSession
-        key = "spark.sql.inMemoryColumnarStorage.batchSize"
-        prev = spark.conf.get(key)
-        spark.conf.set(key, str(batch_rows))
-        try:
-            out = df.persist(level)
-        finally:
-            spark.conf.set(key, prev)
+        # conf swap held under _BATCH_CONF_LOCK — see its comment; note
+        # the lock only serializes tracked_persist against itself, a
+        # plain df.persist() on another thread during the window would
+        # still inherit the bounded size (single-threaded-driver
+        # assumption, documented)
+        with _BATCH_CONF_LOCK:
+            spark = df.sparkSession
+            key = "spark.sql.inMemoryColumnarStorage.batchSize"
+            prev = spark.conf.get(key)
+            spark.conf.set(key, str(batch_rows))
+            try:
+                out = df.persist(level)
+            finally:
+                spark.conf.set(key, prev)
     _TRACKED.append(out)
     return out
 

@@ -97,8 +97,12 @@ def _dists_gemm(X, C):
     traffic).  Rounding differs from the SQL fold in the last ulp, so
     this kernel is reserved for the HIERARCHICAL refinement tier, which
     has no DuckDB twin (the gate keeps every oracle SF on the flat
-    fold-order path); within one platform/BLAS it is deterministic, so
-    two runs still yield identical labels."""
+    fold-order path).  Determinism holds only for a FIXED BLAS build
+    AND thread configuration: multithreaded GEMM reduction order varies
+    with thread count/CPU dispatch, so near-tie argmins can flip across
+    differently-configured runs (ADVICE r9) — acceptable here because
+    the tier is oracle-free and label identity is not part of any
+    verified contract."""
     import numpy as np
 
     D = X @ C.T
@@ -313,8 +317,15 @@ def subcluster_cells(
             F.sum((F.col("count") > bound).cast("int")).alias("over"),
             F.sum(over_size).alias("over_rows"),
             # decimal(38,0): a sum of int64 hashes overflows LONG under
-            # ANSI mode; 38 digits hold ~10¹⁹ cells' worth of terms
-            F.sum(F.xxhash64(over_size).cast("decimal(38,0)")).alias("over_sig"),
+            # ANSI mode; 38 digits hold ~10¹⁹ cells' worth of terms.
+            # The hash sits INSIDE the when: xxhash64(NULL) is the seed
+            # (42), not NULL, so hashing the when-column would add 42
+            # per non-oversized cell and the signature would no longer
+            # be the oversized-size multiset (ADVICE r9).
+            F.sum(
+                F.when(F.col("count") > bound, F.xxhash64(F.col("count")))
+                .cast("decimal(38,0)")
+            ).alias("over_sig"),
         ).first()
         # stop on success OR no progress: a cell of identical vectors
         # can never split (all distances tie), and re-running levels on

@@ -434,7 +434,17 @@ def main() -> None:
     for s in SCALES:
         out = base if s == 1 else os.path.join(WORK, f"x{s}")
         if s > 1:
-            done = os.path.exists(os.path.join(out, "lineitem.parquet", "_SUCCESS"))
+            # every table build_scaled writes must carry its marker:
+            # lineitem alone is written mid-sequence, so an interrupted
+            # build could be reused with customer/orders missing or
+            # stale from an older build (ADVICE r9)
+            done = all(
+                os.path.exists(os.path.join(out, f"{t}.parquet", "_SUCCESS"))
+                for t in (
+                    "nation", "region", "documents", "embeddings",
+                    "events", "lineitem", "customer", "orders",
+                )
+            )
             if reuse and done:
                 print(f"reusing {s}x corpus at {out}", flush=True)
             else:
