@@ -152,14 +152,25 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
     full_run = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
-    prior_stratum = -1
-    if os.path.exists(detail_path):
-        try:
-            with open(detail_path) as f:
-                prior_stratum = int(json.load(f).get("stratum", -1))
-        except Exception:
-            prior_stratum = -1
-    stratum = (prior_stratum + 1) % 3
+    # Stratum is a PURE FUNCTION of the round number (max committed
+    # BENCH_r*.json + 1), not of the mutable BENCH_DETAIL field: the r9
+    # rotation slipped exactly because a builder interim run overwrote
+    # the prior-stratum handoff and the driver's round-end run advanced
+    # from the wrong base (VERDICT r9 "What's wrong" #1 / Next #5).
+    # Derived this way, every run inside one round — builder interim or
+    # driver round-end — selects the SAME stratum, and nothing a run
+    # writes can perturb the next round's selection.  Offset +2 pins
+    # round 10 → stratum 0 (the stratum the slip skipped), then r11 →
+    # s1, r12 → s2, full coverage every 3 rounds.
+    import glob as _glob
+    import re as _re
+
+    _bench_rounds = [
+        int(_re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
+    current_round = (max(_bench_rounds) + 1) if _bench_rounds else 1
+    stratum = (current_round + 2) % 3
     registry = entry_mod.queries()
     selected = {
         name: fn
@@ -252,7 +263,12 @@ def main() -> None:
     # subset varies per run, so the pairwise ratio (total / base) is the
     # comparable number, not the raw total against a full-suite figure.
     comparables = {}
-    for rn in ("r2", "r3", "r4", "r5", "r6", "r7", "r8", "r9"):
+    _base_rounds = sorted(
+        (_re.search(r"_r(\d+)\.json$", os.path.basename(p)).group(1)
+         for p in _glob.glob(os.path.join(here, "bench_baseline_r*.json"))),
+        key=int,
+    )
+    for rn in (f"r{n}" for n in _base_rounds):
         base_path = os.path.join(here, f"bench_baseline_{rn}.json")
         if os.path.exists(base_path):
             with open(base_path) as f:
@@ -271,9 +287,10 @@ def main() -> None:
                             ours / theirs, 3
                         )
     strata_info = {
-        # full runs don't advance the rotation: persist the PRIOR
-        # stratum so the next stratified run continues where it left off
-        "stratum": max(prior_stratum, 0) if full_run else stratum,
+        # recorded for the run's provenance only — selection no longer
+        # reads this field (stratum derives from the round number above)
+        "stratum": stratum,
+        "round": current_round,
         "mode": "full" if full_run else "stratified",
         "benched": len(timings),
         "registered": len(registry),

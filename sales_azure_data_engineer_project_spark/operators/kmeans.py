@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from .similarity import as_double_vec
 
-__all__ = ["kmeans_fit", "assign_clusters", "subcluster_cells"]
+__all__ = [
+    "kmeans_fit",
+    "assign_clusters",
+    "assign_clusters_routed",
+    "subcluster_cells",
+]
 
 
 def _centroid_struct(centroids: list[list[float]]):
@@ -112,6 +117,129 @@ def _dists_gemm(X, C):
     return D
 
 
+# Below this k the √√k routing's two-stage overhead (g super-distances
+# + nprobe member scans) stops paying for itself: at k = 32 the routed
+# per-point cost ≈ isqrt(32) + 2·32/isqrt(32) ≈ 18 vs 32 flat — barely
+# 2×, and the supercell build adds a driver step.  Every oracle SF sits
+# far below this (flat-path gate fires at k_fit ≤ √128 ≈ 11), so the
+# constant only tunes the oracle-free hierarchical tier.
+_ROUTE_MIN_K = 32
+
+
+def _fit_supercells(C, iters: int = 4):
+    """Driver-side Lloyd over the k×d COARSE-CENTROID matrix: groups
+    the k centroids into g = max(2, ⌊√k⌋) super-cells and returns
+    (SC, members) with SC the g'×d super-centroid matrix (empty cells
+    dropped, g' ≤ g) and members[s] the int array of coarse-centroid
+    indices in super-cell s — a partition of range(k).
+
+    This is the √√k routing structure (VERDICT r9 Next #3 / FAISS
+    IMI-style two-level search): in the SemDeDup k ∝ N regime the
+    coarse level already holds √k centroids, so routing a point
+    through √√k super-cells costs ~g + nprobe·k/g ≈ 3√k evals instead
+    of k — N·k^¼ total instead of the designed N^1.5.  Runs entirely
+    on the driver: k ≤ a few thousand rows even at the 1000× tier
+    (k_fit = √31k ≈ 176), microseconds of numpy.  Strided seeds,
+    fixed iteration count — deterministic for a fixed BLAS config
+    (same caveat as _dists_gemm; this helper is oracle-free by
+    construction since only the hierarchical tier calls it)."""
+    import numpy as np
+
+    k = C.shape[0]
+    g = max(2, math.isqrt(k))
+    SC = C[:: max(1, k // g)][:g].copy()
+    for _ in range(iters):
+        a = _dists_gemm(C, SC).argmin(1)
+        sums = np.zeros_like(SC)
+        cnts = np.zeros(SC.shape[0], dtype=np.int64)
+        np.add.at(cnts, a, 1)
+        np.add.at(sums, a, C)
+        nz = cnts > 0
+        SC[nz] = sums[nz] / cnts[nz, None]
+    a = _dists_gemm(C, SC).argmin(1)
+    members = [np.nonzero(a == s)[0] for s in range(SC.shape[0])]
+    keep = [s for s, m in enumerate(members) if m.size]
+    return SC[keep], [members[s] for s in keep]
+
+
+def _routed_argmin(X, C, SC, members, nprobe: int = 2):
+    """Two-stage approximate argmin over centroids C: nearest ``nprobe``
+    super-cells per point (N×g GEMM), then exact search within those
+    cells' members only.  Returns int64 labels indexing into C.
+
+    Approximation contract: the true nearest centroid is found whenever
+    it lives in one of the point's nprobe nearest super-cells — the
+    standard IVF recall trade, ~99% at nprobe=2 on the blow-up corpora
+    (pinned by test_routed_argmin_agreement).  A miss assigns the
+    nearest centroid among the probed cells, which only shifts a vector
+    to an adjacent quantizer cell; downstream ``subcluster_cells``
+    re-bounds any cell the shift oversizes, so the quantizer's size
+    contract survives routing errors.  Work: Σ_s |probe⁻¹(s)|·|members
+    [s]| ≈ nprobe·N·k/g — the per-super-cell loop keeps every distance
+    computation a dense GEMM instead of a ragged per-point gather."""
+    import numpy as np
+
+    n = X.shape[0]
+    g = SC.shape[0]
+    nprobe = min(nprobe, g)
+    Ds = _dists_gemm(X, SC)
+    probe = np.argpartition(Ds, nprobe - 1, axis=1)[:, :nprobe]
+    best = np.full(n, np.inf)
+    lab = np.zeros(n, dtype=np.int64)
+    for s in range(g):
+        pts = np.nonzero((probe == s).any(axis=1))[0]
+        if not pts.size:
+            continue
+        mem = members[s]
+        D = _dists_gemm(X[pts], C[mem])
+        j = D.argmin(1)
+        d = D[np.arange(pts.size), j]
+        upd = d < best[pts]
+        sel = pts[upd]
+        best[sel] = d[upd]
+        lab[sel] = mem[j[upd]]
+    return lab
+
+
+def assign_clusters_routed(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """√√k-routed variant of ``assign_clusters_arrow`` for the
+    oracle-free hierarchical tier: same (… + cluster int) contract,
+    ~k^¼ distance evals per point instead of k.  Falls back to the
+    exact GEMM argmin below ``_ROUTE_MIN_K`` centroids, where routing
+    overhead exceeds its savings.  NEVER use on an oracle path — both
+    the supercell fit and the member GEMMs accumulate in GEMM order,
+    not the SQL fold order."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    routed = C.shape[0] >= _ROUTE_MIN_K
+    SC, members = _fit_supercells(C) if routed else (None, None)
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+        + ", cluster int"
+    )
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            if routed:
+                a = _routed_argmin(X, C, SC, members, nprobe)
+            else:
+                a = _dists_gemm(X, C).argmin(1)
+            pdf = pdf.copy()
+            pdf["cluster"] = a.astype("int32")
+            yield pdf
+
+    return df.mapInPandas(part, out_schema)
+
+
 def assign_clusters_arrow(
     df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
@@ -161,6 +289,41 @@ def _iteration_sums_arrow(
             X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
             D = _dists_fold_order(X, C)
             a = D.argmin(1)
+            rows = [
+                (c, int((a == c).sum()), X[a == c].sum(axis=0).tolist())
+                for c in range(k)
+                if (a == c).any()
+            ]
+            yield pd.DataFrame(rows, columns=["cluster", "n", "s"])
+
+    return df.mapInPandas(part, "cluster int, n long, s array<double>")
+
+
+def _iteration_sums_routed(
+    df: DataFrame, centroids: list[list[float]], vec_col: str, nprobe: int = 2
+) -> DataFrame:
+    """``_iteration_sums_arrow`` with the assignment routed through √√k
+    super-cells (see ``_routed_argmin``) and GEMM distance kernels —
+    the hierarchical coarse fit's per-iteration pass.  The super-cell
+    structure is rebuilt from the CURRENT centroids on the driver each
+    call (centroids move between Lloyd iterations; the rebuild is a
+    k×d numpy fit, noise next to the N-row pass it routes).  Oracle-
+    free tier only: both routing approximation and GEMM rounding break
+    the SQL fold-order replay that ``_iteration_sums_arrow``
+    guarantees."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k = C.shape[0]
+    SC, members = _fit_supercells(C)
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            a = _routed_argmin(X, C, SC, members, nprobe)
             rows = [
                 (c, int((a == c).sum()), X[a == c].sum(axis=0).tolist())
                 for c in range(k)
@@ -374,6 +537,7 @@ def kmeans_fit(
     tol: float = 1e-6,
     seeds: list[list[float]] | None = None,
     compute_inertia: bool = True,
+    routed: bool = False,
 ) -> tuple[list[list[float]], float]:
     """Fit k-means; returns (centroids, inertia).
 
@@ -383,6 +547,16 @@ def kmeans_fit(
     deterministic prefix is available some other way.  With
     ``compute_inertia=False`` the final quality scan is skipped (one
     job) and inertia returns as ``nan``.
+
+    ``routed=True`` routes each iteration's assignment through √√k
+    super-cells (``_iteration_sums_routed``) when k ≥ ``_ROUTE_MIN_K``
+    — ~k^¼ distance evals per point instead of k, for the hierarchical
+    coarse fit where k ∝ √N makes the exact pass the designed N^1.5
+    component (VERDICT r9 Next #3).  Approximate assignment inside
+    Lloyd only perturbs the centroid trajectory (mini-batch-style);
+    the downstream size contract is enforced by ``subcluster_cells``
+    regardless.  NEVER set on an oracle-replayed fit: routing + GEMM
+    rounding break the fold-order replay.
     """
     if seeds is None:
         first = df.limit(k).select(as_double_vec(vec_col).alias("v")).collect()
@@ -413,7 +587,12 @@ def kmeans_fit(
                 # Arrow tier: assignment + per-batch partial sums fused
                 # into one vectorized pass; ≤ k rows per batch reach the
                 # driver (vs k·d posexplode rows through a shuffle)
-                for r in _iteration_sums_arrow(df, centroids, vec_col).collect():
+                iter_sums = (
+                    _iteration_sums_routed(df, centroids, vec_col)
+                    if routed and k >= _ROUTE_MIN_K
+                    else _iteration_sums_arrow(df, centroids, vec_col)
+                )
+                for r in iter_sums.collect():
                     c = r["cluster"]
                     counts[c] += r["n"]
                     acc[c] = [a + x for a, x in zip(acc[c], r["s"])]

@@ -3944,7 +3944,12 @@ def _sq8_kmeans_cells(
     iteration: one narrow assignment pass (broadcast k×d centroids)
     fused with the (k·d)-row partial-sum shuffle — only the centroid
     matrix ever reaches the driver."""
-    from .operators.kmeans import assign_clusters_arrow, kmeans_fit, subcluster_cells
+    from .operators.kmeans import (
+        assign_clusters_arrow,
+        assign_clusters_routed,
+        kmeans_fit,
+        subcluster_cells,
+    )
 
     hier = False
     if k is None:
@@ -3984,6 +3989,14 @@ def _sq8_kmeans_cells(
     # (vec_id, cvec) projection — v/nrm are dead weight in every Lloyd
     # iteration's batch stream (half the transferred bytes at 64 dims)
     fit_in = base.select("vec_id", "cvec")
+    # hier tier: both the coarse fit's per-iteration assignment and the
+    # final assignment route through √√k_fit super-cells (VERDICT r9
+    # Next #3) — the exact N·√k pass was the quantizer's designed N^1.5
+    # component, phase-attributed at 1000× (predicted 6.05× vs measured
+    # 6.08 over a 3.33× step); routing cuts it to ~N·k^¼.  The flat
+    # (oracle-replayed) path keeps the fold-order kernels untouched —
+    # kmeans_fit only routes when routed=True AND k ≥ _ROUTE_MIN_K,
+    # and every oracle SF fits flat (k ≤ 128 ⇒ hier is False).
     centroids, _ = kmeans_fit(
         fit_in,
         k=k_fit,
@@ -3992,8 +4005,13 @@ def _sq8_kmeans_cells(
         tol=0.0,
         seeds=[list(r["cvec"]) for r in seed_rows],
         compute_inertia=False,
+        routed=hier,
     )
-    assigned = assign_clusters_arrow(base if not hier else fit_in, centroids, "cvec")
+    assigned = (
+        assign_clusters_routed(fit_in, centroids, "cvec")
+        if hier
+        else assign_clusters_arrow(base, centroids, "cvec")
+    )
     if hier:
         # the recursion shuffles and persists per level — feed it the
         # SLIM (id, cvec, label) projection (v/nrm are dead weight in

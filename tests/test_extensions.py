@@ -586,6 +586,102 @@ def test_subcluster_cells_rejects_depth_beyond_tag_space(spark):
             )
 
 
+def test_routed_argmin_agreement():
+    """√√k routing contract (VERDICT r9 Next #3): the two-stage argmin
+    must (a) partition the centroid set exactly across super-cells,
+    (b) agree with the exact argmin on ≥97% of clustered points at
+    nprobe=2 — the IVF recall trade the hierarchical tier accepts —
+    and (c) never report a distance smaller than the exact minimum
+    (it searches a subset, so its best is ≥ the true best), with every
+    miss assigning a probed cell's genuine nearest member.  Numpy-only:
+    the kernels run inside mapInPandas workers; clustered data mirrors
+    the SQ8-coded embedding geometry the tier actually sees."""
+    import numpy as np
+
+    from sales_azure_data_engineer_project_spark.operators.kmeans import (
+        _dists_gemm,
+        _fit_supercells,
+        _routed_argmin,
+    )
+
+    rng = np.random.default_rng(7)
+    k, d, per = 64, 16, 60
+    centers = rng.normal(size=(k, d)) * 4.0
+    X = np.repeat(centers, per, axis=0) + rng.normal(size=(k * per, d)) * 0.6
+    C = centers + rng.normal(size=(k, d)) * 0.05
+
+    SC, members = _fit_supercells(C)
+    covered = np.sort(np.concatenate(members))
+    assert covered.tolist() == list(range(k))  # exact partition
+    assert 2 <= SC.shape[0] <= int(np.sqrt(k)) + 1
+
+    exact = _dists_gemm(X, C)
+    exact_lab = exact.argmin(1)
+    routed_lab = _routed_argmin(X, C, SC, members, nprobe=2)
+    agree = (routed_lab == exact_lab).mean()
+    assert agree >= 0.97, f"routed/exact agreement {agree:.3f}"
+    # subset-search property: routed distance ≥ exact minimum, always
+    n = np.arange(len(X))
+    assert (exact[n, routed_lab] >= exact[n, exact_lab] - 1e-12).all()
+    # determinism: same inputs, same labels
+    assert (routed_lab == _routed_argmin(X, C, SC, members, nprobe=2)).all()
+
+
+def test_assign_clusters_routed_spark_contract(spark):
+    """Spark-side routed assignment: same schema contract as
+    assign_clusters_arrow, high agreement with the exact assignment on
+    clustered data, deterministic across runs, and the k <
+    _ROUTE_MIN_K fallback is the EXACT GEMM argmin (no routing layer
+    at small k, where every oracle-SF fit lives)."""
+    import numpy as np
+
+    from sales_azure_data_engineer_project_spark.operators.kmeans import (
+        _ROUTE_MIN_K,
+        assign_clusters_arrow,
+        assign_clusters_routed,
+    )
+
+    rng = np.random.default_rng(11)
+    k, d, per = 48, 8, 25
+    assert k >= _ROUTE_MIN_K
+    centers = rng.normal(size=(k, d)) * 4.0
+    pts = np.repeat(centers, per, axis=0) + rng.normal(size=(k * per, d)) * 0.5
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    cents = [c.tolist() for c in centers]
+
+    routed = dict(
+        (r["vec_id"], r["cluster"])
+        for r in assign_clusters_routed(df, cents).collect()
+    )
+    exact = dict(
+        (r["vec_id"], r["cluster"])
+        for r in assign_clusters_arrow(df, cents).collect()
+    )
+    assert set(routed) == set(exact) and len(routed) == len(pts)
+    agree = sum(routed[i] == exact[i] for i in routed) / len(routed)
+    assert agree >= 0.95, f"routed/exact agreement {agree:.3f}"
+    routed2 = dict(
+        (r["vec_id"], r["cluster"])
+        for r in assign_clusters_routed(df, cents).collect()
+    )
+    assert routed == routed2
+
+    # below the gate the routed entry point IS the exact argmin
+    few = [c.tolist() for c in centers[: _ROUTE_MIN_K - 1]]
+    small_routed = dict(
+        (r["vec_id"], r["cluster"])
+        for r in assign_clusters_routed(df, few).collect()
+    )
+    small_exact = dict(
+        (r["vec_id"], r["cluster"])
+        for r in assign_clusters_arrow(df, few).collect()
+    )
+    assert small_routed == small_exact
+
+
 def test_bpe_merges_vs_python_reference(spark, sf_smoke):
     """Third formulation cross-check: the registered BPE query (Spark
     F.aggregate fold; DuckDB replays it as windows) must equal a plain
