@@ -464,6 +464,7 @@ def subcluster_cells(
 
     out = df.withColumn(coarse_col, F.col(coarse_col).cast("long"))
     done_parts: list[DataFrame] = []
+    level_caches: list[DataFrame] = []
     prev_shape = None
     for level in range(max_levels):
         # batch_rows: the level cache carries the vector ARRAY column —
@@ -473,6 +474,7 @@ def subcluster_cells(
             out.groupBy(coarse_col).applyInPandas(fit_level, fields),
             batch_rows=2000,
         )
+        level_caches.append(out)
         sizes = out.groupBy(coarse_col).count()
         over_size = F.when(F.col("count") > bound, F.col("count"))
         stats = sizes.agg(
@@ -525,7 +527,18 @@ def subcluster_cells(
     # (id, label) only, ~16 B/row — and the level caches feeding it are
     # already materialized by the size checks, so this is one cheap
     # block write that makes the quantizer a LEAF for all consumers.
-    return result.localCheckpoint(eager=True)
+    ckpt = result.localCheckpoint(eager=True)
+    # Stage-scoped release (VERDICT r9 Next #4): the eager checkpoint
+    # was every level cache's LAST consumer — level N+1's fit read
+    # level N during its own size check, and the done-part reads all
+    # flowed through the checkpoint build.  Level 1 alone caches the
+    # full (id, vector, label) corpus (~1 GB at the 1000× tier), and
+    # holding it to the harness-level release_caches() is exactly the
+    # residency that summed the composed funnel past one 8 GB heap.
+    # Double-unpersist at release_caches() is harmless (no-op).
+    for fr in level_caches:
+        fr.unpersist(blocking=False)
+    return ckpt
 
 
 def kmeans_fit(

@@ -4028,11 +4028,22 @@ def _sq8_kmeans_cells(
             target_cell=_QUANTIZER_TARGET_CELL,
             iters=iters,
         ).select("vec_id", "cluster")
-        return (
+        out = (
             base.select("vec_id", "v", "nrm")
             .join(labels, "vec_id")
             .transform(tracked_persist)
         )
+        # Stage-scoped release (VERDICT r9 Next #4): one eager count
+        # materializes the slim output, after which the WIDE internal
+        # SQ8 cache (v + cvec ≈ 1 KB/row — ~2 GB at the 1000× tier) has
+        # no remaining consumer: seeds collected, fit iterations done,
+        # labels checkpointed, and the (vec_id, v, nrm) projection just
+        # cached.  Holding it through the downstream Σ|cell|² pair join
+        # was dead residency on the shared heap.  Hier tier only — the
+        # flat (oracle/bench) path keeps its lazy single-action shape.
+        out.count()
+        base.unpersist(blocking=False)
+        return out
     return assigned.transform(tracked_persist)
 
 
@@ -4416,6 +4427,22 @@ def _full_train_prep_oracle_sql() -> str:
     """
 
 
+# Above this corpus size the composed funnel switches to STAGED
+# execution: each stage's survivor stats are collected eagerly and
+# every cache is unpersisted right after its last consumer stage —
+# without it, the funnel's CONCURRENT stage caches (text + survivor
+# frames + LSH bands + quantizer state) sum past a single 8 GB heap at
+# the 1000× tier even though every component passes standalone
+# (SCALING.md round-9; VERDICT r9 Next #4).  Below the gate the funnel
+# keeps its measured-faster lazy one-action shape (the sf0.1 A/B: 24 s
+# eager vs 18 s lazy — barrier count, not data), so every oracle/bench
+# SF is untouched; test_funnel_staged_mode_matches_lazy pins value
+# equality across the gate.  1M docs ≈ the 200× tier on this corpus.
+_FUNNEL_STAGE_RELEASE_DOCS = 1_000_000
+# breadcrumb for the pytest that pins staged mode actually firing
+_FUNNEL_LAST_MODE: str | None = None
+
+
 @register("pipeline_full_train_prep", _full_train_prep_oracle_sql())
 def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CAPSTONE composed pipeline (round-4, VERDICT r3 "Next" #8):
@@ -4466,6 +4493,13 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     a thread overlapping quantizer training with the text chain was
     A/B'd and removed (±0 — the wall is barrier count, not overlap)."""
     corpus = _dedup_corpus(spark, sf_dir)
+    # staged-vs-lazy gate: one metadata-only parquet count-star (the
+    # same cheap hint the corpus-scaled quantizer already pays on
+    # embeddings) — see _FUNNEL_STAGE_RELEASE_DOCS
+    staged = (
+        load_testdata(spark, sf_dir, "documents").count()
+        >= _FUNNEL_STAGE_RELEASE_DOCS
+    )
     tk = corpus.select(
         "doc_id", "text", F.split(F.col("text"), X.TOKEN_RE).alias("toks")
     )
@@ -4672,6 +4706,35 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     s4 = nd.agg(F.inline(F.array(_row(4, "near_dedup", _cnt(true), _tok(true)))))
     s5 = sd.agg(F.inline(F.array(_row(5, "semantic_dedup", _cnt(true), _tok(true)))))
     s6 = dc.agg(F.inline(F.array(_row(6, "decontaminate", _cnt(true), _tok(true)))))
+    global _FUNNEL_LAST_MODE
+    if staged:
+        # STAGED tier (≥ _FUNNEL_STAGE_RELEASE_DOCS): run the stage
+        # aggregates eagerly IN DEPENDENCY ORDER and unpersist each
+        # cache right after its last consumer completes.  Values are
+        # identical to the lazy union — same frames, same expressions —
+        # only materialization timing and cache lifetime change.
+        _FUNNEL_LAST_MODE = "staged"
+        lit_rows = list(s012.collect())          # base stats (3 rows)
+        lit_rows += s3.collect()                 # ex stats
+        lit_rows += s4.collect()                 # materializes nd (LSH path)
+        ex.unpersist(blocking=False)             # nd built, ex_txt consumed
+        slv.count()                              # survivor cells cached
+        cells.unpersist(blocking=False)          # slv was its only consumer
+        lit_rows += s5.collect()                 # materializes sd (pair join)
+        nd.unpersist(blocking=False)
+        slv.unpersist(blocking=False)
+        lit_rows += s6.collect()                 # materializes dc (contam)
+        sd.unpersist(blocking=False)
+        base.unpersist(blocking=False)           # sd_txt was its last read
+        lit_df = spark.createDataFrame(
+            lit_rows, "stage_idx int, stage string, n_units bigint, n_tokens bigint"
+        )
+        # pack + splits read dc, the ONE cache the final action needs —
+        # the harness-level release_caches() frees it after collection
+        return (
+            lit_df.unionByName(pack).unionByName(splits).orderBy("stage_idx")
+        )
+    _FUNNEL_LAST_MODE = "lazy"
     return (
         s012.unionByName(s3)
         .unionByName(s4)

@@ -682,6 +682,33 @@ def test_assign_clusters_routed_spark_contract(spark):
     assert small_routed == small_exact
 
 
+def test_funnel_staged_mode_matches_lazy(spark):
+    """VERDICT r9 Next #4: above _FUNNEL_STAGE_RELEASE_DOCS the funnel
+    collects stage stats eagerly and releases each cache after its last
+    consumer (the 1000× tier OOM'd one 8 GB heap only because the
+    CONCURRENT stage caches summed past it).  Staged execution must be
+    a pure materialization-order change: identical rows to the lazy
+    one-action shape, and the breadcrumb must prove the staged branch
+    actually fired."""
+    import sales_azure_data_engineer_project_spark.queries_extensions as QE
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows():
+        out = QE.pipeline_full_train_prep(spark, sf).collect()
+        return sorted(tuple(r) for r in out)
+
+    lazy = rows()
+    assert QE._FUNNEL_LAST_MODE == "lazy"
+    try:
+        QE._FUNNEL_STAGE_RELEASE_DOCS, saved = 0, QE._FUNNEL_STAGE_RELEASE_DOCS
+        staged = rows()
+        assert QE._FUNNEL_LAST_MODE == "staged"
+    finally:
+        QE._FUNNEL_STAGE_RELEASE_DOCS = saved
+    assert staged == lazy
+
+
 def test_bpe_merges_vs_python_reference(spark, sf_smoke):
     """Third formulation cross-check: the registered BPE query (Spark
     F.aggregate fold; DuckDB replays it as windows) must equal a plain
