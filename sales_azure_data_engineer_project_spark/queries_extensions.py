@@ -1860,10 +1860,13 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+    kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfreq d ON s.sh = d.sh
+             WHERE d.df <= 4),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     pairs AS (
@@ -1890,11 +1893,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every corpus doc labeled with its duplicate-group id (min member).
     The keep-one-per-cluster step of a production dedup pipeline; see
     operators/graph.py for the iterative formulation.  Oracle: DuckDB
-    recursive CTE computing the same transitive closure."""
+    recursive CTE computing the same transitive closure.
+
+    Round-10 default-path swap (VERDICT r9 "Next" #6): pairs now come
+    from the ``posting_freq_cap=4`` exact tier — the same df-filtered
+    integer-exact Jaccard as ``dedup_ngram_jaccard_capped``, whose
+    self-join output is ≤ cap·|postings|/2 (linear in the corpus) —
+    because the UNCAPPED Σ bucket² posting join made exact-pairs CC
+    the family's α ceiling (0.67 at 300×, 196.6 s).  The oracle
+    replays the identical filtered semantics (dfreq/kept CTEs), so the
+    gate stays hash-exact; on this corpus the cap drops only
+    boilerplate shingles whose pairs never clear 300‰, so the oracle-SF
+    cluster labels are unchanged from the uncapped history.  The
+    uncapped pair tier remains registered as ``dedup_ngram_jaccard``;
+    the LSH candidate tier as ``dedup_clusters_minhash``."""
     from .operators.graph import connected_components
 
     corpus = _dedup_corpus(spark, sf_dir)
-    pairs = D.jaccard_pairs(corpus, "doc_id", "text", min_permille=300)
+    pairs = D.jaccard_pairs(
+        corpus, "doc_id", "text", min_permille=300, posting_freq_cap=4
+    )
     nodes = corpus.select(F.col("doc_id").alias("id"))
     labels = connected_components(
         nodes, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
