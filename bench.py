@@ -131,17 +131,17 @@ def main() -> None:
     _ROUND_ALWAYS = {
         # new or changed-implementation this round — every run measures
         # them so regressions surface before the next rotation.
-        # Round 9: the posting_freq_cap valve (new registered query +
-        # the two exact-tier queries refactored through the shared
-        # _posting_rows helper; uncapped plans identical)...
+        # Round 10: the capped-pair default swap...
+        "dedup_clusters",
         "dedup_ngram_jaccard_capped",
-        "dedup_ngram_jaccard",
-        "dedup_shingle_containment",
-        # ...and the subcluster_cells hardening canaries (max_levels
-        # validation + multiset progress metric; hierarchical path only
-        # — oracle/bench SFs stay on the flat quantizer path)
+        # ...the √√k-routed hierarchical quantizer + stage-scoped
+        # release (flat path at bench SFs is unchanged by design —
+        # these canaries verify exactly that)...
         "dedup_semantic_semdedup",
         "similarity_mutual_knn_pairs",
+        "similarity_ann_ivf_kmeans",
+        # ...and the funnel's staged-mode gate (lazy below 1M docs —
+        # canary pins the bench-SF shape didn't move)
         "pipeline_full_train_prep",
     }
     import hashlib
@@ -212,14 +212,21 @@ def main() -> None:
     # genuine regression reproduces in the rerun median and stays
     # visible; the earlier min(first, rerun) rule let one lucky single
     # execution downgrade a real 2× regression.
+    # Baselines discovered by glob in round order (round 10): the old
+    # hardcoded r2…r9 tuple would have silently skipped r10's snapshot,
+    # leaving the rerun threshold pinned to stale figures.
     baseline_latest: dict[str, float] = {}
-    for rn in ("r2", "r3", "r4", "r5", "r6", "r7", "r8", "r9"):
-        base_path = os.path.join(here, f"bench_baseline_{rn}.json")
-        if os.path.exists(base_path):
-            with open(base_path) as f:
-                bq = json.load(f)["queries"]
-            if isinstance(bq, dict):
-                baseline_latest.update(bq)
+    _bl_rounds = sorted(
+        (_re.search(r"_r(\d+)\.json$", os.path.basename(p)).group(1)
+         for p in _glob.glob(os.path.join(here, "bench_baseline_r*.json"))),
+        key=int,
+    )
+    for rn in _bl_rounds:
+        base_path = os.path.join(here, f"bench_baseline_r{rn}.json")
+        with open(base_path) as f:
+            bq = json.load(f)["queries"]
+        if isinstance(bq, dict):
+            baseline_latest.update(bq)
     reruns: dict[str, dict[str, float]] = {}
     for name in list(timings):
         base = baseline_latest.get(name)
