@@ -298,80 +298,78 @@ def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
             "overwrite"
         ).parquet(os.path.join(out_dir, f"{dim}.parquet"))
 
-    def doc_copy(i: int):
-        # closure-captured seed (NOTES pitfall: never seed a lambda via
-        # a default arg — a 2-param callable becomes a (value, index)
-        # lambda and the seed silently turns into a column repr)
-        prefix = F.lit(f"c{i}·")
-        toks = F.split(F.col("text"), r"\s+")
-        salted = F.concat_ws(" ", F.transform(toks, lambda t: F.concat(prefix, t)))
-        return docs.select(
-            (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
-            (salted if i else F.col("text")).alias("text"),
-            *[c for c in docs.columns if c not in ("doc_id", "text")],
-        )
+    # Fan-out via broadcast crossJoin with a copy-index table, NOT a
+    # factor-way union (round 10): the old per-copy unionByName loop
+    # built a `factor`-branch plan per table — at 3000× that is 18,000
+    # union branches across six tables, and the driver spent 20+ min
+    # single-threaded inside Catalyst analysis before a single task ran
+    # (observed: one core at 93%, zero executor activity).  A
+    # crossJoin(broadcast(copies)) keeps the plan O(1) in `factor`,
+    # executes the blow-up in parallel across the repartitioned base,
+    # and produces the same rows: every per-copy expression below takes
+    # the copy index from the `copy` COLUMN instead of a closure int.
+    # Content is deterministic either way (fixed per-copy salts/offsets);
+    # only row order/file layout differ, which no consumer depends on.
+    copies = F.broadcast(
+        spark.range(factor).select(F.col("id").alias("copy"))
+    )
 
-    def emb_copy(i: int):
-        off = F.lit(float(i) * 1e-3)
-        vec = F.transform(F.col("embedding"), lambda x: (x + off).cast("float"))
-        return emb.select(
-            (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
-            (vec if i else F.col("embedding")).alias("embedding"),
-            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
-        )
+    def fanout(df, width: int):
+        return df.repartition(width).crossJoin(copies)
 
-    def ev_copy(i: int):
-        # disjoint user (and event-id) space per copy: per-user series
-        # repeat verbatim, so sessionization/as-of/SCD-2 state per key
-        # stays constant while the key count grows ∝ N
-        return ev.select(
-            (F.col("event_id") + i * 100_000_000).alias("event_id"),
-            "ts",
-            (F.col("user_id") + i * 100_000_000).alias("user_id"),
-            *[c for c in ev.columns if c not in ("event_id", "ts", "user_id")],
-        )
+    cp = F.col("copy")
 
-    def li_copy(i: int):
-        # disjoint order-key space per copy, value distribution repeated
-        # verbatim: per-group (returnflag) row counts grow ∝ N while the
-        # quantile targets stay put — the natural growth model for the
-        # bottom-k sketch (sample size is fixed at k regardless of N)
-        return li.select(
-            (F.col("l_orderkey") + i * 1_000_000_000).alias("l_orderkey"),
-            *[c for c in li.columns if c != "l_orderkey"],
-        )
+    prefix = F.concat(F.lit("c"), cp.cast("string"), F.lit("·"))
+    toks = F.split(F.col("text"), r"\s+")
+    salted = F.concat_ws(" ", F.transform(toks, lambda t: F.concat(prefix, t)))
+    d = fanout(docs, 32).select(
+        (F.col("doc_id") + cp * 1_000_000).alias("doc_id"),
+        F.when(cp == 0, F.col("text")).otherwise(salted).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
 
-    def cu_copy(i: int):
-        # disjoint customer keys, QI tuple distribution repeated: the
-        # k-anonymity class COUNT stays constant while class sizes grow
-        return cu.select(
-            (F.col("c_custkey") + i * 10_000_000).alias("c_custkey"),
-            *[c for c in cu.columns if c != "c_custkey"],
-        )
+    off = (cp.cast("double") * 1e-3)
+    vec = F.transform(F.col("embedding"), lambda x: (x + off).cast("float"))
+    e = fanout(emb, 32).select(
+        (F.col("vec_id") + cp * 1_000_000).alias("vec_id"),
+        F.when(cp == 0, F.col("embedding")).otherwise(vec).alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
 
-    def ord_copy(i: int):
-        # custkey offsets track cu_copy so the orders→customer FK stays
-        # intact per copy: the flagship star join's fan-out per customer
-        # is constant while customer count grows ∝ N
-        return orders.select(
-            (F.col("o_orderkey") + i * 1_000_000_000).alias("o_orderkey"),
-            (F.col("o_custkey") + i * 10_000_000).alias("o_custkey"),
-            *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
-        )
+    # disjoint user (and event-id) space per copy: per-user series
+    # repeat verbatim, so sessionization/as-of/SCD-2 state per key
+    # stays constant while the key count grows ∝ N
+    v = fanout(ev, 32).select(
+        (F.col("event_id") + cp * 100_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + cp * 100_000_000).alias("user_id"),
+        *[c for c in ev.columns if c not in ("event_id", "ts", "user_id")],
+    )
 
-    d = doc_copy(0)
-    e = emb_copy(0)
-    v = ev_copy(0)
-    t = li_copy(0)
-    u = cu_copy(0)
-    o = ord_copy(0)
-    for i in range(1, factor):
-        d = d.unionByName(doc_copy(i))
-        e = e.unionByName(emb_copy(i))
-        v = v.unionByName(ev_copy(i))
-        t = t.unionByName(li_copy(i))
-        u = u.unionByName(cu_copy(i))
-        o = o.unionByName(ord_copy(i))
+    # disjoint order-key space per copy, value distribution repeated
+    # verbatim: per-group (returnflag) row counts grow ∝ N while the
+    # quantile targets stay put — the natural growth model for the
+    # bottom-k sketch (sample size is fixed at k regardless of N)
+    t = fanout(li, 64).select(
+        (F.col("l_orderkey") + cp * 1_000_000_000).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+
+    # disjoint customer keys, QI tuple distribution repeated: the
+    # k-anonymity class COUNT stays constant while class sizes grow
+    u = fanout(cu, 32).select(
+        (F.col("c_custkey") + cp * 10_000_000).alias("c_custkey"),
+        *[c for c in cu.columns if c != "c_custkey"],
+    )
+
+    # custkey offsets track cu_copy so the orders→customer FK stays
+    # intact per copy: the flagship star join's fan-out per customer
+    # is constant while customer count grows ∝ N
+    o = fanout(orders, 32).select(
+        (F.col("o_orderkey") + cp * 1_000_000_000).alias("o_orderkey"),
+        (F.col("o_custkey") + cp * 10_000_000).alias("o_custkey"),
+        *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+    )
     d.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     e.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
     v.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
