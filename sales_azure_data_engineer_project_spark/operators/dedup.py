@@ -154,7 +154,11 @@ def _shingled_with_sig(
             F.collect_list(F.xxhash64("sh")).alias("shingles"),
             *[
                 F.min(
-                    F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary"))
+                    F.unhex(
+                        F.md5(
+                            F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary")
+                        )
+                    )
                 ).alias(f"h{i}")
                 for i in range(n_hashes)
             ],
@@ -487,12 +491,30 @@ def minhash_signatures(
     but the aggregate's input is |shingles| rows instead of the
     n·|shingles| a seed-explode would push through it (the pre-r8
     form).  Values identical: min over the same {md5(i:sh)} set
-    either way."""
+    either way.
+
+    Round-10 (guide §2.3 narrower types): signatures are 16-byte
+    BINARY digests (``unhex(md5(...))``) end-to-end, not 32-char hex
+    strings.  Spark's BINARY comparison is unsigned byte-wise
+    lexicographic and lowercase hex encoding is order-preserving
+    (nibble values 0-15 map to the ascending ASCII run 0-9a-f), so
+    ``min(unhex(x)) ≡ unhex(min(x))`` — the argmin shingle, every
+    h-column equality class, and every band bucket are IDENTICAL to
+    the hex form the DuckDB oracles replay; only the representation
+    narrows.  No registered query exposes a signature or band value
+    (they are grouped away into ids/counts), so outputs are unchanged.
+    What it buys at scale: the corpus-proportional signature cache and
+    the banded-join shuffle halve (16 B vs 32 B + string overhead per
+    value) — the 3000×-tier `dedup_minhash_lsh` OOM was pinned to
+    CachedRDDBuilder building the ~5 GB HEX signature cache on one
+    8 GB heap (SCALING.md round-10 addenda)."""
     sh = shingle_explode(df, id_col, text_col, shingle_n)
     return sh.groupBy(id_col).agg(
         *[
             F.min(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary"))
+                F.unhex(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary"))
+                )
             ).alias(f"h{i}")
             for i in range(n_hashes)
         ]
@@ -507,7 +529,15 @@ def _bands_from_sig(
     band_size: int,
 ) -> DataFrame:
     """Banded signatures from a (persisted) signature frame: one
-    constant-width projection per band, unioned."""
+    constant-width projection per band, unioned.
+
+    ``band_sig`` is a 16-byte BINARY digest over the plain concat of
+    the band's fixed-width 16-byte h columns (round-10; h columns are
+    binary now).  Fixed-width fields make the separator-less concat
+    injective, so two docs share a band_sig iff their h tuples are
+    equal — the same bucket partition the hex-and-'|' oracle form
+    produces — while the |docs|·n_bands banded-join shuffle carries
+    16 B per sig instead of a 32-char string."""
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -516,7 +546,7 @@ def _bands_from_sig(
             sig.select(
                 F.col(id_col),
                 F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols).cast("binary")).alias("band_sig"),
+                F.unhex(F.md5(F.concat(*cols))).alias("band_sig"),
             )
         )
     out = bands[0]

@@ -1862,7 +1862,7 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLE_SQL},
     dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
     kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfreq d ON s.sh = d.sh
-             WHERE d.df <= 4),
+             WHERE d.df <= 16),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -1896,22 +1896,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE computing the same transitive closure.
 
     Round-10 default-path swap (VERDICT r9 "Next" #6): pairs now come
-    from the ``posting_freq_cap=4`` exact tier — the same df-filtered
+    from the ``posting_freq_cap=16`` exact tier — the same df-filtered
     integer-exact Jaccard as ``dedup_ngram_jaccard_capped``, whose
     self-join output is ≤ cap·|postings|/2 (linear in the corpus) —
     because the UNCAPPED Σ bucket² posting join made exact-pairs CC
     the family's α ceiling (0.67 at 300×, 196.6 s).  The oracle
     replays the identical filtered semantics (dfreq/kept CTEs), so the
-    gate stays hash-exact; on this corpus the cap drops only
-    boilerplate shingles whose pairs never clear 300‰, so the oracle-SF
-    cluster labels are unchanged from the uncapped history.  The
-    uncapped pair tier remains registered as ``dedup_ngram_jaccard``;
-    the LSH candidate tier as ``dedup_clusters_minhash``."""
+    gate stays hash-exact.  The cap is 16, NOT the capped tier's 4:
+    an old-oracle-vs-new-oracle DuckDB differential showed cap=4
+    CHANGES the cluster labels at sf0.001 and sf0.1 (max shingle df
+    there is 14/32 — docs legitimately linked through df∈(4,16]
+    shingles lose their edge), while cap=16 reproduces the uncapped
+    components EXACTLY at sf0.001, sf0.01 and sf0.1 — so the swap
+    keeps every oracle-SF result bit-identical to the r1–r9 history
+    while the join output stays ≤ 16·|postings|/2, linear in the
+    corpus.  The uncapped pair tier remains registered as
+    ``dedup_ngram_jaccard``; the LSH candidate tier as
+    ``dedup_clusters_minhash``."""
     from .operators.graph import connected_components
 
     corpus = _dedup_corpus(spark, sf_dir)
     pairs = D.jaccard_pairs(
-        corpus, "doc_id", "text", min_permille=300, posting_freq_cap=4
+        corpus, "doc_id", "text", min_permille=300, posting_freq_cap=16
     )
     nodes = corpus.select(F.col("doc_id").alias("id"))
     labels = connected_components(
@@ -15732,7 +15738,10 @@ def dedup_minhash_multiband_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.lit(band_size).alias("band_size"),
                 F.col("doc_id"),
                 F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols).cast("binary")).alias("band_sig"),
+                # binary h columns (round-10): fixed-width 16-byte
+                # fields make the separator-less concat injective, so
+                # bucket equality classes match the hex-'|' oracle form
+                F.unhex(F.md5(F.concat(*cols))).alias("band_sig"),
             )
             layouts = part if layouts is None else layouts.unionByName(part)
     layouts = layouts.transform(tracked_persist)

@@ -3455,8 +3455,11 @@ def test_multiband_sweep_differential(spark):
         members: dict = {}
         for row in sig:
             for b in range(8 // band_size):
-                cols = [row[f"h{b * band_size + j}"] for j in range(band_size)]
-                key = (b, "|".join(cols))
+                # h columns are 16-byte binary (round-10) — the tuple
+                # of bytes is the injective bucket key the fixed-width
+                # concat produces
+                cols = [bytes(row[f"h{b * band_size + j}"]) for j in range(band_size)]
+                key = (b, tuple(cols))
                 buckets[key] += 1
                 members.setdefault(key, []).append(row["doc_id"])
         collision = sum(c * (c - 1) // 2 for c in buckets.values())
@@ -4241,3 +4244,35 @@ def test_ivf_cadence_engine_parity():
             f"SELECT GREATEST(61, CAST(ceil(sqrt({n})) AS BIGINT))"
         ).fetchone()[0]
         assert _ivf_cadence(n) == sql, n
+
+
+def test_dedup_clusters_cap16_reproduces_uncapped_components():
+    """The round-10 default-path swap (capped pair tier feeding CC) must
+    NOT change what `dedup_clusters` computes at oracle SFs: cap=16 was
+    chosen precisely because an old-vs-new oracle differential showed
+    cap=4 drops real edges at sf0.001 (max shingle df 14) and sf0.1
+    (max df 32).  This pins (a) the registered cap value and (b) the
+    capped oracle == uncapped oracle equality at both small SFs, so a
+    future cap change re-triggers the verification instead of silently
+    altering the registered query's results."""
+    import duckdb
+
+    import os as _os
+
+    import __spark_entry__ as entry_mod
+
+    from sales_azure_data_engineer_project_spark.schemas import TESTDATA_TABLES
+
+    sql = entry_mod.oracle_sql()["dedup_clusters"]
+    assert "d.df <= 16" in sql, "registered cap changed - re-verify vs uncapped"
+    uncapped = sql.replace("d.df <= 16", "d.df <= 1000000000")
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        for t in TESTDATA_TABLES:
+            p = f"{sf}/{t}.parquet"
+            if _os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        a = con.execute(sql).df().sort_values(["doc_id"]).reset_index(drop=True)
+        b = con.execute(uncapped).df().sort_values(["doc_id"]).reset_index(drop=True)
+        assert a.equals(b), f"cap=16 changes components at {sf}"
+        con.close()
