@@ -185,6 +185,9 @@ def main() -> None:
     for qi, (name, fn) in enumerate(selected.items()):
         if qi and qi % 25 == 0:
             probes.append(_probe())
+        # guide §1.5: label jobs so the SQL/Jobs UI (when enabled for
+        # debugging) maps executions back to registered queries
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         runs: list[float] = []
         for _ in range(_MEDIAN_OF):
             t0 = time.perf_counter()
@@ -200,6 +203,7 @@ def main() -> None:
             release_caches()
             spark.catalog.clearCache()
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        spark.sparkContext.setJobDescription(None)
 
     # Load-spike de-noising (round-7, VERDICT r6 "Next" #4; semantics
     # tightened round 8 per ADVICE r7): sub-second queries under ambient
@@ -232,6 +236,7 @@ def main() -> None:
         base = baseline_latest.get(name)
         if not base or base <= 0 or timings[name] / base <= 1.8:
             continue
+        spark.sparkContext.setJobDescription(f"bench rerun: {name}")
         rerun_runs: list[float] = []
         for _ in range(_MEDIAN_OF):
             t0 = time.perf_counter()
@@ -243,6 +248,7 @@ def main() -> None:
 
             release_caches()
             spark.catalog.clearCache()
+        spark.sparkContext.setJobDescription(None)
         rerun = round(sorted(rerun_runs)[len(rerun_runs) // 2], 3)
         reruns[name] = {"first_median": timings[name], "rerun_median": rerun}
         timings[name] = rerun

@@ -7893,9 +7893,15 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE equi-join of the edge list with the score vector plus one
     groupBy(dst) partial-sum shuffle; the degree table joins broadcast.
     Per-iteration cost is O(|E|) with no driver involvement; the
-    iteration COUNT is fixed (3), so the plan is a static 3-deep chain
-    AQE pipelines — no lineage blowup, no checkpointing needed at this
-    depth.  Top-k is TakeOrderedAndProject, never a global sort."""
+    iteration COUNT is fixed (3).  Top-k is TakeOrderedAndProject,
+    never a global sort.
+
+    Round-10 (optimization; guide §3.3/§5): the per-iteration score
+    vector is ``localCheckpoint(eager=False)``.  Unlike kcore's
+    3-way-per-round fanout this chain nests only linearly (each round
+    references ``s`` once), so the win is smaller but real — sf0.1
+    A/B 5.8→5.2 s, identical output (collect-compared) — and the
+    per-round plan stays O(1) at any iteration count."""
     corpus = _dedup_corpus(spark, sf_dir)
     bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
     e = (
@@ -7931,7 +7937,7 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(150000)
                 + F.expr("div(850 * coalesce(inc, 0L), 1000)")
             ).cast("bigint").alias("s"),
-        )
+        ).localCheckpoint(eager=False)
     return (
         s.select(
             F.col("node").cast("bigint").alias("doc_id"),
@@ -14026,7 +14032,15 @@ def dedup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame
     O(|E|), fixed round count, the same static-unroll pattern as the
     PageRank query; the edge list is persisted once and reused by both
     rounds (pinned at runtime by the iterative-graph cache test
-    pattern)."""
+    pattern).
+
+    Round-10 (optimization; guide §3.3/§5): the per-round label frame
+    is ``localCheckpoint(eager=False)`` — the round's plan references
+    ``lab`` twice (the neighbor join and the coalesce join-back), so
+    the unrolled plan doubled per round and Catalyst/AQE orchestration
+    of the nested tree dominated: sf0.1 A/B 9.6→5.9 s, identical
+    output (collect-compared).  Same contract as
+    ``connected_components``."""
     corpus = _dedup_corpus(spark, sf_dir)
     bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
     cand = D.lsh_candidate_pairs(bands, "doc_id").select("id_a", "id_b")
@@ -14054,7 +14068,7 @@ def dedup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         lab = lab.join(pick, "node", "left").select(
             "node", F.coalesce("plbl", "lbl").alias("lbl")
-        )
+        ).localCheckpoint(eager=False)
     return lab.select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("lbl").cast("bigint").alias("community"),
@@ -14650,9 +14664,19 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable degree groupBy over the persisted edge list
     plus two semi-shaped equi-joins restricting endpoints; per-round
     cost O(|E|), monotonically shrinking.  No driver involvement, no
-    global window, top-k via TakeOrderedAndProject.  Same persisted-
-    edge reuse contract as dedup_graph_pagerank (pinned by the
-    iterative-graph runtime test)."""
+    global window, top-k via TakeOrderedAndProject.
+
+    Round-10 (optimization; guide §3.3/§5 — truncate the plan): each
+    peel round's restricted edge list is ``localCheckpoint(eager=
+    False)`` instead of a lazy persist.  The loop references ``edges``
+    THREE times per round (degree + both endpoint joins), so the lazy-
+    persist plan nested 3^rounds references (the 430-Exchange/864-scan
+    rendered tree in PLAN_AUDIT) and Catalyst/AQE orchestration of
+    that tree dominated the query: measured sf0.1 A/B 8.6→2.7 s with
+    IDENTICAL output (collect-compared).  Same lineage-truncation
+    contract as ``connected_components`` (operators/graph.py), same
+    cluster caveat: swap for reliable ``checkpoint(dir)`` under
+    executor loss."""
     corpus = _dedup_corpus(spark, sf_dir)
     bands = D.minhash_bands(corpus, "doc_id", "text", n_hashes=8, band_size=4)
     e = (
@@ -14675,7 +14699,7 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(active.select(F.col("node").alias("src")), "src")
             .join(active.select(F.col("node").alias("dst")), "dst")
             .select("src", "dst")
-            .transform(tracked_persist)
+            .localCheckpoint(eager=False)
         )
     final_deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")

@@ -315,7 +315,12 @@ def build_scaled(spark, base_dir: str, factor: int, out_dir: str) -> None:
     )
 
     def fanout(df, width: int):
-        return df.repartition(width).crossJoin(copies)
+        # factor-scaled width (SCALING.md round-10 "Output-file sizing"):
+        # a FIXED 32/64-way fan-out at 3000× writes ~500-750 MB part
+        # files whose row groups OOM the vectorized reader under 32-task
+        # concurrency; scaling the width with the factor keeps part
+        # files near base-partition size at every tier.
+        return df.repartition(min(1200, max(width, factor))).crossJoin(copies)
 
     cp = F.col("copy")
 
@@ -392,7 +397,27 @@ def main() -> None:
     from sales_azure_data_engineer_project_spark.caching import release_caches
     from sales_azure_data_engineer_project_spark.session import get_spark
 
-    spark = get_spark("scale-exp")
+    # GCLocker spurious-OOM guard (JDK 17, G1): parquet/snappy and lz4
+    # hold JNI critical regions; under 32-thread allocation storms the
+    # default GCLockerRetryAllocationCount=2 gives up after two retries
+    # and throws OutOfMemoryError for 4-WORD allocations while the heap
+    # has gigabytes free ("Retried waiting for GCLocker too often" in
+    # the gc,alloc log, immediately before every 'OOM').  Measured at
+    # the 3000× minhash tier: the signature aggregate 'OOMs' spuriously
+    # with both hex and binary signatures.  Raising the retry count is
+    # the documented JDK workaround (the GCLocker was removed in JDK 21
+    # for exactly this failure mode); it only affects the retry loop,
+    # never results.  Local mode: driver JVM == executor JVM, so the
+    # driver option covers both.
+    spark = get_spark(
+        "scale-exp",
+        extra_conf={
+            "spark.driver.extraJavaOptions": (
+                "-XX:+UnlockDiagnosticVMOptions "
+                "-XX:GCLockerRetryAllocationCount=64"
+            ),
+        },
+    )
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
@@ -462,11 +487,51 @@ def main() -> None:
         fn = qs[name]
         return lambda sp, d, s: fn(sp, d)
 
+    # Per-tier shuffle sizing (SCALING.md round-10 addenda): AQE
+    # COALESCES small partitions but never SPLITS a materialized
+    # sort/window shuffle, so the cores-derived default (32) that is
+    # right for every tier ≤ 30× puts ~50M posting rows through each
+    # sort-spill at 3000× (GCLocker retry storms).  Above 30× the
+    # initial number scales with the corpus; bench/oracle SFs keep the
+    # session default (a blanket 512 was A/B'd 1.26× WORSE at sf0.1).
+    # This was applied by hand in the round-10 probe sessions; wired
+    # into the harness so the recorded recipe is the committed one.
+    base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    base_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+
+    def _tier_shuffle(s: int) -> None:
+        if s > 30:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(1024, 32 * (s // 30))),
+            )
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
+        # Input-split sizing, the MAP-side sibling of the shuffle rule
+        # (guide §5 "more partitions → smaller per-task state"): shuffle
+        # partitions only bound post-exchange state, but a corpus-sized
+        # groupBy's PARTIAL aggregate holds one hash/sort buffer per
+        # input split — at 3000× the 2.6 GB documents table splits into
+        # ~21 tasks of ~700k docs each, and the minhash signature
+        # aggregate (8 binary mins/doc) OOM'd the 8 GB heap map-side
+        # (round-10 session 2: the binary-signature fix halved the
+        # cache, moving the OOM from CachedRDDBuilder into the partial
+        # agg).  32 MB splits at the 1000×+ tiers quarter the per-task
+        # group count; every tier ≤ 300× keeps the 128 MB default that
+        # sf0.1 and production scans want (§6.1).
+        if s >= 1000:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", base_split)
+
     results: dict[str, dict[int, float]] = {}
     for name, scales in queries:
         fn = runner(name)
         results[name] = {}
         for s in scales:
+            _tier_shuffle(s)
+            # guide §1.5: label the tier's jobs for UI-enabled debugging
+            spark.sparkContext.setJobDescription(f"scale: {name} @ {s}x")
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -489,6 +554,8 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
             results[name][s] = best
             print(f"  {name} @ {s}x: {best:.2f}s", flush=True)
+            spark.sparkContext.setJobDescription(None)
+        _tier_shuffle(1)  # probes always run at the session default
         probes.append(_probe())
 
     probe_median = sorted(probes)[len(probes) // 2]
