@@ -4494,17 +4494,19 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-equi-join Σ|cluster|² with k ∝ N, eval spans broadcast,
     packing windows are per-shard, and the split is a map-side hash.
     Stage counts come from per-frame aggregates, not re-scans.
-    Persist policy: most persists stay LAZY — the final action is ONE
-    job whose union branches share the cached stage frames, and an
-    eager count() per EVERY stage measured 24 s vs 18 s lazy at sf0.1
-    (each materialization is a full serial job barrier) — but the TWO
-    heavy caches (``base``, the corpus-text frame, and ``ex``, the
-    exact-dedup window output) are eagerly count()-ed anyway: at 300×
-    the union branches raced to first-build them concurrently
-    (getOrCompute has no cross-task build dedup) and the duplicated
-    in-flight builds OOM'd the shared heap.  Serializing just those
-    two builds supersedes the all-lazy A/B conclusion; the remaining
-    slim (doc_id, n_tokens) persists keep the lazy win.
+    Persist policy: the final lazy action is ONE job whose union
+    branches share the stage frames, and an eager count() per EVERY
+    stage measured 24 s vs 18 s lazy at sf0.1 (each materialization is
+    a full serial job barrier) — but the TWO heavy caches (``base``,
+    the corpus-text frame, and ``ex``, the exact-dedup window output)
+    are eagerly count()-ed anyway: at 300× the union branches raced to
+    first-build them concurrently (getOrCompute has no cross-task
+    build dedup) and the duplicated in-flight builds OOM'd the shared
+    heap.  Round-10: in LAZY mode the slim survivor frames (ex, nd,
+    sd, dc) are ``localCheckpoint(eager=False)`` rather than persists
+    — see the ``_hold`` comment in the body (sf0.1 24.0→8.6 s, output
+    identical); STAGED mode keeps real persists for the stage-release
+    machinery.
 
     Known sf0.1 cost profile (round-5 stage audit): of a ~16 s wall
     only ~9 s is task time spread over ~67 stages whose LARGEST is
@@ -4523,6 +4525,20 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = (
         load_testdata(spark, sf_dir, "documents").count()
         >= _FUNNEL_STAGE_RELEASE_DOCS
+    )
+    # Survivor-frame holder (round-10 optimization; guide §3.3/§5 —
+    # truncate the plan).  LAZY mode: ``localCheckpoint(eager=False)``
+    # — the slim (doc_id, n_tokens) frames chain dc→sd→nd→ex and SEVEN
+    # report branches re-render that nested lineage (93.5M plan chars
+    # at sf0.01, truncated at the 20M cap, re-rendered per execution),
+    # so Catalyst/AQE orchestration owned the one-action wall: sf0.1
+    # A/B 24.0→8.6 s with collect-identical output — the lazy path now
+    # matches the round-5 "AQE off" floor (8.2 s) WITH AQE on.  STAGED
+    # mode keeps tracked persists: the stage-release machinery below
+    # unpersists each frame after its last consumer, which is the whole
+    # 1000×-tier fix — checkpoint blocks would outlive their stage.
+    _hold = tracked_persist if staged else (
+        lambda d: d.localCheckpoint(eager=False)
     )
     tk = corpus.select(
         "doc_id", "text", F.split(F.col("text"), X.TOKEN_RE).alias("toks")
@@ -4558,7 +4574,7 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_id") == F.col("keep"))
         .select("doc_id", "n_tokens")
-        .transform(tracked_persist)
+        .transform(_hold)
     )
     # Stage survivor frames persist (doc_id, n_tokens) ONLY — two
     # bigints per doc.  Round-8: the pre-r8 funnel persisted the full
@@ -4591,9 +4607,7 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # drop sets are data-dependent (duplicate/contamination volume):
     # no hard broadcast hints anywhere in the funnel — AQE decides
-    nd = ex.join(lsh_drops, "doc_id", "left_anti").transform(
-        tracked_persist
-    )
+    nd = ex.join(lsh_drops, "doc_id", "left_anti").transform(_hold)
     # SemDeDup restricted to the docs still IN the pipeline: the
     # quantizer is trained on the full embedding space (reusable across
     # runs), but the Σ|cluster|² pair join only pays for near-dedup
@@ -4625,7 +4639,7 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("doc_id"))
         .distinct()
     )
-    sd = nd.join(sem_drops, "doc_id", "left_anti").transform(tracked_persist)
+    sd = nd.join(sem_drops, "doc_id", "left_anti").transform(_hold)
     is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
     ev_spans = (
         D.shingle_explode(corpus.filter(is_eval), "doc_id", "text", 8)
@@ -4640,7 +4654,7 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    dc = sd.join(contam, "doc_id", "left_anti").transform(tracked_persist)
+    dc = sd.join(contam, "doc_id", "left_anti").transform(_hold)
     wsh = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
