@@ -24,81 +24,71 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # all of them (LEDGER.json) — so windows are now pure staleness
 # rotation: changed code first, then oldest evidence.
 _PRIORITY = [
-    # ---- ROUND-9 WINDOW ----------------------------------------------
-    # Registry 253 (the 252 freeze + one sanctioned slack slot for the
-    # posting_freq_cap valve, VERDICT r8 "Next" #4/#6).  Window = 1 new
-    # query + 5 changed-code canaries + the ENTIRE 40-query r2/r3
-    # staleness backlog (VERDICT r8 "Next" #2 — it fits with 4 slots
-    # spare).  After this run no registered query's evidence is older
-    # than r4.
-    #
-    # Slot 1: NEW this round — the exact n-gram tier's posting_freq_cap
-    # valve (df-filtered exact Jaccard; every retained posting bucket
-    # ≤ cap ⇒ join output linear in the corpus).  Never driver-checked.
-    "dedup_ngram_jaccard_capped",
-    # Slots 2-3: changed code — jaccard_pairs/containment_pairs now
-    # build their posting rows through the shared _posting_rows helper
-    # (uncapped path emits the identical plan; canaried anyway per the
-    # changed-implementation convention).
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
-    # Slots 4-6: changed code — subcluster_cells gained max_levels
-    # validation and a multiset no-progress metric (hierarchical path
-    # only; oracle SFs stay on the flat quantizer path — re-verified
-    # via check_oracle at sf0.01 before staging).
-    "dedup_semantic_semdedup",
-    "similarity_mutual_knn_pairs",
+    # ---- ROUND-11 WINDOW ---------------------------------------------
+    # VERDICT r10 "Next" #1: the round-10 optimization session changed
+    # five queries' implementations AFTER the round-9 window was set, so
+    # their oracle-green status rested on builder-side check_oracle runs
+    # only.  Slots 1-5 give them the driver row they are owed.
+    "dedup_clusters",
+    "dedup_graph_kcore",
+    "dedup_graph_label_propagation",
+    "dedup_graph_pagerank",
+    "dedup_minhash_multiband_sweep",
+    # Slots 6-9: round-11 changed code — the stats_ks_two_sample pivot
+    # rewrite (VERDICT r10 "Next" #3), the linkage-loop lineage
+    # truncation (#4, both linkage tiers share min_label_rounds), and
+    # the staged-funnel barrier merge (#6; staged path is gated above
+    # 1M docs so oracle SFs are unchanged by design — canary pins that).
+    "stats_ks_two_sample",
+    "customers_linkage_clusters_capped",
+    "customers_linkage_clusters",
     "pipeline_full_train_prep",
-    # Slots 7-15: the 9 r2-latest rows (oldest evidence in the fleet).
-    "similarity_ann_sign_lsh",
-    "similarity_cosine_topk",
-    "skew_salted_aggregation",
-    "star_join_sales",
-    "text_chunking",
-    "text_fingerprints",
-    "text_token_counts",
-    "topk_parts_per_brand",
-    "unpivot_measures",
-    # Slots 16-46: all 31 r3-latest rows — the backlog drains to zero.
-    "bigram_stats",
-    "crossmodal_doc_embedding_join",
-    "dedup_embedding_cosine",
-    "dedup_simhash_hamming",
-    "dedup_tf_cosine",
-    "events_value_anomalies",
-    "pipeline_pack_sequences",
-    "q11_important_parts",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_orders",
-    "q22_inactive_rich_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority_check",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit_adapted",
-    "sample_mixture_weighted",
-    "sample_weighted_poisson",
-    "similarity_ann_sq8",
-    "text_cdc_chunks",
-    "text_exact_substring_dedup",
-    "text_pii_scrub",
-    "text_repetition_ratios",
-    "text_winnowing_fingerprints",
-    "tfidf_distinctive_terms",
-    "vocab_top_tokens",
-    # Slots 47-50: the 4 spare slots go to minhash-family canaries —
-    # their shared caches changed PHYSICALLY this round (xxhash-array /
-    # signature persists now batch-bounded at 2000 rows; values
-    # provably identical, canaried anyway per convention).
-    "dedup_minhash_lsh",
-    "dedup_clusters_minhash",
-    "dedup_incremental_batch",
-    "dedup_lsh_recall_sampled",
+    # Slots 10-50: 41 of the 44 rows whose latest driver evidence is r4
+    # — the oldest in the fleet (LEDGER.json stale_4plus list, ranked
+    # oldest-first).  The 3 that don't fit (quality_functional_
+    # dependencies, spatial_neighbor_pairs, fuzzy_name_pairs_symspell)
+    # lead the r12 rotation.
+    "flagship_revenue_by_nation_year",
+    "pricing_summary",
+    "customers_with_orders",
+    "union_segments",
+    "max_order_key",
+    "derived_columns",
+    "top_orders",
+    "dim_dense_keys",
+    "q3_shipping_priority",
+    "q5_supplier_volume_by_region",
+    "grouping_sets_revenue",
+    "q19_disjunctive_predicates",
+    "json_functions",
+    "pivot_returnflag_status",
+    "events_sessionization",
+    "events_asof_last_purchase",
+    "events_funnel",
+    "window_rank_suite",
+    "stats_aggregates_exact",
+    "null_safe_equality",
+    "text_quality_stats",
+    "dedup_exact",
+    "multimodal_features",
+    "approx_distinct_stats",
+    "text_span_dup_stats",
+    "pipeline_decontaminate",
+    "similarity_ann_ivf_kmeans",
+    "similarity_ann_pq",
+    "vocab_bpe_merges",
+    "interval_overlap_sweep",
+    "tokens_heavy_hitters_cms",
+    "approx_distinct_kmv",
+    "events_distribution_drift",
+    "pipeline_split_train_val_test",
+    "sample_domain_quota",
+    "similarity_ann_lsh_multiprobe",
+    "market_basket_pairs",
+    "events_transition_matrix",
+    "events_cohort_retention",
+    "parts_pareto_frontier",
+    "profile_lineitem_columns",
 ]
 
 

@@ -103,6 +103,21 @@ def main() -> None:
 
     probes: list[float] = [_probe()]
 
+    # ADVICE r10: release_caches()/clearCache() do not free localCheckpoint
+    # blocks (the funnel's survivor frames, the graph loops' per-round
+    # state) — those are only reclaimed when the ContextCleaner notices the
+    # Python/JVM references are gone.  Nudge both collectors between
+    # UNTIMED runs (same recipe as tools/scale_experiment.py) so blocks
+    # don't accumulate across median-of-N executions within one invocation.
+    import gc as _gc
+
+    def _gc_nudge(s) -> None:
+        _gc.collect()
+        try:
+            s._jvm.System.gc()
+        except Exception:
+            pass
+
     # median-of-3 (round-4, VERDICT r3 "Next" #6): round 3's single-shot
     # numbers were unusable for regression triage under ambient
     # co-tenant load (the same code measured 84.5 s and 104.2 s
@@ -202,6 +217,7 @@ def main() -> None:
 
             release_caches()
             spark.catalog.clearCache()
+            _gc_nudge(spark)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         spark.sparkContext.setJobDescription(None)
 
@@ -248,6 +264,7 @@ def main() -> None:
 
             release_caches()
             spark.catalog.clearCache()
+            _gc_nudge(spark)
         spark.sparkContext.setJobDescription(None)
         rerun = round(sorted(rerun_runs)[len(rerun_runs) // 2], 3)
         reruns[name] = {"first_median": timings[name], "rerun_median": rerun}
@@ -309,17 +326,35 @@ def main() -> None:
         "registered": len(registry),
         "reruns": reruns,
     }
+    detail_doc = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec", "queries": timings, "sf": sf_val,
+        "median_of": _MEDIAN_OF,
+        **strata_info,
+        **load,
+        **comparables,
+    }
     with open(detail_path, "w") as f:
-        json.dump(
-            {"metric": "headline_queries_total",
-             "value": round(sum(timings.values()), 3),
-             "unit": "sec", "queries": timings, "sf": sf_val,
-             "median_of": _MEDIAN_OF,
-             **strata_info,
-             **load,
-             **comparables},
-            f, indent=1,
-        )
+        json.dump(detail_doc, f, indent=1)
+    # VERDICT r10 "What's wrong" #3: successive runs (e.g. the driver's
+    # 8-core scaling rerun) clobbered BENCH_DETAIL.json, losing the
+    # round's 32-core per-query record.  Also write a per-config stamped
+    # copy so every (round, cpus, mode) run survives on disk.
+    cpus_n = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 0)
+    stamped = os.path.join(
+        here,
+        f"BENCH_DETAIL_r{current_round}_c{cpus_n}_"
+        f"{'full' if full_run else 's' + str(stratum)}.json",
+    )
+    with open(stamped, "w") as f:
+        json.dump(detail_doc, f, indent=1)
+    # VERDICT r10 "What's wrong" #2 / "Next" #2: the r9 contract-line
+    # parse failure was the unbounded `reruns` map blowing the driver's
+    # capture.  The PRINTED line carries only a bounded rerun count; the
+    # full map lives in BENCH_DETAIL*.json.
+    printed_strata = {k: v for k, v in strata_info.items() if k != "reruns"}
+    printed_strata["reruns_n"] = len(reruns)
     print(
         json.dumps(
             {
@@ -329,7 +364,7 @@ def main() -> None:
                 "queries": headline,
                 "sf": sf_val,
                 "median_of": _MEDIAN_OF,
-                **strata_info,
+                **printed_strata,
                 **load,
                 **comparables,
             }

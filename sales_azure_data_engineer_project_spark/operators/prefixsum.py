@@ -57,6 +57,16 @@ def bucketed_cumsum(
     """
     gcols = list(group_cols)
     df = df.withColumn("__bucket", F.floor(F.col(order_col) / F.lit(bucket_width)))
+    # Round 11 (guide §2.4 "two operations keyed the same way can share
+    # one exchange"): both consumers below — the partials groupBy and
+    # the final within-bucket window — need hashpartitioning(group,
+    # bucket), so establish it ONCE with an explicit repartition.  The
+    # groupBy then aggregates without its own exchange, the window only
+    # local-sorts, and because the two branches share an identical
+    # subtree the planner emits a ReusedExchange: the input is shuffled
+    # once instead of twice (it previously shuffled once into the agg
+    # and once into the window).
+    df = df.repartition(*gcols, "__bucket") if gcols else df.repartition("__bucket")
 
     # (2) tiny per-bucket partials — map-side combinable
     partials = df.groupBy(*gcols, "__bucket").agg(

@@ -4752,9 +4752,19 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # identical to the lazy union — same frames, same expressions —
         # only materialization timing and cache lifetime change.
         _FUNNEL_LAST_MODE = "staged"
-        lit_rows = list(s012.collect())          # base stats (3 rows)
-        lit_rows += s3.collect()                 # ex stats
-        lit_rows += s4.collect()                 # materializes nd (LSH path)
+        # Round 11 (VERDICT r10 "Next" #6): s012/s3/s4 merged into ONE
+        # action — base and ex are already eagerly built (the count()
+        # barriers above), so the merged job's branches read caches
+        # instead of racing to build them, and neither frame's cache
+        # lifetime moves (ex is released after s4 either way; base
+        # lives to s6 regardless).  6 serial stage barriers → 4.
+        # s5/s6 stay separate: merging them would force nd+slv (s5's
+        # inputs) to stay cached until dc completes — exactly the
+        # working-set growth the staged mode exists to avoid — and
+        # their union would race to first-build the slim sd cache.
+        lit_rows = list(
+            s012.unionByName(s3).unionByName(s4).collect()
+        )                                        # base+ex stats, builds nd
         ex.unpersist(blocking=False)             # nd built, ex_txt consumed
         slv.count()                              # survivor cells cached
         cells.unpersist(blocking=False)          # slv was its only consumer
@@ -10926,10 +10936,19 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     + a window partitioned by (grp, bucket), so ECDFs over arbitrarily
     many distinct values never serialize onto one task.
 
-    Scale shape: two map-side-combined groupBys (value grid, per-group
-    counts), the bounded 3-row flag grid broadcast into the dense
-    frame, the two-level scan (widest shuffle = groupBy(grp, v)), one
-    max-agg, and an equi-join-back for the argmax location.  At 100 TB
+    Scale shape (rewritten round 11, VERDICT r10 "Next" #3 — the fleet's
+    most expensive untouched query at 6.5 s): ONE pass over lineitem
+    into the (grp, v) count grid; everything else derives from that
+    cached grid — the per-value totals and per-flag counts come from a
+    single ``groupBy(v)`` that folds the ≤|flags| per-value counts into
+    a map (``map_from_entries(collect_list(...))``), and the dense
+    ECDF input is a broadcast crossJoin with the flag list plus a map
+    lookup.  The old shape scanned the cached corpus FIVE times (cnt,
+    grid, flags, tot, nall) and re-shuffled the grid×flags frame to
+    (grp, v) for a sort-merge join against cnt; the new shape has no
+    (grp, v) join at all and its widest shuffles are the two grid
+    aggregations.  Then the two-level scan, one max-agg, and the
+    equi-join-back for the argmax location, unchanged.  At 100 TB
     n_grp·n_rest exceeds 2⁶³ for micro-scaling — widen the final
     division to decimal(38,0); the comparisons themselves stay in
     bigint common-denominator form far longer."""
@@ -10940,18 +10959,26 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").alias("grp"),
             F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("v"),
         )
-    ).transform(tracked_persist)
-    cnt = li.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
-    grid = li.groupBy("v").agg(F.count(F.lit(1)).alias("nt"))
-    flags = li.select("grp").distinct()
-    dense = (
-        grid.crossJoin(F.broadcast(flags))
-        .join(cnt, ["grp", "v"], "left")
-        .select("grp", "v", "nt", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    cnt = tracked_persist(li.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c")))
+    # per-value totals + the bounded (≤|flags| entries) per-flag count
+    # map, in one combinable aggregate over the cached count grid.  NOT
+    # persisted: its two consumers sit above bucketed_cumsum's shared
+    # repartition exchange, so ReusedExchange computes it once anyway.
+    pv = cnt.groupBy("v").agg(
+        F.sum("c").alias("nt"),
+        F.map_from_entries(F.collect_list(F.struct("grp", "c"))).alias("m"),
+    )
+    tot = cnt.groupBy("grp").agg(F.sum("c").alias("n_grp"))
+    flags = tot.select("grp")
+    nall = tot.agg(F.sum("n_grp").alias("n_all"))
+    dense = pv.crossJoin(F.broadcast(flags)).select(
+        "grp",
+        "v",
+        "nt",
+        F.coalesce(F.element_at("m", F.col("grp")), F.lit(0)).alias("c"),
     )
     cums = bucketed_cumsum(dense, ["grp"], "v", ["c", "nt"], bucket_width=100_000)
-    tot = li.groupBy("grp").agg(F.count(F.lit(1)).alias("n_grp"))
-    nall = li.agg(F.count(F.lit(1)).alias("n_all"))
     d = (
         cums.join(F.broadcast(tot), "grp")
         .crossJoin(F.broadcast(nall))
@@ -10965,30 +10992,26 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - (F.col("cum_nt") - F.col("cum_c")) * F.col("n_grp")
             ).alias("diff"),
         )
-        .transform(tracked_persist)
     )
-    mx = d.groupBy("grp", "n_grp", "n_all").agg(F.max("diff").alias("maxdiff"))
-    loc = (
-        d.join(
-            mx.select("grp", F.col("maxdiff").alias("diff")), ["grp", "diff"]
-        )
-        .groupBy("grp")
-        .agg(F.min("v").alias("ks_at_centi"))
+    # one-pass deterministic argmax: max over (diff, -v) structs is
+    # lexicographic, so it yields max diff AND, among ties, the minimum
+    # v — exactly the oracle's MAX(diff) + MIN(v at max) pair — without
+    # persisting d, without the join-back on (grp, diff), and without
+    # the final mx⋈loc join.  Combinable (a declarative MAX), so it is
+    # also the scan-once shape 100 TB wants.
+    mx = d.groupBy("grp", "n_grp", "n_all").agg(
+        F.max(F.struct(F.col("diff"), (-F.col("v")).alias("nv"))).alias("s")
     )
-    return (
-        mx.join(F.broadcast(loc), "grp")
-        .select(
-            F.col("grp").alias("l_returnflag"),
-            F.col("n_grp").cast("bigint"),
-            (F.col("n_all") - F.col("n_grp")).cast("bigint").alias("n_rest"),
-            F.col("maxdiff").cast("bigint").alias("diff_scaled"),
-            F.expr("div(1000000 * maxdiff, n_grp * (n_all - n_grp))")
-            .cast("bigint")
-            .alias("d_micro"),
-            F.col("ks_at_centi").cast("bigint"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return mx.select(
+        F.col("grp").alias("l_returnflag"),
+        F.col("n_grp").cast("bigint"),
+        (F.col("n_all") - F.col("n_grp")).cast("bigint").alias("n_rest"),
+        F.col("s.diff").cast("bigint").alias("diff_scaled"),
+        F.expr("div(1000000 * s.diff, n_grp * (n_all - n_grp))")
+        .cast("bigint")
+        .alias("d_micro"),
+        (-F.col("s.nv")).cast("bigint").alias("ks_at_centi"),
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------
@@ -15303,7 +15326,21 @@ def _entity_size_histogram(ed: DataFrame) -> DataFrame:
     the unpersisted plan per round (2³ = 8 leaf recomputes — most of
     the capped query's 8.7× 1× constant); with self-loops the label
     frame is referenced once per round, the plan stays linear, and
-    only the static self-looped edge frame is persisted."""
+    only the static self-looped edge frame is persisted.
+
+    Round 11 (optimization; guide §3.3/§5, VERDICT r10 "Next" #4):
+    the per-round label frame is additionally ``localCheckpoint(eager=
+    False)`` — even at one reference per round, every round's plan
+    nested the FULL blocking lineage of the persisted edge frame (the
+    capped variant's 3-way candidate union rendered once per round:
+    128 Exchanges / 140 scans in the initial plan), and Catalyst/AQE
+    orchestration of that tree, not the data, dominated the query.
+    The truncated plan references the edge cache once.  Same cluster
+    caveat as ``connected_components``: localCheckpoint blocks die
+    with executors; production swaps in reliable ``checkpoint(dir)``.
+    The static self-looped edge frame stays persisted (an RDD-scan
+    leaf would lose its ``repartition("src")`` outputPartitioning and
+    re-shuffle the edge side every round)."""
     nodes = ed.select(F.col("src").alias("node")).distinct()
     # hash-partitioned by the propagation key before the persist: the
     # cached frame's outputPartitioning then satisfies every round's
@@ -15323,6 +15360,7 @@ def _entity_size_histogram(ed: DataFrame) -> DataFrame:
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
         )
     sz = lab.groupBy("lbl").agg(F.count(F.lit(1)).alias("size"))
     return (

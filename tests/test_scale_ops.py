@@ -772,10 +772,14 @@ def test_iterative_graph_queries_reuse_persisted_edges(spark):
         # checkpointed lineage); persists shingled+signatures (minhash),
         # ed, deg, edd — all four materialize on collect
         "dedup_graph_pagerank": (0, 1, 4),
-        # triangles persists shingled+signatures and the oriented edge
+        # triangles persists the signature cache and the oriented edge
         # list, referenced by the wedge and closing joins (static
-        # unroll, no loop state — unchanged by the round-10 swap)
-        "dedup_graph_triangles": (3, 0, 3),
+        # unroll, no loop state — unchanged by the round-10 swap).
+        # min_cached=2: the old floor of 3 was only ever met by blocks
+        # lingering from the PREVIOUS query's non-blocking release —
+        # the exact vacuousness ADVICE r10 flagged (verified: a fresh
+        # session materializes exactly these 2 persists)
+        "dedup_graph_triangles": (3, 0, 2),
         # kcore: the final plan reads rounds 2-3's checkpointed edge
         # lists (active's degree + the final degree); the symmetric
         # edge cache + signature cache materialize during round 1
@@ -783,13 +787,15 @@ def test_iterative_graph_queries_reuse_persisted_edges(spark):
         # LPA: the returned frame reads round 2's checkpointed label
         # frame; the edge + signature caches materialize on collect
         "dedup_graph_label_propagation": (0, 1, 2),
-        # linkage clusters persists the symmetric match-edge list,
-        # referenced by each of 3 min-label rounds
-        "customers_linkage_clusters": (3, 0, 1),
-        # the capped variant persists the same edge list; its fatter
-        # initial plan (the capped 3-way candidate union re-printed per
-        # round) is lineage inside the cached relation
-        "customers_linkage_clusters_capped": (3, 0, 1),
+        # linkage clusters (round-11 swap, same contract as kcore/LPA):
+        # the returned histogram reads round 3's checkpointed label
+        # frame; the raw match-edge + self-looped edge caches
+        # materialize during the collect
+        "customers_linkage_clusters": (0, 1, 2),
+        # the capped variant truncates the same way — its fat 3-way
+        # candidate-union lineage now renders once (inside the edge
+        # cache), not once per round
+        "customers_linkage_clusters_capped": (0, 1, 2),
     }
     for name, (min_refs, min_rdd, min_cached) in expected.items():
         df = m.queries()[name](spark, sf)
@@ -799,9 +805,21 @@ def test_iterative_graph_queries_reuse_persisted_edges(spark):
         rdd_refs = plan.count("Scan ExistingRDD")
         assert rdd_refs >= min_rdd, f"{name}: only {rdd_refs} RDD-scan refs"
         df.collect()
+        # ADVICE r10: getRDDStorageInfo also lists localCheckpoint blocks
+        # (each graph query materializes ≥2 per run), which made the
+        # min_cached floor vacuous — removing the static tracked_persists
+        # no longer failed.  Checkpoint blocks report the bare RDD class
+        # name ('MapPartitionsRDD'); real SQL cache buffers report the
+        # cached plan string.  Count only the latter.
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        cached = sum(1 for r in infos if r.numCachedPartitions() > 0)
-        assert cached >= min_cached, f"{name}: only {cached} caches materialized"
+        cached = sum(
+            1
+            for r in infos
+            if r.numCachedPartitions() > 0
+            and r.name() is not None
+            and "MapPartitionsRDD" not in r.name()
+        )
+        assert cached >= min_cached, f"{name}: only {cached} real persists"
         release_caches()
 
 

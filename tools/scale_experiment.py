@@ -418,6 +418,24 @@ def main() -> None:
             ),
         },
     )
+    # ADVICE r10: extraJavaOptions only applies if THIS call launched the
+    # JVM — getOrCreate silently ignores extra_conf when a session already
+    # exists (harness imported after another get_spark, spark-submit).
+    # Verify the guard actually landed; warn loudly if not, because the
+    # 1000×/3000× tiers spuriously OOM without it.
+    _jvm_args = list(
+        spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
+        .getInputArguments()
+    )
+    if not any("GCLockerRetryAllocationCount=64" in a for a in _jvm_args):
+        print(
+            "WARNING: scale harness JVM is MISSING "
+            "-XX:GCLockerRetryAllocationCount=64 (a SparkSession existed "
+            "before this harness started; extra_conf was ignored). "
+            "Tiers >=1000x may spuriously OOM — restart without a prior "
+            "session.",
+            flush=True,
+        )
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
@@ -501,9 +519,13 @@ def main() -> None:
 
     def _tier_shuffle(s: int) -> None:
         if s > 30:
+            # multiplier base = the session's cores-derived default, not a
+            # literal 32 — on hosts with other core counts the >30× tiers
+            # must scale from the same base the ≤30× tiers restore
+            # (ADVICE r10)
             spark.conf.set(
                 "spark.sql.shuffle.partitions",
-                str(min(1024, 32 * (s // 30))),
+                str(min(1024, int(base_shuffle) * (s // 30))),
             )
         else:
             spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
