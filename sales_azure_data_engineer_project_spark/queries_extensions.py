@@ -7933,9 +7933,15 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .distinct()
     )
-    ed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).transform(tracked_persist)
+    ed = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        # round 11: sliver fix + partitioning reuse, same as kcore —
+        # hash(src) feeds the degree groupBy and the edd pre-join with
+        # no further exchange on the edge side (guide §2.4)
+        .repartition("src")
+        .transform(tracked_persist)
+    )
     deg = ed.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d")).transform(
         tracked_persist
     )
@@ -14087,6 +14093,11 @@ def dedup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(
             corpus.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v"))
         )
+        # round 11: repartition before the persist — the 3-branch union
+        # otherwise caches 3× the upstream plan's output partitions as
+        # slivers (measured 160 at sf0.1) and every round's join
+        # re-scans them all; hash(v) is the per-round join key
+        .repartition("v")
         .transform(tracked_persist)
     )
     lab = corpus.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
@@ -14095,6 +14106,9 @@ def dedup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame
             edges.join(lab.select(F.col("node").alias("v"), F.col("lbl").alias("nlbl")), "v")
             .groupBy(F.col("u").alias("node"), F.col("nlbl").alias("cand_lbl"))
             .agg(F.count(F.lit(1)).alias("c"))
+            # round 11: nl feeds BOTH mx and pick — without this hold
+            # the edge⋈label join and its aggregate ran twice per round
+            .localCheckpoint(eager=False)
         )
         mx = nl.groupBy("node").agg(F.max("c").alias("mc"))
         pick = (
@@ -14724,6 +14738,11 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionByName(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        # round 11: a pre-persist repartition("src") was A/B'd here (the
+        # sliver fix that paid off for LPA/pagerank/linkage) and measured
+        # ~0.2 s WORSE — this union is only 2× an already-coalesced
+        # distinct, so the extra exchange outweighs the round-0 groupBy
+        # reuse; left as-is deliberately
         .transform(tracked_persist)
     )
     active = None
@@ -15304,6 +15323,12 @@ def customers_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = (
         matched.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionByName(matched.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        # repartition before the persist (guide §2.4/§6: the union of
+        # the two emission branches otherwise caches 2× the blocking
+        # plan's output partitions as slivers; every downstream scan
+        # pays per-task overhead ∝ that count, and hash(src) is the
+        # partitioning nodes-distinct and the self-loop union want)
+        .repartition("src")
         .transform(tracked_persist)
     )
     return _entity_size_histogram(ed)
@@ -15511,6 +15536,9 @@ def customers_linkage_clusters_capped(spark: SparkSession, sf_dir: str) -> DataF
     ed = (
         matched.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionByName(matched.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        # same sliver fix as the uncapped tier — the capped 3-way
+        # candidate union caches even more output partitions
+        .repartition("src")
         .transform(tracked_persist)
     )
     return _entity_size_histogram(ed)
