@@ -146,16 +146,18 @@ def main() -> None:
     _ROUND_ALWAYS = {
         # new or changed-implementation this round — every run measures
         # them so regressions surface before the next rotation.
-        # Round 10: the capped-pair default swap...
-        "dedup_clusters",
-        "dedup_ngram_jaccard_capped",
-        # ...the √√k-routed hierarchical quantizer + stage-scoped
-        # release (flat path at bench SFs is unchanged by design —
-        # these canaries verify exactly that)...
-        "dedup_semantic_semdedup",
-        "similarity_mutual_knn_pairs",
-        "similarity_ann_ivf_kmeans",
-        # ...and the funnel's staged-mode gate (lazy below 1M docs —
+        # Round 11: the stats_ks pivot/argmax rewrite + the shared
+        # bucketed_cumsum exchange...
+        "stats_ks_two_sample",
+        "customers_rfm_segments",
+        "dedup_removal_bias_audit",
+        # ...the linkage/LPA/pagerank edge-cache sliver fixes + loop
+        # lineage truncation...
+        "customers_linkage_clusters",
+        "customers_linkage_clusters_capped",
+        "dedup_graph_label_propagation",
+        "dedup_graph_pagerank",
+        # ...and the funnel's staged barrier merge (lazy below 1M docs —
         # canary pins the bench-SF shape didn't move)
         "pipeline_full_train_prep",
     }
@@ -270,6 +272,55 @@ def main() -> None:
         reruns[name] = {"first_median": timings[name], "rerun_median": rerun}
         timings[name] = rerun
 
+    # --- Parallel-scaling probe (VERDICT r10 "Next" #7) ----------------
+    # At sf0.1 every headline query is overhead-bound: the driver's
+    # 8-vs-32-core scaling block measured every ratio ≤ 1.05 in round
+    # 10, so a serialization regression (a stray global window, a
+    # driver collect) would be invisible to it.  This entry fans the
+    # documents table 64× INLINE (broadcast crossJoin + salted ids —
+    # computed from the parquet inputs on every invocation, nothing
+    # persisted) and runs the minhash/LSH pair count over it, which is
+    # compute+shuffle-heavy enough to scale with cores: measured
+    # 32c ≈ 7.5-9.7 s vs 8c ≈ 15.8-16.3 s (ratio ≈ 2).  ONE execution,
+    # not median-of-3 — its purpose is the low/high-core RATIO, whose
+    # ~2× signal clears ambient noise, and three runs would triple the
+    # most expensive entry in the suite.
+    from sales_azure_data_engineer_project_spark.operators import dedup as _D
+
+    def _scale_probe_lsh(factor: int = 64):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        fanned = (
+            docs.crossJoin(
+                _F.broadcast(spark.range(factor).select(_F.col("id").alias("__copy")))
+            )
+            .select(
+                (_F.col("doc_id") * factor + _F.col("__copy")).alias("doc_id"),
+                _F.concat(
+                    _F.col("text"), _F.lit(" pv"), _F.col("__copy").cast("string")
+                ).alias("text"),
+            )
+            # spread the fanned rows across the session's cores — the
+            # parquet arrives as one split and the shingle/md5 compute
+            # would otherwise serialize on one task at ANY core count
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        bands = _D.minhash_bands(fanned, "doc_id", "text", n_hashes=8, band_size=4)
+        pairs = _D.lsh_candidate_pairs(bands, "doc_id")
+        return pairs.groupBy().agg(
+            _F.count(_F.lit(1)).alias("n_pairs"), _F.sum("id_a").alias("chk")
+        )
+
+    spark.sparkContext.setJobDescription("bench: scale_probe_lsh_x64")
+    t0 = time.perf_counter()
+    _scale_probe_lsh().write.format("noop").mode("overwrite").save()
+    timings["scale_probe_lsh_x64"] = round(time.perf_counter() - t0, 3)
+    spark.sparkContext.setJobDescription(None)
+    from sales_azure_data_engineer_project_spark.caching import release_caches as _rc
+
+    _rc()
+    spark.catalog.clearCache()
+    _gc_nudge(spark)
+
     probes.append(_probe())
     probe_median = sorted(probes)[len(probes) // 2]
     load = {
@@ -286,6 +337,11 @@ def main() -> None:
     # total plus the handful of headline queries — and the full per-query
     # detail goes to BENCH_DETAIL.json next to this script.
     headline = {k: timings[k] for k in _HEADLINE_SET if k in timings}
+    # ADDED entry (round 11, contract allows additions): the scaling
+    # probe must ride the printed line so the driver's low/high-core
+    # comparison sees a query whose ratio CAN exceed 1.
+    if "scale_probe_lsh_x64" in timings:
+        headline["scale_probe_lsh_x64"] = timings["scale_probe_lsh_x64"]
     # Cross-round comparability (NOTES.md contract): report the total
     # over exactly the intersection of what THIS run measured and what
     # each recorded baseline measured, PLUS the baseline's subtotal over

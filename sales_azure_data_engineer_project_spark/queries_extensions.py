@@ -42,9 +42,20 @@ def _fan_out(df: DataFrame) -> DataFrame:
     downstream O(N²)/O(N·H) compute on a single thread; at production
     scale the inputs are multi-GB and partition naturally, so this
     repartition reproduces the real parallelism locally.  Cost: a tiny
-    shuffle of the small table."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    shuffle of the small table.
+
+    Width = the session's configured shuffle partitions, NOT
+    ``defaultParallelism`` (round 11): the two agree at bench/oracle
+    SFs (session.py sizes both from $SPARK_GRAFT_CPUS), but the scale
+    harness raises ``spark.sql.shuffle.partitions`` per blow-up tier
+    precisely so per-task state shrinks — a hardcoded cores-width here
+    overrode that, and at 3000× the quantizer's wide-cache build
+    unrolled ~190 MB of rows per task × 32 concurrent tasks and
+    heap-OOM'd a stock 8 GB JVM (guide §2.2 "scale-adaptive, not a
+    constant tuned for local mode")."""
+    spark = df.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(width)
 
 
 def _ivf_cadence(n_vectors: int) -> int:
@@ -3994,7 +4005,15 @@ def _sq8_kmeans_cells(
                 S.sq8_quant_expr(F.col("_v")), lambda x: x.cast("double")
             ).alias("cvec"),
         )
-        .transform(tracked_persist)
+        # batch_rows (round 11): this is the quantizer's ONE wide cache
+        # (v + cvec ≈ 1 KB/row of ARRAY columns) — its per-batch
+        # builders grow by buffer doubling between memory checks, and
+        # at the 3000× tier (15M vectors, 32 concurrent builders) the
+        # build's transient spike heap-OOM'd a stock 8 GB JVM inside
+        # ArrayTransform eval while the cache itself would have spilled
+        # fine (same class as the r9 minhash-cache fix; stacks in
+        # OPTIMIZATION_r11.md)
+        .transform(lambda d: tracked_persist(d, batch_rows=2000))
     )
     # deterministic seeds = lowest-k vec_ids, fetched once — sorting the
     # whole frame inside the fit would re-run the sort on every
@@ -4055,7 +4074,9 @@ def _sq8_kmeans_cells(
         out = (
             base.select("vec_id", "v", "nrm")
             .join(labels, "vec_id")
-            .transform(tracked_persist)
+            # v is a 64-double ARRAY column — bound the batch builders
+            # (same transient-spike class as the base cache above)
+            .transform(lambda d: tracked_persist(d, batch_rows=2000))
         )
         # Stage-scoped release (VERDICT r9 Next #4): one eager count
         # materializes the slim output, after which the WIDE internal
@@ -4543,20 +4564,33 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = corpus.select(
         "doc_id", "text", F.split(F.col("text"), X.TOKEN_RE).alias("toks")
     )
-    base = tk.select(
-        "doc_id",
-        "text",
+    stat_cols = [
         F.size("toks").cast("bigint").alias("n_tokens"),
         F.expr("div(1000 * size(array_distinct(toks)), size(toks))").alias("ttr"),
         F.size(F.filter(F.col("toks"), lambda t: t.isin(*X.EN_STOPWORDS)))
         .cast("bigint")
         .alias("stop_hits"),
-        # batch_rows: this is the funnel's ONE wide (raw-text) cache —
-        # the string column's per-batch builder has the same
+    ]
+    if staged:
+        # STAGED tier (round 11, VERDICT r10 "Next" #5): cache only the
+        # per-doc SCALAR stats — at 15M docs (3000×) the raw-text cache
+        # build is a genuine heap OOM on a stock 8 GB JVM (32 concurrent
+        # batch builders over ~200 B texts; measured, stacks in
+        # OPTIMIZATION_r11.md).  The three text consumers (exact-dedup
+        # window, LSH bands, contamination shingles) re-scan the corpus
+        # parquet and attach their survivor stats by equi-join instead —
+        # at 100 TB a sequential re-scan is the cheap side of that trade
+        # (guide §5: cache only when recompute beats memory pressure).
+        base = tk.select("doc_id", *stat_cols).transform(tracked_persist)
+    else:
+        # LAZY tier: one wide (raw-text) cache, all consumers share it.
+        # batch_rows: the string column's per-batch builder has the same
         # doubling-allocation spike the 1000× tier measured on the
         # dedup array caches (caching.tracked_persist docstring)
-    ).transform(lambda d: tracked_persist(d, batch_rows=2000))
-    # Materialize the corpus-text cache EAGERLY (one count job): the
+        base = tk.select("doc_id", "text", *stat_cols).transform(
+            lambda d: tracked_persist(d, batch_rows=2000)
+        )
+    # Materialize the base cache EAGERLY (one count job): the
     # final report is ONE action whose union branches (stage counts,
     # bands, contamination) otherwise race to build this cache
     # concurrently - at 300x the duplicated in-flight builds OOM'd the
@@ -4567,8 +4601,16 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_pass = (F.col("n_tokens") >= 20) & (F.col("ttr") >= 300)
     l_pass = q_pass & (F.col("stop_hits") * 20 >= F.col("n_tokens"))
     lang = base.filter(l_pass)
+    # exact-dedup input: (doc_id, text, n_tokens) of lang survivors —
+    # from the text cache directly in LAZY mode, by re-scan + equi-join
+    # in STAGED mode (same rows either way)
+    ex_in = (
+        corpus.join(lang.select("doc_id", "n_tokens"), "doc_id")
+        if staged
+        else lang
+    )
     ex = (
-        lang.withColumn(
+        ex_in.withColumn(
             "keep",
             F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text").cast("binary")))),
         )
@@ -4589,7 +4631,10 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup) and the multiplied sort memory OOMs the shared heap —
     # every stage fits with GBs to spare when built once
     ex.count()
-    ex_txt = base.join(ex.select("doc_id"), "doc_id", "left_semi")
+    # text source for the survivor semi-joins: the wide cache in LAZY
+    # mode, a fresh corpus scan in STAGED mode (no text cache exists)
+    txt_src = corpus if staged else base
+    ex_txt = txt_src.join(ex.select("doc_id"), "doc_id", "left_semi")
     bands = D.minhash_bands(ex_txt, "doc_id", "text", n_hashes=8, band_size=4)
     # Production-shaped LSH config (VERDICT r5 "Next" #4): the hot-bucket
     # star-emission valve is ON in the composed funnel.  The drop set is
@@ -4621,7 +4666,9 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     slv = (
         cells.select("vec_id", "cluster", "v", "nrm")
         .join(nd.select(F.col("doc_id").alias("vec_id")), "vec_id")
-        .transform(tracked_persist)
+        # v is a 64-double ARRAY column — bound the batch builders
+        # (same transient-spike class as the quantizer's wide cache)
+        .transform(lambda d: tracked_persist(d, batch_rows=2000))
     )
     a_side = slv.select(
         F.col("vec_id").alias("id_a"),
@@ -4646,7 +4693,7 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.xxhash64("sh").alias("h"))
         .distinct()
     )
-    sd_txt = base.join(sd.select("doc_id"), "doc_id", "left_semi")
+    sd_txt = txt_src.join(sd.select("doc_id"), "doc_id", "left_semi")
     contam = (
         D.shingle_explode(sd_txt.filter(~is_eval), "doc_id", "text", 8)
         .select("doc_id", F.xxhash64("sh").alias("h"))
@@ -4765,6 +4812,10 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         lit_rows = list(
             s012.unionByName(s3).unionByName(s4).collect()
         )                                        # base+ex stats, builds nd
+        # round 11: the slim base cache's LAST consumer is s012 (the
+        # text semi-joins read fresh corpus scans in staged mode), so
+        # it is released here instead of after s6
+        base.unpersist(blocking=False)
         ex.unpersist(blocking=False)             # nd built, ex_txt consumed
         slv.count()                              # survivor cells cached
         cells.unpersist(blocking=False)          # slv was its only consumer
@@ -4773,7 +4824,6 @@ def pipeline_full_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         slv.unpersist(blocking=False)
         lit_rows += s6.collect()                 # materializes dc (contam)
         sd.unpersist(blocking=False)
-        base.unpersist(blocking=False)           # sd_txt was its last read
         lit_df = spark.createDataFrame(
             lit_rows, "stage_idx int, stage string, n_units bigint, n_tokens bigint"
         )
@@ -15848,7 +15898,14 @@ def dedup_minhash_multiband_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.unhex(F.md5(F.concat(*cols))).alias("band_sig"),
             )
             layouts = part if layouts is None else layouts.unionByName(part)
-    layouts = layouts.transform(tracked_persist)
+    # round 11: repartition before the persist — the 14-branch union
+    # otherwise caches 14× the signature cache's partitions as slivers
+    # (both consumers re-scan them all), and (band_size, band_idx,
+    # band_sig) is exactly the key the bucket-count groupBy AND the
+    # flagged-doc join need, so neither re-exchanges (guide §2.4)
+    layouts = layouts.repartition("band_size", "band_idx", "band_sig").transform(
+        tracked_persist
+    )
     bs = layouts.groupBy("band_size", "band_idx", "band_sig").agg(
         F.count(F.lit(1)).alias("c")
     )
