@@ -15898,14 +15898,13 @@ def dedup_minhash_multiband_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.unhex(F.md5(F.concat(*cols))).alias("band_sig"),
             )
             layouts = part if layouts is None else layouts.unionByName(part)
-    # round 11: repartition before the persist — the 14-branch union
-    # otherwise caches 14× the signature cache's partitions as slivers
-    # (both consumers re-scan them all), and (band_size, band_idx,
-    # band_sig) is exactly the key the bucket-count groupBy AND the
-    # flagged-doc join need, so neither re-exchanges (guide §2.4)
-    layouts = layouts.repartition("band_size", "band_idx", "band_sig").transform(
-        tracked_persist
-    )
+    # round 11: a pre-persist repartition on (band_size, band_idx,
+    # band_sig) — the sliver fix that paid off for the linkage/LPA
+    # edge caches — was A/B'd here and measured ~5-10% WORSE at sf0.1:
+    # the signature cache is already few partitions, so the extra full
+    # exchange of the 14× frame outweighs the consumers' partitioning
+    # reuse.  Left as-is deliberately (measured negative result).
+    layouts = layouts.transform(tracked_persist)
     bs = layouts.groupBy("band_size", "band_idx", "band_sig").agg(
         F.count(F.lit(1)).alias("c")
     )
